@@ -1,0 +1,160 @@
+"""Exact sharded dense inner-product index.
+
+Design (SURVEY.md §7.1.3, BASELINE.json north star):
+
+- the (N, D) passage-embedding matrix is padded to a multiple of the
+  shard count and row-sharded over *all* mesh axes — the full mesh's HBM
+  is the index's memory budget;
+- ``search(Q, k)``: under ``shard_map`` each device computes its local
+  ``Q @ E_shardᵀ`` (MXU) and a shard-local top-k, then the ``k`` winners
+  per shard — not the (Q, N) score matrix — are all-gathered over ICI and
+  reduced to the global top-k. Communication is ``O(Q · k · n_shards)``
+  instead of ``O(Q · N)``;
+- ids are tracked as global row indices (shard offset + local index);
+  padded rows score ``-inf`` and can never win.
+
+The shard-local scan is pluggable: the default is XLA matmul +
+``lax.top_k``; ``kernel="pallas"`` swaps in the fused Pallas
+dot-product/top-k kernel (`dalm_tpu/kernels/topk.py`) on TPU.
+
+Replaces hnswlib (`eval/utils.py:18-41`: ef_construction=200, M=100) —
+those approximation knobs have no equivalent here because search is
+exact; the reference's ``space="ip"`` scores are reproduced as raw inner
+products (hnswlib returns ``1 - ip`` distances which the caller converts
+back, `:60-64`).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dalm_tpu.core.mesh import DATA_AXIS, MODEL_AXIS
+
+INDEX_AXES = (DATA_AXIS, MODEL_AXIS)
+
+
+class ShardedDenseIndex:
+    """Exact MIPS index over a TPU mesh.
+
+    Typical life cycle::
+
+        index = ShardedDenseIndex.build(mesh, embeddings)   # host → HBM
+        scores, ids = index.search(query_embs, k=10)
+
+    ``refresh(new_embeddings)`` re-uploads (or in-place donates) the
+    embedding matrix — the hook the async re-embedding pipeline uses.
+    """
+
+    def __init__(self, mesh: Mesh, embeddings: jax.Array, num_real: int, kernel: str = "xla"):
+        self.mesh = mesh
+        self.embeddings = embeddings  # (N_pad, D), row-sharded
+        self.num_real = num_real
+        self.kernel = kernel
+        self._search_fns: dict = {}
+
+    # ---- construction ----------------------------------------------------
+    @staticmethod
+    def num_shards(mesh: Mesh) -> int:
+        return int(np.prod([mesh.shape[a] for a in INDEX_AXES]))
+
+    @classmethod
+    def build(
+        cls,
+        mesh: Mesh,
+        embeddings: np.ndarray | jax.Array,
+        dtype=jnp.float32,
+        kernel: str = "xla",
+    ) -> "ShardedDenseIndex":
+        n, d = embeddings.shape
+        shards = cls.num_shards(mesh)
+        # Pad rows so every shard holds the same (8·lane-aligned) tile count.
+        per_shard = max(8, math.ceil(n / shards))
+        n_pad = per_shard * shards
+        if n_pad != n:
+            pad = np.zeros((n_pad - n, d), dtype=np.asarray(embeddings).dtype)
+            embeddings = np.concatenate([np.asarray(embeddings), pad], axis=0)
+        sharding = NamedSharding(mesh, P(INDEX_AXES, None))
+        device_embs = jax.device_put(jnp.asarray(embeddings, dtype), sharding)
+        return cls(mesh, device_embs, num_real=n, kernel=kernel)
+
+    def refresh(self, embeddings: np.ndarray | jax.Array) -> None:
+        """Swap in re-embedded passages (same shape) without re-padding."""
+        n, d = embeddings.shape
+        if n == self.num_real and self.embeddings.shape[0] != n:
+            pad = self.embeddings.shape[0] - n
+            embeddings = jnp.concatenate(
+                [jnp.asarray(embeddings), jnp.zeros((pad, d), self.embeddings.dtype)], axis=0
+            )
+        sharding = NamedSharding(self.mesh, P(INDEX_AXES, None))
+        self.embeddings = jax.device_put(jnp.asarray(embeddings, self.embeddings.dtype), sharding)
+
+    # ---- search ------------------------------------------------------------
+    def search(self, queries: np.ndarray | jax.Array, k: int) -> tuple[np.ndarray, np.ndarray]:
+        """Global exact top-k: returns (scores, ids), both (Q, k) on host."""
+        fn = self._get_search_fn(k)
+        q = jax.device_put(
+            jnp.asarray(queries, self.embeddings.dtype),
+            NamedSharding(self.mesh, P(None, None)),
+        )
+        scores, ids = fn(q, self.embeddings)
+        return np.asarray(scores), np.asarray(ids)
+
+    def _get_search_fn(self, k: int):
+        if k not in self._search_fns:
+            self._search_fns[k] = self._make_search_fn(k)
+        return self._search_fns[k]
+
+    def _make_search_fn(self, k: int):
+        mesh = self.mesh
+        num_real = self.num_real
+        n_pad = self.embeddings.shape[0]
+        shards = self.num_shards(mesh)
+        per_shard = n_pad // shards
+        use_pallas = self.kernel == "pallas"
+
+        def local_topk(q, emb_shard):
+            """Per-device: (Q, D) x (rows, D) → top-k local (scores, ids)."""
+            shard_idx = jax.lax.axis_index(INDEX_AXES)
+            row_offset = shard_idx * per_shard
+            if use_pallas:
+                from dalm_tpu.kernels.topk import fused_dot_topk
+
+                s, i = fused_dot_topk(q, emb_shard, k)
+            else:
+                scores = jax.lax.dot_general(
+                    q, emb_shard,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                # Mask padded rows (global id >= num_real) to -inf.
+                global_ids = row_offset + jnp.arange(per_shard)
+                scores = jnp.where(global_ids[None, :] < num_real, scores, -jnp.inf)
+                kk = min(k, per_shard)
+                s, i = jax.lax.top_k(scores, kk)
+            ids = i + row_offset
+            if s.shape[1] < k:  # tiny shards: pad candidates
+                pad = k - s.shape[1]
+                s = jnp.pad(s, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+                ids = jnp.pad(ids, ((0, 0), (0, pad)), constant_values=0)
+            # Merge shard-local winners over ICI: k·shards candidates/query.
+            all_s = jax.lax.all_gather(s, INDEX_AXES, axis=1, tiled=True)  # (Q, shards*k)
+            all_i = jax.lax.all_gather(ids, INDEX_AXES, axis=1, tiled=True)
+            gs, gi = jax.lax.top_k(all_s, k)
+            final_ids = jnp.take_along_axis(all_i, gi, axis=1)
+            return gs, final_ids
+
+        mapped = jax.shard_map(
+            local_topk,
+            mesh=mesh,
+            in_specs=(P(None, None), P(INDEX_AXES, None)),
+            out_specs=(P(None, None), P(None, None)),
+            check_vma=False,
+        )
+        return jax.jit(mapped)

@@ -1,0 +1,265 @@
+"""Decoder-only causal LM (Llama-class generator backbone).
+
+TPU-native twin of the reference generator (``AutoModelForCausalLM``,
+default `meta-llama/Llama-2-7b-hf`,
+`/root/reference/dalm/models/rag_e2e_base_model.py:42-59`). Llama
+architecture — RMSNorm pre-norm, rotary position embeddings
+(rotate-half convention, HF-compatible), SwiGLU MLP, optional GQA — as
+pure Flax with logical sharding axes (``heads``/``mlp``/``vocab`` over the
+mesh ``model`` axis → Megatron-style tensor parallel under GSPMD; batch
+over ``data``).
+
+Two entry modes, both static-shape and jittable:
+- full-sequence teacher forcing (training / prefill): ``apply(ids, mask)``
+- single-step decode with a preallocated KV cache pytree
+  (``init_kv_cache`` + ``decode_step=True``) for the eval-rag generation
+  loop (reference `eval_rag.py:127-141` uses HF ``generate``; here decode
+  is a ``lax.scan`` / ``lax.while_loop`` over this step).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Dtype = jnp.dtype
+
+
+@dataclasses.dataclass(frozen=True)
+class DecoderConfig:
+    vocab_size: int = 32000
+    hidden_size: int = 512
+    num_layers: int = 4
+    num_heads: int = 8
+    num_kv_heads: Optional[int] = None  # None → MHA
+    intermediate_size: int = 1408
+    max_position_embeddings: int = 2048
+    rope_theta: float = 10000.0
+    rms_norm_eps: float = 1e-5
+    tie_embeddings: bool = False
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+    @property
+    def kv_heads(self) -> int:
+        return self.num_kv_heads or self.num_heads
+
+    @staticmethod
+    def tiny(vocab_size: int = 512) -> "DecoderConfig":
+        """CPU-testable config (GPT-2-125M-class role in BASELINE config 3)."""
+        return DecoderConfig(
+            vocab_size=vocab_size, hidden_size=64, num_layers=2, num_heads=2,
+            intermediate_size=128, max_position_embeddings=512,
+        )
+
+    @staticmethod
+    def llama2_7b() -> "DecoderConfig":
+        return DecoderConfig(
+            vocab_size=32000, hidden_size=4096, num_layers=32, num_heads=32,
+            intermediate_size=11008, max_position_embeddings=4096,
+        )
+
+
+def rotate_half(x: jax.Array) -> jax.Array:
+    x1, x2 = jnp.split(x, 2, axis=-1)
+    return jnp.concatenate([-x2, x1], axis=-1)
+
+
+def rope_cos_sin(positions: jax.Array, head_dim: int, theta: float, dtype) -> tuple:
+    """positions: (B, S) → cos/sin of shape (B, S, head_dim)."""
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
+    freqs = positions[..., None].astype(jnp.float32) * inv_freq[None, None, :]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb).astype(dtype), jnp.sin(emb).astype(dtype)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """x: (B, S, H, D); cos/sin: (B, S, D)."""
+    cos, sin = cos[:, :, None, :], sin[:, :, None, :]
+    return x * cos + rotate_half(x) * sin
+
+
+class RMSNorm(nn.Module):
+    eps: float = 1e-5
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param(
+            "scale",
+            nn.with_logical_partitioning(nn.initializers.ones_init(), ("embed",)),
+            (x.shape[-1],),
+            self.param_dtype,
+        )
+        x32 = x.astype(jnp.float32)
+        var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+        normed = x32 * jax.lax.rsqrt(var + self.eps)
+        return (normed * scale.astype(jnp.float32)).astype(self.dtype)
+
+
+def _proj(features, name, cfg, kernel_axes):
+    return nn.Dense(
+        features, name=name, use_bias=False, dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+        kernel_init=nn.with_logical_partitioning(nn.initializers.normal(0.02), kernel_axes),
+    )
+
+
+class DecoderAttention(nn.Module):
+    cfg: DecoderConfig
+
+    @nn.compact
+    def __call__(self, hidden, mask, cos, sin, kv_cache=None, cache_index=None):
+        """mask: (B, 1, S_q, S_k) additive-ready boolean (True = attend).
+
+        With ``kv_cache`` (dict k/v of (B, max_len, KVH, D)) the current
+        keys/values are written at ``cache_index`` and attention runs over
+        the whole cache buffer; returns (out, new_cache).
+        """
+        cfg = self.cfg
+        B, S, _ = hidden.shape
+        nh, kvh, hd = cfg.num_heads, cfg.kv_heads, cfg.head_dim
+
+        q = _proj(nh * hd, "q_proj", cfg, ("embed", "heads"))(hidden).reshape(B, S, nh, hd)
+        k = _proj(kvh * hd, "k_proj", cfg, ("embed", "heads"))(hidden).reshape(B, S, kvh, hd)
+        v = _proj(kvh * hd, "v_proj", cfg, ("embed", "heads"))(hidden).reshape(B, S, kvh, hd)
+
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+        new_cache = None
+        if kv_cache is not None:
+            k = jax.lax.dynamic_update_slice(kv_cache["k"], k.astype(kv_cache["k"].dtype), (0, cache_index, 0, 0))
+            v = jax.lax.dynamic_update_slice(kv_cache["v"], v.astype(kv_cache["v"].dtype), (0, cache_index, 0, 0))
+            new_cache = {"k": k, "v": v}
+
+        if kvh != nh:
+            rep = nh // kvh
+            k = jnp.repeat(k, rep, axis=2)
+            v = jnp.repeat(v, rep, axis=2)
+
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(hd).astype(cfg.dtype)
+        scores = jnp.where(mask, scores.astype(jnp.float32), jnp.finfo(jnp.float32).min)
+        probs = jax.nn.softmax(scores, axis=-1).astype(cfg.dtype)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, S, nh * hd)
+        out = _proj(cfg.hidden_size, "o_proj", cfg, ("heads", "embed"))(ctx)
+        return out, new_cache
+
+
+class DecoderLayer(nn.Module):
+    cfg: DecoderConfig
+
+    @nn.compact
+    def __call__(self, hidden, mask, cos, sin, kv_cache=None, cache_index=None):
+        cfg = self.cfg
+        normed = RMSNorm(cfg.rms_norm_eps, cfg.dtype, cfg.param_dtype, name="input_norm")(hidden)
+        attn_out, new_cache = DecoderAttention(cfg, name="attention")(
+            normed, mask, cos, sin, kv_cache, cache_index
+        )
+        hidden = hidden + attn_out
+
+        normed = RMSNorm(cfg.rms_norm_eps, cfg.dtype, cfg.param_dtype, name="post_attention_norm")(hidden)
+        gate = _proj(cfg.intermediate_size, "gate_proj", cfg, ("embed", "mlp"))(normed)
+        up = _proj(cfg.intermediate_size, "up_proj", cfg, ("embed", "mlp"))(normed)
+        down = _proj(cfg.hidden_size, "down_proj", cfg, ("mlp", "embed"))(nn.silu(gate) * up)
+        return hidden + down, new_cache
+
+
+class Decoder(nn.Module):
+    cfg: DecoderConfig
+
+    def init_kv_cache(self, batch_size: int, max_len: int, dtype=None) -> dict:
+        cfg = self.cfg
+        dtype = dtype or cfg.dtype
+        shape = (batch_size, max_len, cfg.kv_heads, cfg.head_dim)
+        return {
+            f"layer_{i}": {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+            for i in range(cfg.num_layers)
+        }
+
+    @nn.compact
+    def __call__(
+        self,
+        input_ids,
+        attention_mask=None,
+        positions=None,
+        kv_cache: Optional[dict] = None,
+        cache_index: Any = None,
+        return_hidden: bool = False,
+    ):
+        """Full-sequence: logits (B, S, V). With kv_cache: (logits, new_cache).
+
+        ``attention_mask``: (B, S) for full-sequence; (B, max_len) over key
+        positions when decoding with a cache.
+        """
+        cfg = self.cfg
+        B, S = input_ids.shape
+        if positions is None:
+            if kv_cache is not None:
+                positions = jnp.full((B, S), cache_index, dtype=jnp.int32) + jnp.arange(S)[None, :]
+            elif attention_mask is not None:
+                # Left-padding-safe positions: cumsum over the mask.
+                positions = jnp.clip(jnp.cumsum(attention_mask, axis=1) - 1, min=0)
+            else:
+                positions = jnp.broadcast_to(jnp.arange(S)[None, :], (B, S))
+
+        hidden = nn.Embed(
+            cfg.vocab_size, cfg.hidden_size, name="embed_tokens",
+            dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+            embedding_init=nn.with_logical_partitioning(
+                nn.initializers.normal(0.02), ("vocab", "embed")
+            ),
+        )(input_ids)
+
+        cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta, cfg.dtype)
+
+        if kv_cache is not None:
+            # Cached decode: causality is over cache *slots*, not rope
+            # positions (with left padding the semantic position lags the
+            # slot index). ``attention_mask`` marks valid slots.
+            key_len = kv_cache["layer_0"]["k"].shape[1]
+            key_slot = jnp.arange(key_len)[None, None, None, :]
+            q_slot = (cache_index + jnp.arange(S))[None, None, :, None]
+            mask = key_slot <= q_slot
+            if attention_mask is not None:
+                mask = mask & (attention_mask[:, None, None, :] > 0)
+        else:
+            q_pos = positions[:, None, :, None]
+            k_pos = positions[:, None, None, :]
+            mask = k_pos <= q_pos
+            if attention_mask is not None:
+                mask = mask & (attention_mask[:, None, None, :] > 0)
+
+        new_cache = {} if kv_cache is not None else None
+        for i in range(cfg.num_layers):
+            layer_cache = kv_cache[f"layer_{i}"] if kv_cache is not None else None
+            hidden, layer_new = DecoderLayer(cfg, name=f"layer_{i}")(
+                hidden, mask, cos, sin, layer_cache, cache_index
+            )
+            if new_cache is not None:
+                new_cache[f"layer_{i}"] = layer_new
+
+        hidden = RMSNorm(cfg.rms_norm_eps, cfg.dtype, cfg.param_dtype, name="final_norm")(hidden)
+        if return_hidden:
+            return hidden
+
+        if cfg.tie_embeddings:
+            embed = self.variables["params"]["embed_tokens"]["embedding"]
+            from flax.core import meta
+            if isinstance(embed, meta.Partitioned):
+                embed = embed.value
+            logits = hidden @ embed.astype(cfg.dtype).T
+        else:
+            logits = _proj(cfg.vocab_size, "lm_head", cfg, ("embed", "vocab"))(hidden)
+
+        if kv_cache is not None:
+            return logits, new_cache
+        return logits

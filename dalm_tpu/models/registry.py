@@ -1,0 +1,141 @@
+"""Model resolution + save/load of final artifacts.
+
+The reference resolves models by HF hub name (`AutoModel.from_pretrained`).
+Here a model spec is one of:
+- a registered config name ("tiny", "bge-small", "bge-large",
+  "tiny-decoder", "llama2-7b") → fresh random init;
+- a directory previously written by :func:`save_pretrained` (our native
+  format: ``config.json`` + ``params.msgpack``);
+- a directory holding an HF torch checkpoint → converted through
+  ``dalm_tpu.models.hf_loader``.
+
+Final-artifact layout matches the reference's
+(`train_rage2e.py:508-524`): ``{output_dir}/retriever`` and
+``{output_dir}/generator``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+
+from dalm_tpu.models.decoder import Decoder, DecoderConfig
+from dalm_tpu.models.encoder import Encoder, EncoderConfig
+
+ENCODER_PRESETS = {
+    "tiny": EncoderConfig.tiny,
+    "bge-small": EncoderConfig.bge_small,
+    "bge-large": EncoderConfig.bge_large,
+}
+
+DECODER_PRESETS = {
+    "tiny": DecoderConfig.tiny,
+    "tiny-decoder": DecoderConfig.tiny,
+    "llama2-7b": DecoderConfig.llama2_7b,
+}
+
+_DTYPE_NAMES = {jnp.float32: "float32", jnp.bfloat16: "bfloat16", jnp.float16: "float16"}
+
+
+def _config_to_json(cfg) -> dict:
+    out = {"__class__": type(cfg).__name__}
+    for f in dataclasses.fields(cfg):
+        v = getattr(cfg, f.name)
+        if f.name in ("dtype", "param_dtype"):
+            v = jnp.dtype(v).name
+        out[f.name] = v
+    return out
+
+
+def _config_from_json(d: dict):
+    d = dict(d)
+    cls_name = d.pop("__class__")
+    cls = {"EncoderConfig": EncoderConfig, "DecoderConfig": DecoderConfig}[cls_name]
+    field_names = {f.name for f in dataclasses.fields(cls)}
+    d = {k: v for k, v in d.items() if k in field_names}  # drop extra metadata
+    for k in ("dtype", "param_dtype"):
+        if k in d:
+            d[k] = jnp.dtype(d[k])
+    return cls(**d)
+
+
+def save_pretrained(output_dir: str, config, params: Any, extra: Optional[dict] = None) -> None:
+    """Write ``config.json`` + ``params.msgpack`` (+ metadata)."""
+    os.makedirs(output_dir, exist_ok=True)
+    params = jax.tree.map(np.asarray, params)
+    with open(os.path.join(output_dir, "config.json"), "w") as f:
+        json.dump({**_config_to_json(config), **(extra or {})}, f, indent=2)
+    with open(os.path.join(output_dir, "params.msgpack"), "wb") as f:
+        f.write(serialization.msgpack_serialize(params))
+
+
+def load_pretrained(path: str) -> Tuple[Any, Any]:
+    """Read a :func:`save_pretrained` dir → (config, params)."""
+    with open(os.path.join(path, "config.json")) as f:
+        cfg = _config_from_json({k: v for k, v in json.load(f).items()})
+    with open(os.path.join(path, "params.msgpack"), "rb") as f:
+        params = serialization.msgpack_restore(f.read())
+    return cfg, params
+
+
+def _is_native_dir(path: str) -> bool:
+    return os.path.isdir(path) and os.path.exists(os.path.join(path, "params.msgpack"))
+
+
+def _is_hf_dir(path: str) -> bool:
+    return os.path.isdir(path) and (
+        os.path.exists(os.path.join(path, "pytorch_model.bin"))
+        or os.path.exists(os.path.join(path, "model.safetensors"))
+    )
+
+
+def resolve_encoder(
+    spec: str, dtype=None, vocab_size: Optional[int] = None
+) -> Tuple[EncoderConfig, Optional[Any]]:
+    """Model spec → (config, params-or-None). None = caller random-inits."""
+    if spec in ENCODER_PRESETS:
+        cfg = ENCODER_PRESETS[spec]()
+        if vocab_size is not None:
+            cfg = dataclasses.replace(cfg, vocab_size=vocab_size)
+        if dtype is not None:
+            cfg = dataclasses.replace(cfg, dtype=dtype)
+        return cfg, None
+    if _is_native_dir(spec):
+        cfg, params = load_pretrained(spec)
+        if dtype is not None:
+            cfg = dataclasses.replace(cfg, dtype=dtype)
+        return cfg, params
+    if _is_hf_dir(spec):
+        from dalm_tpu.models.hf_loader import load_hf_encoder
+
+        return load_hf_encoder(spec, dtype=dtype)
+    raise ValueError(f"unknown encoder spec {spec!r}")
+
+
+def resolve_decoder(
+    spec: str, dtype=None, vocab_size: Optional[int] = None
+) -> Tuple[DecoderConfig, Optional[Any]]:
+    if spec in DECODER_PRESETS:
+        cfg = DECODER_PRESETS[spec]()
+        if vocab_size is not None:
+            cfg = dataclasses.replace(cfg, vocab_size=vocab_size)
+        if dtype is not None:
+            cfg = dataclasses.replace(cfg, dtype=dtype)
+        return cfg, None
+    if _is_native_dir(spec):
+        cfg, params = load_pretrained(spec)
+        if dtype is not None:
+            cfg = dataclasses.replace(cfg, dtype=dtype)
+        return cfg, params
+    if _is_hf_dir(spec):
+        from dalm_tpu.models.hf_loader import load_hf_decoder
+
+        return load_hf_decoder(spec, dtype=dtype)
+    raise ValueError(f"unknown decoder spec {spec!r}")

@@ -1,0 +1,345 @@
+"""RAG-end2end joint training — the flagship path.
+
+Twin of `/root/reference/dalm/training/rag_e2e/train_rage2e.py`
+(`train_e2e`, :229-576): retriever + generator trained jointly with
+``loss = symmetric NT-Xent + marginalized causal CE`` (:441-467), the
+marginalization using only the positive (diagonal) passage score (known
+reference behavior, :461-462).
+
+TPU-native differences (SURVEY.md §7):
+- retriever fwd ×2, similarity matmul, generator fwd, both losses, and
+  the optimizer update are ONE compiled XLA program per step — the
+  reference's per-sample Python loop in the marginalized loss
+  (`train_utils.py:127-132`) is a vectorized mask;
+- parallelism is mesh-declarative: batch over ``data`` (DP; gradient
+  psum fused into backward), generator TP over ``model`` when sized so;
+- in-batch negatives are per-global-batch here (the full Q@Pᵀ under
+  pjit). Parity note (SURVEY.md §2.4): the reference's negatives are
+  per-DDP-process; ``local_negatives=True`` restores per-data-shard
+  semantics via shard_map when exact loss-scale parity matters;
+- Orbax checkpoints: combined train state at step_k/epoch_e, final
+  artifacts split into ``{output_dir}/retriever`` and
+  ``{output_dir}/generator`` (`train_rage2e.py:508-524`).
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+import os
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from datasets import Dataset
+
+from dalm_tpu.core.dtypes import parse_dtype
+from dalm_tpu.core.mesh import MeshConfig, batch_sharding, make_mesh, put_batch, replicated, unbox
+from dalm_tpu.data.loading import load_dataset
+from dalm_tpu.data.preprocess import preprocess_rag_e2e_dataset
+from dalm_tpu.data.tokenizer import resolve_tokenizer
+from dalm_tpu.losses.contrastive import contrastive_loss
+from dalm_tpu.losses.marginalized import marginalized_nll_loss
+from dalm_tpu.models.rag import Mode, RagE2EModel
+from dalm_tpu.models.registry import resolve_decoder, resolve_encoder, save_pretrained
+from dalm_tpu.train import checkpoints as ckpt
+from dalm_tpu.train.data_iter import epoch_batches, num_batches_per_epoch
+from dalm_tpu.train.metrics import MetricsLogger, StepTimer
+from dalm_tpu.train.optim import make_optimizer
+from dalm_tpu.train.state import TrainState
+
+logger = logging.getLogger(__name__)
+
+BATCH_COLUMNS = (
+    "retriever_query_input_ids",
+    "retriever_query_attention_mask",
+    "retriever_passage_input_ids",
+    "retriever_passage_attention_mask",
+    "generator_input_input_ids",
+    "generator_input_attention_mask",
+    "query_passage_input_len",
+)
+
+
+def train_e2e(
+    dataset_or_path: Union[str, Dataset],
+    retriever_name_or_path: str,
+    generator_name_or_path: str,
+    passage_column_name: str = "Abstract",
+    query_column_name: str = "Question",
+    answer_column_name: str = "Answer",
+    query_max_len: int = 50,
+    passage_max_len: int = 128,
+    generator_max_len: int = 256,
+    per_device_train_batch_size: int = 32,
+    learning_rate: float = 1e-4,
+    logit_scale: int = 100,
+    weight_decay: float = 0.0,
+    num_train_epochs: int = 1,
+    max_train_steps: Optional[int] = None,
+    gradient_accumulation_steps: int = 1,
+    lr_scheduler_type: str = "linear",
+    num_warmup_steps: int = 100,
+    output_dir: Optional[str] = None,
+    seed: int = 42,
+    hub_model_id: Optional[str] = None,  # accepted, unused — parity
+    hub_token: Optional[str] = None,  # accepted, unused — parity
+    checkpointing_steps: Optional[Union[int, str]] = None,
+    resume_from_checkpoint: Optional[str] = None,
+    with_tracking: bool = True,
+    report_to: str = "all",
+    sanity_test: bool = True,
+    use_peft: Optional[Union[Mode, str]] = None,
+    use_bnb: Optional[Union[Mode, str]] = None,
+    retriever_is_autoregressive: bool = False,
+    # --- TPU-native extensions ---
+    retriever_tokenizer: str = "byte",
+    generator_tokenizer: str = "byte",
+    dtype: Optional[str] = None,
+    mesh: Optional[object] = None,
+    model_parallel: int = 1,
+    use_dropout: bool = False,
+) -> dict:
+    """Returns {"final_loss", "steps", "samples_per_sec", ...}."""
+    args = {
+        k: v for k, v in locals().items()
+        if v is None or isinstance(v, (float, int, str, bool))
+    }
+    peft_mode = Mode(use_peft) if use_peft is not None else None
+    quant_mode = Mode(use_bnb) if use_bnb is not None else None
+
+    if mesh is None:
+        mesh = make_mesh(MeshConfig(model=model_parallel))
+    global_batch = per_device_train_batch_size * mesh.shape["data"]
+
+    r_tok = resolve_tokenizer(retriever_tokenizer, add_eos_token=retriever_is_autoregressive)
+    if retriever_is_autoregressive:
+        r_tok.padding_side = "left"
+    g_tok = resolve_tokenizer(generator_tokenizer)
+
+    compute_dtype = parse_dtype(dtype) if dtype else None
+    vocab_r = -(-r_tok.vocab_size // 128) * 128
+    vocab_g = -(-g_tok.vocab_size // 128) * 128
+    if retriever_is_autoregressive:
+        r_cfg, r_params = resolve_decoder(retriever_name_or_path, dtype=compute_dtype, vocab_size=vocab_r)
+    else:
+        r_cfg, r_params = resolve_encoder(retriever_name_or_path, dtype=compute_dtype, vocab_size=vocab_r)
+    g_cfg, g_params = resolve_decoder(generator_name_or_path, dtype=compute_dtype, vocab_size=vocab_g)
+
+    rag = RagE2EModel(r_cfg, g_cfg, retriever_is_autoregressive=retriever_is_autoregressive)
+
+    dataset = load_dataset(dataset_or_path)
+    processed = dataset.map(
+        lambda ex: preprocess_rag_e2e_dataset(
+            ex, r_tok, g_tok,
+            query_column_name, passage_column_name, answer_column_name,
+            query_max_len, passage_max_len, generator_max_len,
+        ),
+        batched=True,
+        remove_columns=dataset.column_names,
+        desc="tokenize",
+    )
+
+    steps_per_epoch = math.ceil(
+        num_batches_per_epoch(len(processed), global_batch) / gradient_accumulation_steps
+    )
+    if max_train_steps is None:
+        max_train_steps = num_train_epochs * steps_per_epoch
+    else:
+        num_train_epochs = math.ceil(max_train_steps / steps_per_epoch)
+
+    tx = make_optimizer(
+        learning_rate=learning_rate,
+        lr_scheduler_type=str(lr_scheduler_type),
+        num_warmup_steps=num_warmup_steps,
+        total_steps=max_train_steps,
+        weight_decay=weight_decay,
+        gradient_accumulation_steps=gradient_accumulation_steps,
+    )
+
+    rng = jax.random.PRNGKey(seed)
+    init_rng, dropout_rng = jax.random.split(rng)
+    full_params = rag.init_params(init_rng, query_len=query_max_len, gen_len=generator_max_len)
+    if r_params is not None:
+        full_params["retriever"] = r_params
+    if g_params is not None:
+        full_params["generator"] = g_params
+    full_params = unbox(full_params)
+
+    # Mode-gated LoRA (`rag_e2e_base_model.py:61-80`): adapters on the
+    # sub-models named by `use_peft`; the rest of the tree trains densely
+    # ... unless quantized frozen. To match the reference (PEFT wraps →
+    # only adapters train on peft'd submodels), the trainable tree is:
+    #   - lora params for peft'd submodels
+    #   - full params for non-peft'd submodels
+    lora_specs: dict = {}
+    base_frozen: dict = {}
+    trainable: dict = {}
+    from dalm_tpu.models import lora as lora_mod
+
+    for sub in ("retriever", "generator"):
+        peft_on = peft_mode in (Mode.BOTH, Mode.RETRIEVER if sub == "retriever" else Mode.GENERATOR)
+        if peft_on:
+            is_clm = sub == "generator" or retriever_is_autoregressive
+            spec = lora_mod.LoraSpec.for_causal_lm() if is_clm else lora_mod.LoraSpec.for_encoder()
+            lora_specs[sub] = spec
+            base_frozen[sub] = full_params[sub]
+            trainable[sub] = lora_mod.init_lora_params(
+                jax.random.fold_in(init_rng, 13 if sub == "retriever" else 17),
+                full_params[sub],
+                spec,
+            )
+        else:
+            trainable[sub] = full_params[sub]
+
+    if base_frozen:
+        base_frozen = jax.device_put(base_frozen, replicated(mesh))
+
+    state = TrainState.create(trainable, tx)
+    state = jax.device_put(state, replicated(mesh))
+
+    dropout = use_dropout and getattr(r_cfg, "hidden_dropout", 0.0) > 0
+
+    def effective_params(train_params, step_rng):
+        eff = {}
+        for sub in ("retriever", "generator"):
+            if sub in lora_specs:
+                eff[sub] = lora_mod.merge_lora(
+                    base_frozen[sub], train_params[sub], lora_specs[sub], None
+                )
+            else:
+                eff[sub] = train_params[sub]
+        return eff
+
+    def loss_fn(train_params, batch, step_rng):
+        params = effective_params(train_params, step_rng)
+        d_rng = step_rng if dropout else None
+        q_emb = rag.embed(
+            params, batch["retriever_query_input_ids"], batch["retriever_query_attention_mask"],
+            deterministic=d_rng is None,
+        )
+        p_emb = rag.embed(
+            params, batch["retriever_passage_input_ids"], batch["retriever_passage_attention_mask"],
+            deterministic=d_rng is None,
+        )
+        retriever_loss, sim = contrastive_loss(
+            q_emb.astype(jnp.float32), p_emb.astype(jnp.float32), float(logit_scale)
+        )
+        logits = rag.generate_logits(
+            params, batch["generator_input_input_ids"], batch["generator_input_attention_mask"]
+        )
+        gen_loss = marginalized_nll_loss(
+            logits,
+            batch["generator_input_input_ids"],
+            batch["generator_input_attention_mask"],
+            sim,
+            batch["query_passage_input_len"],
+        )
+        total = retriever_loss + gen_loss
+        return total, (retriever_loss, gen_loss)
+
+    @jax.jit
+    def train_step(state, batch, step_rng):
+        (loss, (r_loss, g_loss)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, step_rng
+        )
+        new_state = state.apply_gradients(grads)
+        return new_state, loss, r_loss, g_loss
+
+    tracker = MetricsLogger(
+        output_dir, project_name="rag_e2e_training", config=args,
+        report_to=report_to, enabled=with_tracking,
+    )
+    timer = StepTimer()
+
+    start_epoch, skip_batches, completed_steps = 0, 0, 0
+    if resume_from_checkpoint:
+        path = (
+            resume_from_checkpoint
+            if isinstance(resume_from_checkpoint, str) and os.path.isdir(str(resume_from_checkpoint))
+            else ckpt.latest_checkpoint(output_dir or ".")
+        )
+        if path:
+            state = ckpt.load_state(path, ckpt.abstract_like(state))
+            kind, num = ckpt.parse_checkpoint_tag(path)
+            if kind == "epoch":
+                start_epoch = num + 1
+                completed_steps = start_epoch * steps_per_epoch
+            else:
+                completed_steps = num
+                start_epoch = completed_steps // steps_per_epoch
+                skip_batches = (completed_steps % steps_per_epoch) * gradient_accumulation_steps
+            logger.info("resumed from %s (epoch %d, step %d)", path, start_epoch, completed_steps)
+
+    np_rng = np.random.default_rng(seed)
+    checkpoint_every = int(checkpointing_steps) if str(checkpointing_steps).isdigit() else None
+    final = {"loss": float("nan"), "retriever": float("nan"), "generator": float("nan")}
+
+    for epoch in range(start_epoch, num_train_epochs):
+        epoch_rng = np.random.default_rng(np_rng.integers(2**31))
+        total_loss, n_in_epoch = 0.0, 0
+        for batch_np in epoch_batches(
+            processed, BATCH_COLUMNS, global_batch, rng=epoch_rng, skip_batches=skip_batches
+        ):
+            batch = put_batch(batch_np, mesh, np.int32)
+            step_rng = jax.random.fold_in(dropout_rng, int(completed_steps))
+            timer.start()
+            state, loss, r_loss, g_loss = train_step(state, batch, step_rng)
+            final = {"loss": float(loss), "retriever": float(r_loss), "generator": float(g_loss)}
+            timer.stop()
+            total_loss += final["loss"]
+            n_in_epoch += 1
+            completed_steps += 1
+
+            if completed_steps % 100 == 0:
+                logger.info("epoch %d step %d loss %.4f", epoch, completed_steps, final["loss"])
+                tracker.log(
+                    {
+                        "train/loss": final["loss"],
+                        "train/retriever_contrastive_loss": final["retriever"],
+                        "train/generator_marginalized_loss": final["generator"],
+                    },
+                    step=completed_steps,
+                )
+            if checkpoint_every and completed_steps % checkpoint_every == 0 and output_dir:
+                ckpt.save_state(output_dir, f"step_{completed_steps}", state)
+            if completed_steps >= max_train_steps:
+                break
+        skip_batches = 0
+        tracker.log(
+            {"train/epoch_loss": total_loss / max(n_in_epoch, 1), "epoch": epoch},
+            step=completed_steps,
+        )
+        if checkpointing_steps == "epoch" and output_dir:
+            ckpt.save_state(output_dir, f"epoch_{epoch}", state)
+        if completed_steps >= max_train_steps:
+            break
+
+    if output_dir:
+        # Split save (`train_rage2e.py:508-524`): retriever/ and generator/.
+        for sub, cfg, tok_name in (
+            ("retriever", r_cfg, retriever_tokenizer),
+            ("generator", g_cfg, generator_tokenizer),
+        ):
+            sub_dir = os.path.join(output_dir, sub)
+            if sub in lora_specs:
+                save_pretrained(
+                    sub_dir, cfg, jax.device_get(base_frozen[sub]),
+                    extra={"tokenizer": tok_name},
+                )
+                lora_mod.save_adapter(sub_dir, jax.device_get(state.params[sub]), lora_specs[sub])
+            else:
+                save_pretrained(
+                    sub_dir, cfg, jax.device_get(state.params[sub]),
+                    extra={"tokenizer": tok_name},
+                )
+    tracker.close()
+    return {
+        "final_loss": final["loss"],
+        "final_retriever_loss": final["retriever"],
+        "final_generator_loss": final["generator"],
+        "steps": completed_steps,
+        "samples_per_sec": timer.samples_per_sec(global_batch),
+        "avg_step_time": timer.avg,
+    }
