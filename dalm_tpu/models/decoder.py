@@ -41,6 +41,7 @@ class DecoderConfig:
     rope_theta: float = 10000.0
     rms_norm_eps: float = 1e-5
     tie_embeddings: bool = False
+    remat: bool = False  # jax.checkpoint each layer (FLOPs for HBM)
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -194,6 +195,8 @@ class Decoder(nn.Module):
         kv_cache: Optional[dict] = None,
         cache_index: Any = None,
         return_hidden: bool = False,
+        neftune_alpha: float = 0.0,
+        noise_rng: Optional[jax.Array] = None,
     ):
         """Full-sequence: logits (B, S, V). With kv_cache: (logits, new_cache).
 
@@ -219,6 +222,18 @@ class Decoder(nn.Module):
             ),
         )(input_ids)
 
+        if neftune_alpha > 0.0 and noise_rng is not None:
+            # NEFTune (generator SFT, reference `generator_only/trainer.py:219`
+            # neftune_noise_alpha=5): uniform noise on the token embeddings
+            # scaled by alpha / sqrt(S * H).
+            scale = neftune_alpha / jnp.sqrt(
+                jnp.asarray(S * cfg.hidden_size, jnp.float32)
+            )
+            noise = jax.random.uniform(
+                noise_rng, hidden.shape, jnp.float32, minval=-1.0, maxval=1.0
+            )
+            hidden = hidden + (noise * scale).astype(hidden.dtype)
+
         cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta, cfg.dtype)
 
         if kv_cache is not None:
@@ -238,10 +253,14 @@ class Decoder(nn.Module):
             if attention_mask is not None:
                 mask = mask & (attention_mask[:, None, None, :] > 0)
 
+        layer_cls = DecoderLayer
+        if cfg.remat and kv_cache is None:
+            layer_cls = nn.remat(DecoderLayer, static_argnums=())
+
         new_cache = {} if kv_cache is not None else None
         for i in range(cfg.num_layers):
             layer_cache = kv_cache[f"layer_{i}"] if kv_cache is not None else None
-            hidden, layer_new = DecoderLayer(cfg, name=f"layer_{i}")(
+            hidden, layer_new = layer_cls(cfg, name=f"layer_{i}")(
                 hidden, mask, cos, sin, layer_cache, cache_index
             )
             if new_cache is not None:

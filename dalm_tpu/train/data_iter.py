@@ -25,7 +25,12 @@ def epoch_batches(
     shuffle: bool = True,
     drop_last: bool = False,
     skip_batches: int = 0,
+    multiple_of: int = 1,
 ) -> Iterator[dict]:
+    """``multiple_of``: every yielded batch size is a multiple of this (the
+    mesh's data-shard count) — a trailing remainder smaller than it is
+    dropped (logged by the caller). The reference's torch DataLoader keeps
+    any remainder; under SPMD the batch axis must divide evenly."""
     n = len(dataset)
     order = np.arange(n)
     if shuffle:
@@ -36,6 +41,10 @@ def epoch_batches(
         if b < skip_batches:
             continue
         idx = order[b * batch_size : (b + 1) * batch_size]
+        if multiple_of > 1 and len(idx) % multiple_of:
+            idx = idx[: (len(idx) // multiple_of) * multiple_of]
+            if len(idx) == 0:
+                continue
         yield {c: table[c][idx] for c in columns}
 
 

@@ -1,0 +1,257 @@
+"""Generator-only supervised fine-tuning (SFT).
+
+Twin of `/root/reference/dalm/training/generator_only/trainer.py`
+(`train_generator`, :140-265) — the reference wraps TRL's ``SFTTrainer``;
+here the whole trainer is first-party JAX:
+
+- chatml formatting of ``messages`` datasets + EOS-joined packing into
+  fixed ``seq_length`` blocks (static shapes; TRL ``packing=True``);
+- NEFTune noisy embeddings (α=5 default, `trainer.py:219`) inside the
+  jitted step;
+- LoRA r=256 α=512 on q_proj/v_proj with frozen base (`:190-197`;
+  bitsandbytes-4bit base becomes bf16-or-quantized per dtype policy);
+- AdamW (weight_decay 0.05) + cosine schedule w/ warmup (`:205-221` —
+  ``paged_adamw_32bit`` is a CUDA memory-paging detail with no TPU
+  meaning; optimizer math is AdamW);
+- periodic validation loss every ``eval_steps`` (`evaluation_strategy=
+  steps`), save per epoch + ``final_checkpoint`` (`:263-265`);
+- gradient checkpointing via per-layer ``jax.remat``
+  (`gradient_checkpointing=True` default).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import math
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dalm_tpu.core.dtypes import parse_dtype
+from dalm_tpu.core.mesh import MeshConfig, make_mesh, put_batch, replicated, unbox
+from dalm_tpu.data.sft import chars_token_ratio, create_datasets, pack_dataset, prepare_sample_text
+from dalm_tpu.data.tokenizer import resolve_tokenizer
+from dalm_tpu.losses.causal import causal_lm_loss
+from dalm_tpu.models.decoder import Decoder
+from dalm_tpu.models.registry import resolve_decoder, save_pretrained
+from dalm_tpu.train.metrics import MetricsLogger, StepTimer
+from dalm_tpu.train.optim import make_optimizer
+from dalm_tpu.train.state import TrainState
+
+logger = logging.getLogger(__name__)
+
+
+def train_generator(
+    model_name: str,
+    dataset_name: str,
+    local_dataset: bool = True,
+    run_name: str = "generator_finetuning",
+    output_dir: str = "./generator_finetuned_model",
+    log_with: Optional[str] = None,
+    size_valid_set: Optional[int] = None,
+    validation_split: Optional[float] = 0.05,
+    shuffle_buffer: Optional[int] = None,
+    num_train_epochs: int = 1,
+    split: str = "train",
+    streaming: bool = False,
+    seq_length: int = 2600,
+    num_workers: int = 4,
+    eval_steps: int = 200,
+    logging_steps: int = 10,
+    per_device_train_batch_size: int = 1,
+    per_device_eval_batch_size: int = 1,
+    gradient_accumulation_steps: int = 1,
+    gradient_checkpointing: bool = True,
+    group_by_length: bool = False,  # accepted for parity; packing makes it moot
+    packing: bool = True,
+    lora_alpha: float = 512,
+    lora_dropout: float = 0.05,
+    lora_r: int = 256,
+    learning_rate: float = 1e-4,
+    lr_scheduler_type: str = "cosine",
+    num_warmup_steps: int = 100,
+    weight_decay: float = 0.05,
+    optimizer_type: str = "adamw",  # paged_adamw_32bit → adamw on TPU
+    neftune_noise_alpha: float = 5,
+    # --- TPU-native extensions ---
+    tokenizer: str = "byte",
+    dtype: Optional[str] = None,
+    mesh=None,
+    use_peft: bool = True,
+    seed: int = 42,
+    max_train_blocks: Optional[int] = None,
+) -> dict:
+    args = {
+        k: v for k, v in locals().items()
+        if v is None or isinstance(v, (float, int, str, bool))
+    }
+    if mesh is None:
+        mesh = make_mesh(MeshConfig())
+    global_batch = per_device_train_batch_size * mesh.shape["data"]
+
+    tok = resolve_tokenizer(tokenizer)
+    tok.padding_side = "right"  # reference `trainer.py:175`
+
+    compute_dtype = parse_dtype(dtype) if dtype else None
+    vocab = -(-tok.vocab_size // 128) * 128
+    cfg, init_params = resolve_decoder(model_name, dtype=compute_dtype, vocab_size=vocab)
+    if gradient_checkpointing:
+        cfg = dataclasses.replace(cfg, remat=True)
+    model = Decoder(cfg)
+
+    train_data, valid_data = create_datasets(
+        dataset_name, split=split, validation_split=validation_split,
+        size_valid_set=size_valid_set, streaming=streaming,
+        shuffle_buffer=shuffle_buffer, num_workers=num_workers,
+        local_dataset=local_dataset,
+    )
+    ratio = chars_token_ratio(train_data, tok)
+    logger.info("chars/token ratio: %.2f", ratio)
+
+    if not packing:
+        raise NotImplementedError(
+            "packing=False (per-sample padding) is not implemented; the "
+            "reference default is packing=True"
+        )
+    train_blocks = pack_dataset(train_data, tok, seq_length, max_blocks=max_train_blocks)
+    valid_blocks = pack_dataset(valid_data, tok, seq_length, max_blocks=256)
+    if len(train_blocks) == 0:
+        raise ValueError(f"dataset packs to zero {seq_length}-token blocks")
+    logger.info("packed %d train / %d valid blocks of %d tokens", len(train_blocks), len(valid_blocks), seq_length)
+
+    steps_per_epoch = math.ceil(len(train_blocks) / global_batch / gradient_accumulation_steps)
+    total_steps = steps_per_epoch * num_train_epochs
+
+    tx = make_optimizer(
+        learning_rate=learning_rate,
+        lr_scheduler_type=lr_scheduler_type,
+        num_warmup_steps=num_warmup_steps,
+        total_steps=total_steps,
+        weight_decay=weight_decay,
+        gradient_accumulation_steps=gradient_accumulation_steps,
+    )
+
+    rng = jax.random.PRNGKey(seed)
+    init_rng, noise_rng = jax.random.split(rng)
+    if init_params is None:
+        ids = jnp.zeros((1, min(seq_length, 64)), jnp.int32)
+        init_params = model.init(init_rng, ids, jnp.ones_like(ids))["params"]
+    init_params = unbox(init_params)
+
+    lora_spec = None
+    base_params = None
+    if use_peft:
+        from dalm_tpu.models import lora as lora_mod
+
+        lora_spec = lora_mod.LoraSpec(
+            rank=lora_r, alpha=lora_alpha, dropout=lora_dropout,
+            target_modules=lora_mod.CAUSAL_LM_TARGETS,
+        )
+        base_params = jax.device_put(init_params, replicated(mesh))
+        trainable = lora_mod.init_lora_params(jax.random.fold_in(init_rng, 3), init_params, lora_spec)
+    else:
+        trainable = init_params
+
+    state = TrainState.create(trainable, tx)
+    state = jax.device_put(state, replicated(mesh))
+
+    def effective(params):
+        if not use_peft:
+            return params
+        from dalm_tpu.models import lora as lora_mod
+
+        return lora_mod.merge_lora(base_params, params, lora_spec, None)
+
+    def loss_fn(params, batch, step_rng):
+        logits = model.apply(
+            {"params": effective(params)},
+            batch["input_ids"],
+            jnp.ones_like(batch["input_ids"]),
+            neftune_alpha=float(neftune_noise_alpha),
+            noise_rng=step_rng,
+        )
+        return causal_lm_loss(logits, batch["input_ids"])
+
+    @jax.jit
+    def train_step(state, batch, step_rng):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, step_rng)
+        return state.apply_gradients(grads), loss
+
+    @jax.jit
+    def eval_step(params, batch):
+        logits = model.apply(
+            {"params": effective(params)}, batch["input_ids"], jnp.ones_like(batch["input_ids"])
+        )
+        return causal_lm_loss(logits, batch["input_ids"])
+
+    def run_validation(params):
+        if len(valid_blocks) == 0:
+            return float("nan")
+        losses = []
+        ebs = per_device_eval_batch_size * mesh.shape["data"]
+        for s in range(0, len(valid_blocks) - ebs + 1, ebs):
+            batch = put_batch({"input_ids": valid_blocks[s : s + ebs]}, mesh, np.int32)
+            losses.append(float(eval_step(params, batch)))
+        return float(np.mean(losses)) if losses else float("nan")
+
+    tracker = MetricsLogger(
+        output_dir, project_name=run_name, config=args,
+        report_to=log_with or "all", enabled=log_with is not None or output_dir is not None,
+    )
+    timer = StepTimer()
+
+    np_rng = np.random.default_rng(seed)
+    completed = 0
+    final_loss = float("nan")
+    for epoch in range(num_train_epochs):
+        order = np_rng.permutation(len(train_blocks))
+        shards = mesh.shape["data"]
+        for s in range(0, len(train_blocks), global_batch):
+            idx = order[s : s + global_batch]
+            if len(idx) % shards:
+                idx = idx[: (len(idx) // shards) * shards]
+                if len(idx) == 0:
+                    continue
+            batch = put_batch({"input_ids": train_blocks[idx]}, mesh, np.int32)
+            step_rng = jax.random.fold_in(noise_rng, completed)
+            timer.start()
+            state, loss = train_step(state, batch, step_rng)
+            final_loss = float(loss)
+            timer.stop()
+            completed += 1
+            if completed % logging_steps == 0:
+                tracker.log({"train/loss": final_loss}, step=completed)
+            if eval_steps and completed % eval_steps == 0:
+                val = run_validation(state.params)
+                tracker.log({"eval/loss": val}, step=completed)
+                logger.info("step %d eval loss %.4f", completed, val)
+        # save per epoch (reference save_strategy="epoch")
+        if output_dir:
+            _save(output_dir, cfg, state, base_params, lora_spec, tok, tokenizer, use_peft)
+
+    if output_dir:
+        final_dir = os.path.join(output_dir, "final_checkpoint")
+        _save(final_dir, cfg, state, base_params, lora_spec, tok, tokenizer, use_peft)
+    tracker.close()
+    val = run_validation(state.params)
+    return {
+        "final_loss": final_loss,
+        "eval_loss": val,
+        "steps": completed,
+        "samples_per_sec": timer.samples_per_sec(global_batch),
+        "chars_per_token": ratio,
+    }
+
+
+def _save(out_dir, cfg, state, base_params, lora_spec, tok, tokenizer_name, use_peft):
+    if use_peft:
+        from dalm_tpu.models import lora as lora_mod
+
+        save_pretrained(out_dir, cfg, jax.device_get(base_params), extra={"tokenizer": tokenizer_name})
+        lora_mod.save_adapter(out_dir, jax.device_get(state.params), lora_spec)
+    else:
+        save_pretrained(out_dir, cfg, jax.device_get(state.params), extra={"tokenizer": tokenizer_name})

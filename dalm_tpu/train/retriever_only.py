@@ -232,7 +232,8 @@ def train_retriever(
         total_loss = 0.0
         n_in_epoch = 0
         for batch_np in epoch_batches(
-            processed, BATCH_COLUMNS, global_batch, rng=epoch_rng, skip_batches=skip_batches
+            processed, BATCH_COLUMNS, global_batch, rng=epoch_rng, skip_batches=skip_batches,
+            multiple_of=mesh.shape["data"],
         ):
             batch = put_batch(batch_np, mesh, np.int32)
             step_rng = jax.random.fold_in(dropout_rng, int(completed_steps))
