@@ -74,16 +74,18 @@ def main() -> None:
         np.int32,
     )
 
-    # Warmup / compile
+    # Warmup / compile. NOTE: sync via scalar host readback (float(loss)),
+    # not block_until_ready — some PJRT transports ack readiness before
+    # execution finishes; a host transfer cannot lie.
     for _ in range(3):
         state, loss = train_step(state, batch)
-    jax.block_until_ready(loss)
+    _ = float(loss)
 
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
         state, loss = train_step(state, batch)
-    jax.block_until_ready(loss)
+    _ = float(loss)
     dt = time.perf_counter() - t0
 
     samples_per_sec = batch_size * iters / dt

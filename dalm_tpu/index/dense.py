@@ -126,7 +126,8 @@ class ShardedDenseIndex:
             if use_pallas:
                 from dalm_tpu.kernels.topk import fused_dot_topk
 
-                s, i = fused_dot_topk(q, emb_shard, k)
+                local_valid = jnp.clip(num_real - row_offset, 0, per_shard)
+                s, i = fused_dot_topk(q, emb_shard, min(k, per_shard), num_valid=local_valid)
             else:
                 scores = jax.lax.dot_general(
                     q, emb_shard,

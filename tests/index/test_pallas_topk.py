@@ -1,0 +1,52 @@
+"""Pallas fused dot+top-k kernel vs oracle (interpret mode on CPU;
+property test per SURVEY.md §4 implication: 'property-test the top-k
+kernel vs jax.lax.top_k')."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dalm_tpu.kernels.topk import fused_dot_topk
+
+
+def _oracle(queries, embs, k):
+    full = queries @ embs.T
+    ids = np.argsort(-full, axis=1, kind="stable")[:, :k]
+    return np.take_along_axis(full, ids, axis=1), ids
+
+
+@pytest.mark.parametrize("n_valid,rows,block", [(1000, 1024, 256), (512, 512, 512), (100, 128, 64)])
+def test_matches_oracle(n_valid, rows, block):
+    rng = np.random.default_rng(rows)
+    D, Q, K = 128, 8, 10
+    embs = rng.normal(size=(rows, D)).astype(np.float32)
+    queries = rng.normal(size=(Q, D)).astype(np.float32)
+    s, i = fused_dot_topk(
+        jnp.asarray(queries), jnp.asarray(embs), K,
+        num_valid=n_valid, block_rows=block, interpret=True,
+    )
+    o_scores, o_ids = _oracle(queries, embs[:n_valid], K)
+    np.testing.assert_allclose(np.asarray(s), o_scores, rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i), o_ids)
+
+
+def test_ties_break_to_smaller_id():
+    # identical rows → scores tie; smaller id must win (stable order)
+    embs = np.ones((64, 16), np.float32)
+    queries = np.ones((2, 16), np.float32)
+    s, i = fused_dot_topk(jnp.asarray(queries), jnp.asarray(embs), 5, block_rows=32, interpret=True)
+    np.testing.assert_array_equal(np.asarray(i), np.tile(np.arange(5), (2, 1)))
+
+
+def test_matches_lax_topk_property():
+    rng = np.random.default_rng(7)
+    for _ in range(3):
+        rows = int(rng.integers(64, 512) // 8 * 8)
+        D = 128
+        embs = rng.normal(size=(rows, D)).astype(np.float32)
+        queries = rng.normal(size=(4, D)).astype(np.float32)
+        k = int(rng.integers(1, 16))
+        s, _ = fused_dot_topk(jnp.asarray(queries), jnp.asarray(embs), k, block_rows=128, interpret=True)
+        ref_s, _ = jax.lax.top_k(jnp.asarray(queries @ embs.T), k)
+        np.testing.assert_allclose(np.asarray(s), np.asarray(ref_s), rtol=1e-5)
