@@ -1,0 +1,210 @@
+"""``dalm`` command-line interface.
+
+Twin of `/root/reference/dalm/cli.py` (typer app, 6 commands:
+``version``, ``train-rag-e2e``, ``train-retriever-only``, ``qa-gen``,
+``eval-rag``, ``eval-retriever``), built on click (typer isn't in this
+image; click provides the same dash-separated commands/options).
+
+Flag names mirror the reference's. TPU-native extras every command
+accepts: ``--tokenizer`` (byte | local HF path), ``--model-parallel``
+(mesh TP width), ``--dtype``.
+
+The reference's broken ``qa-gen`` invocation (7 args to an 8-arg
+function, SURVEY.md §7.4) works here — ``--max-input-tokens`` is a real
+option with a default.
+"""
+
+from __future__ import annotations
+
+import click
+
+from dalm_tpu import __version__
+
+
+@click.group()
+def cli() -> None:
+    """Domain-adapted language modeling (TPU-native)."""
+
+
+@cli.command()
+def version() -> None:
+    """Print the current version of dalm-tpu."""
+    click.echo(f"You are running DALM (dalm-tpu) version: {__version__}")
+
+
+def _common_train_options(fn):
+    options = [
+        click.option("--passage-column-name", default="Abstract", show_default=True),
+        click.option("--query-column-name", default="Question", show_default=True),
+        click.option("--query-max-len", default=50, show_default=True),
+        click.option("--passage-max-len", default=128, show_default=True),
+        click.option("--per-device-train-batch-size", default=32, show_default=True),
+        click.option("--learning-rate", default=1e-4, show_default=True),
+        click.option("--logit-scale", default=100, show_default=True),
+        click.option("--weight-decay", default=0.0, show_default=True),
+        click.option("--num-train-epochs", default=1, show_default=True),
+        click.option("--max-train-steps", default=None, type=int),
+        click.option("--gradient-accumulation-steps", default=1, show_default=True),
+        click.option(
+            "--lr-scheduler-type",
+            default="linear",
+            type=click.Choice(
+                ["linear", "cosine", "cosine_with_restarts", "polynomial", "constant", "constant_with_warmup"]
+            ),
+            show_default=True,
+        ),
+        click.option("--output-dir", default=None),
+        click.option("--seed", default=42, show_default=True),
+        click.option("--hub-model-id", default=None, help="[NOT CURRENTLY USED] parity flag"),
+        click.option("--hub-token", default=None, help="[NOT CURRENTLY USED] parity flag"),
+        click.option("--checkpointing-steps", default=None),
+        click.option("--resume-from-checkpoint", default=None),
+        click.option("--with-tracking/--no-with-tracking", default=True, show_default=True),
+        click.option("--report-to", default="all", show_default=True),
+        click.option("--sanity-test/--no-sanity-test", default=True, show_default=True),
+        click.option("--dtype", default=None, help="compute dtype (bfloat16/float32)"),
+        click.option("--model-parallel", default=1, show_default=True, help="mesh TP width"),
+    ]
+    for opt in reversed(options):
+        fn = opt(fn)
+    return fn
+
+
+@cli.command("train-rag-e2e")
+@click.argument("dataset_path")
+@click.argument("retriever_name_or_path")
+@click.argument("generator_name_or_path")
+@_common_train_options
+@click.option("--answer-column-name", default="Answer", show_default=True)
+@click.option("--generator-max-len", default=256, show_default=True)
+@click.option("--num-warmup-steps", default=100, show_default=True)
+@click.option("--use-peft", default=None, type=click.Choice(["retriever", "generator", "both"]))
+@click.option("--use-bnb", default=None, type=click.Choice(["retriever", "generator", "both"]),
+              help="quantize sub-model weights (TPU: int8 weight-only)")
+@click.option("--retriever-is-autoregressive", is_flag=True, default=False)
+@click.option("--retriever-tokenizer", default="byte", show_default=True)
+@click.option("--generator-tokenizer", default="byte", show_default=True)
+def train_rag_e2e_cmd(dataset_path, retriever_name_or_path, generator_name_or_path, **kwargs):
+    """Train a retriever and generator jointly (RAG-e2e)."""
+    from dalm_tpu.train.rag_e2e import train_e2e
+
+    result = train_e2e(
+        dataset_or_path=dataset_path,
+        retriever_name_or_path=retriever_name_or_path,
+        generator_name_or_path=generator_name_or_path,
+        **kwargs,
+    )
+    click.echo(f"train-rag-e2e done: {result}")
+
+
+@cli.command("train-retriever-only")
+@click.argument("retriever_name_or_path")
+@click.argument("dataset_path")
+@_common_train_options
+@click.option("--num-warmup-steps", default=0, show_default=True)
+@click.option("--use-peft/--no-use-peft", default=False, show_default=True)
+@click.option("--use-bnb/--no-use-bnb", default=False, show_default=True)
+@click.option("--is-autoregressive", is_flag=True, default=False)
+@click.option("--tokenizer", default="byte", show_default=True)
+def train_retriever_only_cmd(retriever_name_or_path, dataset_path, **kwargs):
+    """Contrastive fine-tuning of a retriever (in-batch negatives)."""
+    from dalm_tpu.train.retriever_only import train_retriever
+
+    result = train_retriever(
+        retriever_name_or_path=retriever_name_or_path,
+        dataset_or_path=dataset_path,
+        **kwargs,
+    )
+    click.echo(f"train-retriever-only done: {result}")
+
+
+@cli.command("qa-gen")
+@click.argument("dataset_path")
+@click.option("--passage-column-name", default="Abstract", show_default=True)
+@click.option("--title-column-name", default="Title", show_default=True)
+@click.option("--sample-size", default=1000, show_default=True)
+@click.option("--batch-size", default=8, show_default=True)
+@click.option("--output-dir", default="qa_gen_output", show_default=True)
+@click.option("--as-csv/--as-dataset", default=True, show_default=True)
+@click.option("--max-input-tokens", default=512, show_default=True)
+@click.option("--model-spec", default="tiny", show_default=True, help="generator model for question writing")
+@click.option("--tokenizer", default="byte", show_default=True)
+def qa_gen_cmd(dataset_path, **kwargs):
+    """Generate question/answer pairs from a passage dataset."""
+    from dalm_tpu.data.qa_gen import generate_qa_from_disk
+
+    generate_qa_from_disk(dataset_path=dataset_path, **kwargs)
+    click.echo("qa-gen done")
+
+
+def _common_eval_options(fn):
+    options = [
+        click.option("--passage-column-name", default="Abstract", show_default=True),
+        click.option("--query-column-name", default="Question", show_default=True),
+        click.option("--embed-dim", default=None, type=int, help="inferred from the model when omitted"),
+        click.option("--max-length", default=128, show_default=True),
+        click.option("--test-batch-size", default=8, show_default=True),
+        click.option("--device", default="tpu", show_default=True, help="parity flag; the mesh decides"),
+        click.option("--torch-dtype", default="bfloat16", show_default=True),
+        click.option("--top-k", default=10, show_default=True),
+        click.option("--index-kernel", default="xla", type=click.Choice(["xla", "pallas"]), show_default=True),
+    ]
+    for opt in reversed(options):
+        fn = opt(fn)
+    return fn
+
+
+@cli.command("eval-retriever")
+@click.argument("dataset_path")
+@click.argument("retriever_name_or_path")
+@_common_eval_options
+@click.option("--retriever-peft-model-path", default=None)
+@click.option("--is-autoregressive", is_flag=True, default=False)
+@click.option("--tokenizer", default="byte", show_default=True)
+def eval_retriever_cmd(dataset_path, retriever_name_or_path, is_autoregressive, tokenizer, **kwargs):
+    """Evaluate retrieval recall / precision / hit-rate."""
+    from dalm_tpu.eval.retriever import evaluate_retriever
+
+    results = evaluate_retriever(
+        dataset_or_path=dataset_path,
+        retriever_name_or_path=retriever_name_or_path,
+        is_autoregressive=is_autoregressive,
+        tokenizer=tokenizer,
+        **kwargs,
+    )
+    click.echo(results.model_dump_json())
+
+
+@cli.command("eval-rag")
+@click.argument("dataset_path")
+@click.argument("retriever_name_or_path")
+@click.argument("generator_name_or_path")
+@_common_eval_options
+@click.option("--retriever-peft-model-path", default=None)
+@click.option("--generator-peft-model-path", default=None)
+@click.option("--answer-column-name", default="Answer", show_default=True)
+@click.option("--query-batch-size", default=16, show_default=True)
+@click.option("--evaluate-generator/--no-evaluate-generator", default=True, show_default=True)
+@click.option("--retriever-is-autoregressive", is_flag=True, default=False)
+@click.option("--retriever-tokenizer", default="byte", show_default=True)
+@click.option("--generator-tokenizer", default="byte", show_default=True)
+@click.option("--max-new-tokens", default=64, show_default=True)
+def eval_rag_cmd(dataset_path, retriever_name_or_path, generator_name_or_path, **kwargs):
+    """Evaluate retrieval + generator exact-match."""
+    from dalm_tpu.eval.rag import evaluate_rag
+
+    results = evaluate_rag(
+        dataset_or_path=dataset_path,
+        retriever_name_or_path=retriever_name_or_path,
+        generator_name_or_path=generator_name_or_path,
+        **kwargs,
+    )
+    click.echo(results.model_dump_json())
+
+
+def main() -> None:
+    cli()
+
+
+if __name__ == "__main__":
+    main()
