@@ -55,12 +55,27 @@ def contrastive_loss(
     query_embs: jax.Array,
     passage_embs: jax.Array,
     logit_scale: float = 100.0,
+    local_negatives_block: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Symmetric NT-Xent over the batch; returns (loss, sim_logits).
 
     Reference: `train_rage2e.py:441-446` — mean of query→passage and
     passage→query cross-entropies.
+
+    ``local_negatives_block``: parity mode (SURVEY.md §2.4). The
+    reference's negative set is per-DDP-process; setting this to the
+    per-device batch size masks all cross-block similarities to -inf, so
+    each row's softmax runs over its own device-block only — exactly the
+    reference's local in-batch negatives, without leaving the single
+    pjit program. The masked logits are also what the marginalized loss
+    must consume (its ``log_softmax(S, axis=1)`` then normalizes over
+    local passages, as the reference's does).
     """
     logits = cosine_sim_logits(query_embs, passage_embs, logit_scale)
+    if local_negatives_block:
+        n = logits.shape[0]
+        blocks = jnp.arange(n) // local_negatives_block
+        same_block = blocks[:, None] == blocks[None, :]
+        logits = jnp.where(same_block, logits, jnp.finfo(jnp.float32).min)
     loss = (nt_xent_loss(logits) + nt_xent_loss(logits.T)) / 2.0
     return loss, logits

@@ -1,0 +1,230 @@
+"""HF-torch checkpoint interop.
+
+Loads HuggingFace torch checkpoints — BERT-family encoders (bge) and
+Llama-family decoders — into this framework's Flax parameter trees, and
+exports LoRA adapters in a PEFT-compatible torch layout so reference
+tooling can consume them (SURVEY.md §7.3.4).
+
+The reference resolves models via ``AutoModel.from_pretrained``
+(`/root/reference/dalm/models/retriever_only_base_model.py:23-27`); here
+a local HF checkpoint directory (``config.json`` +
+``model.safetensors``/``pytorch_model.bin``) is converted weight-for-
+weight: torch ``nn.Linear`` stores (out, in) — transposed into Flax
+(in, out) kernels. Llama rotary uses the rotate-half convention in both,
+so attention weights port directly.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+from dalm_tpu.models.decoder import DecoderConfig
+from dalm_tpu.models.encoder import EncoderConfig
+
+logger = logging.getLogger(__name__)
+
+
+def _load_torch_state(path: str) -> Dict[str, np.ndarray]:
+    """state dict from safetensors or pytorch_model.bin → numpy."""
+    st_path = os.path.join(path, "model.safetensors")
+    if os.path.exists(st_path):
+        from safetensors.numpy import load_file
+
+        return dict(load_file(st_path))
+    bin_path = os.path.join(path, "pytorch_model.bin")
+    if os.path.exists(bin_path):
+        import torch
+
+        state = torch.load(bin_path, map_location="cpu", weights_only=True)
+        return {k: v.to(torch.float32).numpy() for k, v in state.items()}
+    raise FileNotFoundError(f"no model.safetensors or pytorch_model.bin in {path}")
+
+
+def _read_hf_config(path: str) -> dict:
+    with open(os.path.join(path, "config.json")) as f:
+        return json.load(f)
+
+
+# --------------------------------------------------------------------------
+# BERT-family encoder (bge)
+# --------------------------------------------------------------------------
+
+def load_hf_encoder(path: str, dtype=None) -> Tuple[EncoderConfig, Any]:
+    hf = _read_hf_config(path)
+    cfg = EncoderConfig(
+        vocab_size=hf["vocab_size"],
+        hidden_size=hf["hidden_size"],
+        num_layers=hf["num_hidden_layers"],
+        num_heads=hf["num_attention_heads"],
+        intermediate_size=hf["intermediate_size"],
+        max_position_embeddings=hf["max_position_embeddings"],
+        type_vocab_size=hf.get("type_vocab_size", 2),
+        layer_norm_eps=hf.get("layer_norm_eps", 1e-12),
+        hidden_dropout=hf.get("hidden_dropout_prob", 0.1),
+        attention_dropout=hf.get("attention_probs_dropout_prob", 0.1),
+    )
+    if dtype is not None:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, dtype=dtype)
+    state = _load_torch_state(path)
+    # Strip an optional "bert." wrapper prefix (BertModel vs BertFor*).
+    if any(k.startswith("bert.") for k in state):
+        state = {k[len("bert."):]: v for k, v in state.items() if k.startswith("bert.")}
+
+    def W(name):  # torch Linear weight → flax kernel
+        return state[name].T.astype(np.float32)
+
+    def arr(name):
+        return state[name].astype(np.float32)
+
+    params: Dict[str, Any] = {
+        "word_embeddings": {"embedding": arr("embeddings.word_embeddings.weight")},
+        "position_embeddings": {"embedding": arr("embeddings.position_embeddings.weight")},
+        "token_type_embeddings": {"embedding": arr("embeddings.token_type_embeddings.weight")},
+        "embeddings_norm": {
+            "scale": arr("embeddings.LayerNorm.weight"),
+            "bias": arr("embeddings.LayerNorm.bias"),
+        },
+    }
+    for i in range(cfg.num_layers):
+        hf_layer = f"encoder.layer.{i}"
+        params[f"layer_{i}"] = {
+            "attention": {
+                "query": {"kernel": W(f"{hf_layer}.attention.self.query.weight"),
+                          "bias": arr(f"{hf_layer}.attention.self.query.bias")},
+                "key": {"kernel": W(f"{hf_layer}.attention.self.key.weight"),
+                        "bias": arr(f"{hf_layer}.attention.self.key.bias")},
+                "value": {"kernel": W(f"{hf_layer}.attention.self.value.weight"),
+                          "bias": arr(f"{hf_layer}.attention.self.value.bias")},
+                "output": {"kernel": W(f"{hf_layer}.attention.output.dense.weight"),
+                           "bias": arr(f"{hf_layer}.attention.output.dense.bias")},
+            },
+            "attention_norm": {
+                "scale": arr(f"{hf_layer}.attention.output.LayerNorm.weight"),
+                "bias": arr(f"{hf_layer}.attention.output.LayerNorm.bias"),
+            },
+            "intermediate": {"kernel": W(f"{hf_layer}.intermediate.dense.weight"),
+                             "bias": arr(f"{hf_layer}.intermediate.dense.bias")},
+            "mlp_output": {"kernel": W(f"{hf_layer}.output.dense.weight"),
+                           "bias": arr(f"{hf_layer}.output.dense.bias")},
+            "mlp_norm": {
+                "scale": arr(f"{hf_layer}.output.LayerNorm.weight"),
+                "bias": arr(f"{hf_layer}.output.LayerNorm.bias"),
+            },
+        }
+    logger.info("loaded HF encoder from %s (%d layers, hidden %d)", path, cfg.num_layers, cfg.hidden_size)
+    return cfg, params
+
+
+# --------------------------------------------------------------------------
+# Llama-family decoder
+# --------------------------------------------------------------------------
+
+def load_hf_decoder(path: str, dtype=None) -> Tuple[DecoderConfig, Any]:
+    hf = _read_hf_config(path)
+    cfg = DecoderConfig(
+        vocab_size=hf["vocab_size"],
+        hidden_size=hf["hidden_size"],
+        num_layers=hf["num_hidden_layers"],
+        num_heads=hf["num_attention_heads"],
+        num_kv_heads=hf.get("num_key_value_heads"),
+        intermediate_size=hf["intermediate_size"],
+        max_position_embeddings=hf.get("max_position_embeddings", 4096),
+        rope_theta=hf.get("rope_theta", 10000.0),
+        rms_norm_eps=hf.get("rms_norm_eps", 1e-5),
+        tie_embeddings=hf.get("tie_word_embeddings", False),
+    )
+    if dtype is not None:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, dtype=dtype)
+    state = _load_torch_state(path)
+
+    def W(name):
+        return state[name].T.astype(np.float32)
+
+    def arr(name):
+        return state[name].astype(np.float32)
+
+    params: Dict[str, Any] = {
+        "embed_tokens": {"embedding": arr("model.embed_tokens.weight")},
+        "final_norm": {"scale": arr("model.norm.weight")},
+    }
+    if not cfg.tie_embeddings:
+        params["lm_head"] = {"kernel": W("lm_head.weight")}
+    for i in range(cfg.num_layers):
+        hf_layer = f"model.layers.{i}"
+        params[f"layer_{i}"] = {
+            "attention": {
+                "q_proj": {"kernel": W(f"{hf_layer}.self_attn.q_proj.weight")},
+                "k_proj": {"kernel": W(f"{hf_layer}.self_attn.k_proj.weight")},
+                "v_proj": {"kernel": W(f"{hf_layer}.self_attn.v_proj.weight")},
+                "o_proj": {"kernel": W(f"{hf_layer}.self_attn.o_proj.weight")},
+            },
+            "input_norm": {"scale": arr(f"{hf_layer}.input_layernorm.weight")},
+            "post_attention_norm": {"scale": arr(f"{hf_layer}.post_attention_layernorm.weight")},
+            "gate_proj": {"kernel": W(f"{hf_layer}.mlp.gate_proj.weight")},
+            "up_proj": {"kernel": W(f"{hf_layer}.mlp.up_proj.weight")},
+            "down_proj": {"kernel": W(f"{hf_layer}.mlp.down_proj.weight")},
+        }
+    logger.info("loaded HF decoder from %s (%d layers, hidden %d)", path, cfg.num_layers, cfg.hidden_size)
+    return cfg, params
+
+
+# --------------------------------------------------------------------------
+# PEFT-compatible adapter export
+# --------------------------------------------------------------------------
+
+def export_peft_adapter(
+    output_dir: str,
+    lora_params: Dict[str, dict],
+    spec,
+    arch: str = "llama",
+    base_model_name_or_path: str = "",
+) -> None:
+    """Write ``adapter_model.bin`` + ``adapter_config.json`` in PEFT layout.
+
+    Our merge math is PEFT's (``W + alpha/r * A @ B``); PEFT stores
+    ``lora_A.weight`` as (r, in) and ``lora_B.weight`` as (out, r), so
+    A/B transpose on the way out.
+    """
+    import torch
+
+    tensors = {}
+    for path_str, ab in lora_params.items():
+        parts = path_str.split("/")
+        module = parts[-2]  # e.g. q_proj / query
+        if arch == "llama":
+            hf_idx = parts[0].split("_")[1] if parts[0].startswith("layer_") else "0"
+            prefix = f"base_model.model.model.layers.{hf_idx}.self_attn.{module}"
+        else:  # bert-family
+            hf_idx = parts[0].split("_")[1] if parts[0].startswith("layer_") else "0"
+            prefix = f"base_model.model.encoder.layer.{hf_idx}.attention.self.{module}"
+        a = np.asarray(ab["lora_a"], np.float32)
+        b = np.asarray(ab["lora_b"], np.float32)
+        tensors[f"{prefix}.lora_A.weight"] = torch.tensor(a.T)
+        tensors[f"{prefix}.lora_B.weight"] = torch.tensor(b.T)
+
+    os.makedirs(output_dir, exist_ok=True)
+    torch.save(tensors, os.path.join(output_dir, "adapter_model.bin"))
+    with open(os.path.join(output_dir, "adapter_config.json"), "w") as f:
+        json.dump(
+            {
+                "peft_type": "LORA",
+                "task_type": "CAUSAL_LM" if arch == "llama" else "FEATURE_EXTRACTION",
+                "r": spec.rank,
+                "lora_alpha": spec.alpha,
+                "lora_dropout": spec.dropout,
+                "target_modules": list(spec.target_modules),
+                "base_model_name_or_path": base_model_name_or_path,
+                "bias": "none",
+            },
+            f,
+            indent=2,
+        )

@@ -15,8 +15,10 @@ TPU-native differences (SURVEY.md §7):
   psum fused into backward), generator TP over ``model`` when sized so;
 - in-batch negatives are per-global-batch here (the full Q@Pᵀ under
   pjit). Parity note (SURVEY.md §2.4): the reference's negatives are
-  per-DDP-process; ``local_negatives=True`` restores per-data-shard
-  semantics via shard_map when exact loss-scale parity matters;
+  per-DDP-process; ``local_negatives=True`` (the default) restores
+  per-data-shard semantics with a block-diagonal similarity mask, which
+  also localizes the marginalized loss's passage softmax exactly as the
+  reference's is;
 - Orbax checkpoints: combined train state at step_k/epoch_e, final
   artifacts split into ``{output_dir}/retriever`` and
   ``{output_dir}/generator`` (`train_rage2e.py:508-524`).
@@ -100,6 +102,9 @@ def train_e2e(
     mesh: Optional[object] = None,
     model_parallel: int = 1,
     use_dropout: bool = False,
+    local_negatives: bool = True,
+    live_index: bool = False,
+    index_refresh_slice: int = 256,
 ) -> dict:
     """Returns {"final_loss", "steps", "samples_per_sec", ...}."""
     args = {
@@ -178,19 +183,34 @@ def train_e2e(
     trainable: dict = {}
     from dalm_tpu.models import lora as lora_mod
 
+    quantized_subs: set = set()
     for sub in ("retriever", "generator"):
-        peft_on = peft_mode in (Mode.BOTH, Mode.RETRIEVER if sub == "retriever" else Mode.GENERATOR)
+        sub_mode = Mode.RETRIEVER if sub == "retriever" else Mode.GENERATOR
+        peft_on = peft_mode in (Mode.BOTH, sub_mode)
+        quant_on = quant_mode in (Mode.BOTH, sub_mode)
         if peft_on:
             is_clm = sub == "generator" or retriever_is_autoregressive
             spec = lora_mod.LoraSpec.for_causal_lm() if is_clm else lora_mod.LoraSpec.for_encoder()
             lora_specs[sub] = spec
-            base_frozen[sub] = full_params[sub]
+            base = full_params[sub]
+            if quant_on:
+                # int8 frozen base — the bnb-nf4 equivalent (models/quant.py)
+                from dalm_tpu.models.quant import quantize_params
+
+                base = quantize_params(base)
+                quantized_subs.add(sub)
+            base_frozen[sub] = base
             trainable[sub] = lora_mod.init_lora_params(
                 jax.random.fold_in(init_rng, 13 if sub == "retriever" else 17),
                 full_params[sub],
                 spec,
             )
         else:
+            if quant_on:
+                logger.warning(
+                    "use_bnb=%s on %s without use_peft — quantization applies to "
+                    "frozen bases only (as with bitsandbytes); ignoring", use_bnb, sub
+                )
             trainable[sub] = full_params[sub]
 
     if base_frozen:
@@ -202,12 +222,15 @@ def train_e2e(
     dropout = use_dropout and getattr(r_cfg, "hidden_dropout", 0.0) > 0
 
     def effective_params(train_params, step_rng):
+        from dalm_tpu.models.quant import dequantize_params
+
         eff = {}
         for sub in ("retriever", "generator"):
             if sub in lora_specs:
-                eff[sub] = lora_mod.merge_lora(
-                    base_frozen[sub], train_params[sub], lora_specs[sub], None
-                )
+                base = base_frozen[sub]
+                if sub in quantized_subs:
+                    base = dequantize_params(base)  # fused into matmuls by XLA
+                eff[sub] = lora_mod.merge_lora(base, train_params[sub], lora_specs[sub], None)
             else:
                 eff[sub] = train_params[sub]
         return eff
@@ -223,8 +246,10 @@ def train_e2e(
             params, batch["retriever_passage_input_ids"], batch["retriever_passage_attention_mask"],
             deterministic=d_rng is None,
         )
+        block = per_device_train_batch_size if (local_negatives and mesh.shape["data"] > 1) else None
         retriever_loss, sim = contrastive_loss(
-            q_emb.astype(jnp.float32), p_emb.astype(jnp.float32), float(logit_scale)
+            q_emb.astype(jnp.float32), p_emb.astype(jnp.float32), float(logit_scale),
+            local_negatives_block=block,
         )
         logits = rag.generate_logits(
             params, batch["generator_input_input_ids"], batch["generator_input_attention_mask"]
@@ -246,6 +271,38 @@ def train_e2e(
         )
         new_state = state.apply_gradients(grads)
         return new_state, loss, r_loss, g_loss
+
+    # Live retrieval index (north-star subsystem): the training corpus's
+    # passages live as a sharded on-device index, continuously re-embedded
+    # with the *current* retriever weights — one small slice per train
+    # step, double-buffered (index/refresh.py) — instead of an offline
+    # rebuild after training.
+    refresher = None
+    if live_index:
+        from dalm_tpu.index.dense import ShardedDenseIndex
+        from dalm_tpu.index.refresh import AsyncIndexRefresher
+
+        p_ids = np.asarray(processed["retriever_passage_input_ids"], np.int32)
+        p_mask = np.asarray(processed["retriever_passage_attention_mask"], np.int32)
+        # dedupe identical passages by token content
+        _, unique_idx = np.unique(p_ids, axis=0, return_index=True)
+        unique_idx = np.sort(unique_idx)
+        p_ids, p_mask = p_ids[unique_idx], p_mask[unique_idx]
+
+        @jax.jit
+        def _index_embed(train_params, ids, mask):
+            params = effective_params(train_params, None)
+            return rag.embed(params, ids, mask).astype(jnp.float32)
+
+        dim = r_cfg.hidden_size
+        seed_embs = np.zeros((len(p_ids), dim), np.float32)
+        live = ShardedDenseIndex.build(mesh, seed_embs)
+        refresher = AsyncIndexRefresher(
+            live,
+            lambda params, ids, mask: _index_embed(params, ids, mask),
+            p_ids, p_mask, slice_size=index_refresh_slice,
+        )
+        logger.info("live index: %d unique passages, slice %d", len(p_ids), index_refresh_slice)
 
     tracker = MetricsLogger(
         output_dir, project_name="rag_e2e_training", config=args,
@@ -287,6 +344,8 @@ def train_e2e(
             step_rng = jax.random.fold_in(dropout_rng, int(completed_steps))
             timer.start()
             state, loss, r_loss, g_loss = train_step(state, batch, step_rng)
+            if refresher is not None:
+                refresh_stats = refresher.tick(state.params)
             final = {"loss": float(loss), "retriever": float(r_loss), "generator": float(g_loss)}
             timer.stop()
             total_loss += final["loss"]
@@ -336,7 +395,7 @@ def train_e2e(
                     extra={"tokenizer": tok_name},
                 )
     tracker.close()
-    return {
+    result = {
         "final_loss": final["loss"],
         "final_retriever_loss": final["retriever"],
         "final_generator_loss": final["generator"],
@@ -344,3 +403,9 @@ def train_e2e(
         "samples_per_sec": timer.samples_per_sec(global_batch),
         "avg_step_time": timer.avg,
     }
+    if refresher is not None:
+        # finish the in-flight sweep so the index reflects final weights
+        refresher.refresh_fully(state.params)
+        result["index_version"] = refresher.version
+        result["live_index"] = refresher.index
+    return result

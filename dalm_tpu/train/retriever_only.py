@@ -85,6 +85,7 @@ def train_retriever(
     mesh: Optional[object] = None,
     model_parallel: int = 1,
     use_dropout: bool = True,
+    local_negatives: bool = True,
 ) -> dict:
     """Returns a summary dict {"final_loss", "steps", "samples_per_sec"}."""
     args = {
@@ -164,8 +165,15 @@ def train_retriever(
         )
         base_params = init_params
         trainable = lora_mod.init_lora_params(jax.random.fold_in(init_rng, 7), base_params, lora_spec)
+        if use_bnb:
+            # int8 frozen base — the bnb-nf4 equivalent (models/quant.py)
+            from dalm_tpu.models.quant import quantize_params
+
+            base_params = quantize_params(base_params)
         base_params = jax.device_put(base_params, replicated(mesh))
     else:
+        if use_bnb:
+            logger.warning("use_bnb without use_peft is ignored (quantized weights are frozen)")
         trainable = init_params
 
     state = TrainState.create(trainable, tx)
@@ -177,8 +185,13 @@ def train_retriever(
         if use_peft:
             from dalm_tpu.models import lora as lora_mod
 
+            base = base_params
+            if use_bnb:
+                from dalm_tpu.models.quant import dequantize_params
+
+                base = dequantize_params(base)
             lora_drop_rng = None if step_rng is None else jax.random.fold_in(step_rng, 99)
-            eff = lora_mod.merge_lora(base_params, params, lora_spec, lora_drop_rng if dropout else None)
+            eff = lora_mod.merge_lora(base, params, lora_spec, lora_drop_rng if dropout else None)
         else:
             eff = params
         d_rng = step_rng if dropout else None
@@ -187,7 +200,11 @@ def train_retriever(
         p = model.embed(eff, batch["passage_input_ids"], batch["passage_attention_mask"], p_rng)
         # Symmetric NT-Xent both directions, averaged — matches the
         # reference's loss + loss_transpose / 2 (`train_retriever_only.py:369-374`).
-        loss, _ = contrastive_loss(q.astype(jnp.float32), p.astype(jnp.float32), float(logit_scale))
+        block = per_device_train_batch_size if (local_negatives and data_shards > 1) else None
+        loss, _ = contrastive_loss(
+            q.astype(jnp.float32), p.astype(jnp.float32), float(logit_scale),
+            local_negatives_block=block,
+        )
         return loss
 
     @jax.jit

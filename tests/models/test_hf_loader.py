@@ -1,0 +1,117 @@
+"""HF interop parity: a torch BertModel / LlamaForCausalLM checkpoint
+loaded through hf_loader must reproduce the torch forward numerically.
+This is the guarantee that real bge/Llama-2 checkpoints port correctly
+(SURVEY.md §7.3.4)."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from dalm_tpu.models.decoder import Decoder  # noqa: E402
+from dalm_tpu.models.encoder import Encoder  # noqa: E402
+from dalm_tpu.models.hf_loader import load_hf_decoder, load_hf_encoder  # noqa: E402
+from dalm_tpu.models.pooling import mean_pool_l2  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def bert_dir(tmp_path_factory):
+    cfg = transformers.BertConfig(
+        vocab_size=128, hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=64, max_position_embeddings=64,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    model = transformers.BertModel(cfg)
+    model.eval()
+    d = tmp_path_factory.mktemp("hf_bert")
+    model.save_pretrained(d, safe_serialization=True)
+    return str(d), model
+
+
+@pytest.fixture(scope="module")
+def llama_dir(tmp_path_factory):
+    cfg = transformers.LlamaConfig(
+        vocab_size=128, hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, intermediate_size=64, max_position_embeddings=64,
+        tie_word_embeddings=False,
+    )
+    model = transformers.LlamaForCausalLM(cfg)
+    model.eval()
+    d = tmp_path_factory.mktemp("hf_llama")
+    model.save_pretrained(d, safe_serialization=True)
+    return str(d), model
+
+
+def test_bert_forward_parity(bert_dir):
+    path, hf_model = bert_dir
+    cfg, params = load_hf_encoder(path)
+    enc = Encoder(cfg)
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(1, 120, size=(2, 10))
+    mask = np.ones((2, 10), np.int64)
+    mask[1, 7:] = 0
+
+    with torch.no_grad():
+        hf_out = hf_model(
+            input_ids=torch.tensor(ids), attention_mask=torch.tensor(mask)
+        ).last_hidden_state.numpy()
+
+    ours = np.asarray(
+        enc.apply({"params": params}, jnp.asarray(ids), jnp.asarray(mask), deterministic=True)
+    )
+    # compare only unmasked positions (HF computes garbage on masked ones too,
+    # but identical garbage; still restrict to be safe)
+    np.testing.assert_allclose(ours[0], hf_out[0], atol=2e-4)
+    np.testing.assert_allclose(ours[1, :7], hf_out[1, :7], atol=2e-4)
+
+
+def test_bert_embedding_parity(bert_dir):
+    """End goal: identical sentence embeddings (mean-pool + L2)."""
+    path, hf_model = bert_dir
+    cfg, params = load_hf_encoder(path)
+    enc = Encoder(cfg)
+    rng = np.random.default_rng(1)
+    ids = rng.integers(1, 120, size=(3, 12))
+    mask = (rng.random((3, 12)) > 0.2).astype(np.int64)
+    mask[:, 0] = 1
+
+    with torch.no_grad():
+        th = hf_model(torch.tensor(ids), attention_mask=torch.tensor(mask)).last_hidden_state
+        expanded = torch.tensor(mask).unsqueeze(-1).expand(th.size()).float()
+        pooled = (th * expanded).sum(1) / torch.clamp(expanded.sum(1), min=1e-9)
+        expected = torch.nn.functional.normalize(pooled, p=2, dim=1).numpy()
+
+    hidden = enc.apply({"params": params}, jnp.asarray(ids), jnp.asarray(mask), deterministic=True)
+    ours = np.asarray(mean_pool_l2(hidden, jnp.asarray(mask)))
+    np.testing.assert_allclose(ours, expected, atol=2e-4)
+
+
+def test_llama_logits_parity(llama_dir):
+    path, hf_model = llama_dir
+    cfg, params = load_hf_decoder(path)
+    dec = Decoder(cfg)
+    assert cfg.kv_heads == 2  # GQA config survived
+
+    ids = np.array([[1, 5, 9, 22, 54, 13]])
+    mask = np.ones_like(ids)
+    with torch.no_grad():
+        hf_logits = hf_model(torch.tensor(ids), attention_mask=torch.tensor(mask)).logits.numpy()
+    ours = np.asarray(dec.apply({"params": params}, jnp.asarray(ids), jnp.asarray(mask)))
+    np.testing.assert_allclose(ours, hf_logits, atol=3e-4)
+
+
+def test_llama_left_padded_parity(llama_dir):
+    path, hf_model = llama_dir
+    cfg, params = load_hf_decoder(path)
+    dec = Decoder(cfg)
+    ids = np.array([[0, 0, 7, 8, 9]])
+    mask = np.array([[0, 0, 1, 1, 1]])
+    with torch.no_grad():
+        hf_logits = hf_model(torch.tensor(ids), attention_mask=torch.tensor(mask)).logits.numpy()
+    ours = np.asarray(dec.apply({"params": params}, jnp.asarray(ids), jnp.asarray(mask)))
+    np.testing.assert_allclose(ours[:, 2:], hf_logits[:, 2:], atol=3e-4)
