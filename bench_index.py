@@ -1,0 +1,58 @@
+"""Secondary benchmark: index search QPS/chip (BASELINE.json configs 2/5).
+
+Measures exact top-10 search over a 200k x 1024 (bge-large-dim) passage
+index — the reference's eval scale (200k patent abstracts,
+`README.md:140-144`) where it runs hnswlib on host CPU. Prints one JSON
+line per variant. Not the driver headline (bench.py is); run manually.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from dalm_tpu.core.mesh import MeshConfig, make_mesh
+    from dalm_tpu.index.dense import ShardedDenseIndex
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    mesh = make_mesh(MeshConfig())
+    rng = np.random.default_rng(0)
+
+    N, D, Q, K = 200_000, 1024, 256, 10
+    embs = rng.normal(size=(N, D)).astype(np.float32)
+    embs /= np.linalg.norm(embs, axis=1, keepdims=True)
+    queries = rng.normal(size=(Q, D)).astype(np.float32)
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+
+    for kernel in (["xla", "pallas"] if on_tpu else ["xla"]):
+        index = ShardedDenseIndex.build(mesh, embs, dtype=jnp.bfloat16, kernel=kernel)
+        s, i = index.search(queries, K)  # compile + warm
+        _ = float(s[0, 0])
+        iters = 10
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            s, i = index.search(queries, K)
+        _ = float(s[0, 0])  # host readback sync
+        dt = time.perf_counter() - t0
+        qps = Q * iters / dt / jax.device_count()
+        print(
+            json.dumps(
+                {
+                    "metric": f"index_search_qps_per_chip[{kernel},200k x 1024,bf16,k=10,q=256]",
+                    "value": round(qps, 1),
+                    "unit": "queries/sec/chip",
+                    "vs_baseline": None,
+                }
+            )
+        )
+
+
+if __name__ == "__main__":
+    main()

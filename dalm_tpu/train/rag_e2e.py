@@ -105,6 +105,9 @@ def train_e2e(
     local_negatives: bool = True,
     live_index: bool = False,
     index_refresh_slice: int = 256,
+    profile_dir: Optional[str] = None,
+    profile_start_step: int = 10,
+    profile_num_steps: int = 5,
 ) -> dict:
     """Returns {"final_loss", "steps", "samples_per_sec", ...}."""
     args = {
@@ -309,6 +312,9 @@ def train_e2e(
         report_to=report_to, enabled=with_tracking,
     )
     timer = StepTimer()
+    from dalm_tpu.core.profiling import Profiler
+
+    profiler = Profiler(profile_dir, profile_start_step, profile_num_steps)
 
     start_epoch, skip_batches, completed_steps = 0, 0, 0
     if resume_from_checkpoint:
@@ -342,6 +348,7 @@ def train_e2e(
         ):
             batch = put_batch(batch_np, mesh, np.int32)
             step_rng = jax.random.fold_in(dropout_rng, int(completed_steps))
+            profiler.maybe_start(completed_steps)
             timer.start()
             state, loss, r_loss, g_loss = train_step(state, batch, step_rng)
             if refresher is not None:
@@ -351,6 +358,7 @@ def train_e2e(
             total_loss += final["loss"]
             n_in_epoch += 1
             completed_steps += 1
+            profiler.maybe_stop(completed_steps)
 
             if completed_steps % 100 == 0:
                 logger.info("epoch %d step %d loss %.4f", epoch, completed_steps, final["loss"])
@@ -394,6 +402,7 @@ def train_e2e(
                     sub_dir, cfg, jax.device_get(state.params[sub]),
                     extra={"tokenizer": tok_name},
                 )
+    profiler.close()
     tracker.close()
     result = {
         "final_loss": final["loss"],

@@ -86,6 +86,9 @@ def train_retriever(
     model_parallel: int = 1,
     use_dropout: bool = True,
     local_negatives: bool = True,
+    profile_dir: Optional[str] = None,
+    profile_start_step: int = 10,
+    profile_num_steps: int = 5,
 ) -> dict:
     """Returns a summary dict {"final_loss", "steps", "samples_per_sec"}."""
     args = {
@@ -218,6 +221,9 @@ def train_retriever(
         report_to=report_to, enabled=with_tracking,
     )
     timer = StepTimer()
+    from dalm_tpu.core.profiling import Profiler
+
+    profiler = Profiler(profile_dir, profile_start_step, profile_num_steps)
 
     # Resume (`train_rage2e.py:389-427` semantics).
     start_epoch, skip_batches, completed_steps = 0, 0, 0
@@ -254,6 +260,7 @@ def train_retriever(
         ):
             batch = put_batch(batch_np, mesh, np.int32)
             step_rng = jax.random.fold_in(dropout_rng, int(completed_steps))
+            profiler.maybe_start(completed_steps)
             timer.start()
             state, loss = train_step(state, batch, step_rng)
             final_loss = float(loss)
@@ -261,6 +268,7 @@ def train_retriever(
             total_loss += final_loss
             n_in_epoch += 1
             completed_steps += 1
+            profiler.maybe_stop(completed_steps)
 
             if completed_steps % 100 == 0:
                 logger.info("epoch %d step %d loss %.4f", epoch, completed_steps, final_loss)
@@ -298,6 +306,7 @@ def train_retriever(
                 retriever_dir, model_cfg, jax.device_get(state.params),
                 extra={"tokenizer": tokenizer, "is_autoregressive": is_autoregressive},
             )
+    profiler.close()
     tracker.close()
     return {
         "final_loss": final_loss,
