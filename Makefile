@@ -1,0 +1,22 @@
+# Dev task runner (reference used `invoke` tasks.py; plain make here).
+
+.PHONY: test test-fast lint native bench bench-index clean
+
+test:
+	python -m pytest tests/ -q
+
+test-fast:
+	python -m pytest tests/ -q -m "not slow"
+
+native:
+	$(MAKE) -C dalm_tpu/native
+
+bench:
+	python bench.py
+
+bench-index:
+	python bench_index.py
+
+clean:
+	$(MAKE) -C dalm_tpu/native clean
+	find . -name __pycache__ -type d -exec rm -rf {} +

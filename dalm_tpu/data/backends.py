@@ -40,14 +40,14 @@ class JaxTextGenerator:
 
         from dalm_tpu.core.mesh import unbox
         from dalm_tpu.data.tokenizer import resolve_tokenizer
-        from dalm_tpu.models.decoder import Decoder
+        from dalm_tpu.models.registry import build_decoder
         from dalm_tpu.models.generate import build_greedy_generate
         from dalm_tpu.models.registry import resolve_decoder
 
         self.tok = resolve_tokenizer(tokenizer)
         self.tok.padding_side = "left"
         cfg, params = resolve_decoder(model_spec)
-        self.model = Decoder(cfg)
+        self.model = build_decoder(cfg)
         if params is None:
             import jax.numpy as jnp
 

@@ -123,7 +123,12 @@ def score_batch(
         retrieved = [p for p, _ in result]
         top_passages.append(retrieved[0] if retrieved else "")
         correct = [correct_passages[i]]
-        p, r = calculate_precision_recall(retrieved, correct)
+        if retrieved:
+            p, r = calculate_precision_recall(retrieved, correct)
+        else:
+            # all hits below threshold — the reference would divide by
+            # zero here (`eval/utils.py:80`); score 0/0 instead of crashing
+            p, r = 0.0, 0.0
         precisions.append(p)
         recalls.append(r)
         total_hit += int(any(c in retrieved for c in correct))

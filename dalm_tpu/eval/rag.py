@@ -43,7 +43,7 @@ from dalm_tpu.eval.common import (
 from dalm_tpu.eval.results import EvalResults
 from dalm_tpu.eval.retriever import build_embed_fn, load_retriever_for_eval
 from dalm_tpu.index.dense import ShardedDenseIndex
-from dalm_tpu.models.decoder import Decoder
+from dalm_tpu.models.registry import build_decoder
 from dalm_tpu.models.generate import build_greedy_generate
 from dalm_tpu.models.registry import resolve_decoder
 
@@ -85,7 +85,7 @@ def evaluate_rag(
     embed_dim = embed_dim or retriever.embedding_dim
 
     g_cfg, g_params = resolve_decoder(generator_name_or_path)
-    generator = Decoder(g_cfg)
+    generator = build_decoder(g_cfg)
     if g_params is None:
         import jax.numpy as jnp
 

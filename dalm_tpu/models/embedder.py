@@ -27,7 +27,9 @@ class SentenceEmbedder:
 
     def __post_init__(self):
         if self.is_autoregressive:
-            self.module = Decoder(self.config)
+            from dalm_tpu.models.registry import build_decoder
+
+            self.module = build_decoder(self.config)
         else:
             self.module = Encoder(self.config)
 

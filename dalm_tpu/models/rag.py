@@ -47,10 +47,14 @@ class RagE2EModel:
             # Autoregressive retriever = a decoder backbone, EOS-pooled
             # (`retriever_only_base_model.py:49-55`). The config passed as
             # retriever_config must then be a DecoderConfig.
-            self.retriever = Decoder(self.retriever_config)  # type: ignore[arg-type]
+            from dalm_tpu.models.registry import build_decoder
+
+            self.retriever = build_decoder(self.retriever_config)  # type: ignore[arg-type]
         else:
             self.retriever = Encoder(self.retriever_config)
-        self.generator = Decoder(self.generator_config)
+        from dalm_tpu.models.registry import build_decoder
+
+        self.generator = build_decoder(self.generator_config)
 
     # ---- init ----------------------------------------------------------
     def init_params(self, rng: jax.Array, query_len: int = 8, gen_len: int = 8) -> dict:

@@ -28,6 +28,7 @@ from flax import serialization
 
 from dalm_tpu.models.decoder import Decoder, DecoderConfig
 from dalm_tpu.models.encoder import Encoder, EncoderConfig
+from dalm_tpu.models.gpt2 import GPT2Config, GPT2Decoder
 
 ENCODER_PRESETS = {
     "tiny": EncoderConfig.tiny,
@@ -39,7 +40,16 @@ DECODER_PRESETS = {
     "tiny": DecoderConfig.tiny,
     "tiny-decoder": DecoderConfig.tiny,
     "llama2-7b": DecoderConfig.llama2_7b,
+    "tiny-gpt2": GPT2Config.tiny,
+    "gpt2": GPT2Config.gpt2_124m,
 }
+
+
+def build_decoder(cfg):
+    """Config type → the matching decoder module (Llama- or GPT-2-family)."""
+    if isinstance(cfg, GPT2Config):
+        return GPT2Decoder(cfg)
+    return Decoder(cfg)
 
 _DTYPE_NAMES = {jnp.float32: "float32", jnp.bfloat16: "bfloat16", jnp.float16: "float16"}
 
@@ -57,7 +67,7 @@ def _config_to_json(cfg) -> dict:
 def _config_from_json(d: dict):
     d = dict(d)
     cls_name = d.pop("__class__")
-    cls = {"EncoderConfig": EncoderConfig, "DecoderConfig": DecoderConfig}[cls_name]
+    cls = {"EncoderConfig": EncoderConfig, "DecoderConfig": DecoderConfig, "GPT2Config": GPT2Config}[cls_name]
     field_names = {f.name for f in dataclasses.fields(cls)}
     d = {k: v for k, v in d.items() if k in field_names}  # drop extra metadata
     for k in ("dtype", "param_dtype"):
@@ -135,6 +145,14 @@ def resolve_decoder(
             cfg = dataclasses.replace(cfg, dtype=dtype)
         return cfg, params
     if _is_hf_dir(spec):
+        import json as _json
+
+        with open(os.path.join(spec, "config.json")) as f:
+            model_type = _json.load(f).get("model_type", "")
+        if model_type == "gpt2":
+            from dalm_tpu.models.gpt2 import load_hf_gpt2
+
+            return load_hf_gpt2(spec, dtype=dtype)
         from dalm_tpu.models.hf_loader import load_hf_decoder
 
         return load_hf_decoder(spec, dtype=dtype)

@@ -36,7 +36,7 @@ from dalm_tpu.core.mesh import MeshConfig, make_mesh, put_batch, replicated, unb
 from dalm_tpu.data.sft import chars_token_ratio, create_datasets, pack_dataset, prepare_sample_text
 from dalm_tpu.data.tokenizer import resolve_tokenizer
 from dalm_tpu.losses.causal import causal_lm_loss
-from dalm_tpu.models.decoder import Decoder
+from dalm_tpu.models.registry import build_decoder
 from dalm_tpu.models.registry import resolve_decoder, save_pretrained
 from dalm_tpu.train.metrics import MetricsLogger, StepTimer
 from dalm_tpu.train.optim import make_optimizer
@@ -99,9 +99,9 @@ def train_generator(
     compute_dtype = parse_dtype(dtype) if dtype else None
     vocab = -(-tok.vocab_size // 128) * 128
     cfg, init_params = resolve_decoder(model_name, dtype=compute_dtype, vocab_size=vocab)
-    if gradient_checkpointing:
+    if gradient_checkpointing and any(f.name == "remat" for f in dataclasses.fields(cfg)):
         cfg = dataclasses.replace(cfg, remat=True)
-    model = Decoder(cfg)
+    model = build_decoder(cfg)
 
     train_data, valid_data = create_datasets(
         dataset_name, split=split, validation_split=validation_split,
