@@ -49,21 +49,23 @@ def marginalized_nll_loss(
 
     Returns scalar mean NLL over unmasked next-token positions.
     """
-    logits = logits.astype(jnp.float32)
+    logits = logits[:, :-1, :].astype(jnp.float32)
     scores = scores.astype(jnp.float32)
 
-    logp = jax.nn.log_softmax(logits[:, :-1, :], axis=-1)  # (B, L-1, V)
-    doc_logprobs = jnp.diagonal(jax.nn.log_softmax(scores, axis=1))  # (B,)
+    # Gather/logsumexp formulation — identical math to
+    # ``log_softmax + take_along_axis`` but never materializes the
+    # (B, L, V) log-probability tensor in HBM:
+    #   ll_t = logits_t[label_t] - logsumexp(logits_t) + answer_mask_t * doc_lp
+    labels = input_ids[:, 1:]
+    label_logits = jnp.take_along_axis(logits, labels[:, :, None], axis=-1)[:, :, 0]
+    lse = jax.scipy.special.logsumexp(logits, axis=-1)  # (B, L-1)
 
-    seq = logp.shape[1]
-    positions = jnp.arange(seq)[None, :]  # (1, L-1)
+    doc_logprobs = jnp.diagonal(jax.nn.log_softmax(scores, axis=1))  # (B,)
+    seq = logits.shape[1]
+    positions = jnp.arange(seq)[None, :]
     answer_region = positions >= (query_passage_input_len[:, None] - 1)  # (B, L-1)
 
-    # logp + doc_logprob on the answer region only (broadcast over vocab).
-    marginalized = logp + jnp.where(answer_region, doc_logprobs[:, None], 0.0)[:, :, None]
-
-    labels = input_ids[:, 1:]
-    ll = jnp.take_along_axis(marginalized, labels[:, :, None], axis=-1)[:, :, 0]  # (B, L-1)
+    ll = label_logits - lse + jnp.where(answer_region, doc_logprobs[:, None], 0.0)
 
     mask = attention_mask[:, 1:].astype(jnp.float32)
     return -(ll * mask).sum() / mask.sum()

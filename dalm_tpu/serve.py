@@ -1,0 +1,188 @@
+"""RAG serving: retrieve → prompt → generate, production-shaped.
+
+The reference has no serving path — retrieval + generation exist only
+inside eval scripts (`eval_rag.py`). Here the trained artifacts compose
+into a reusable pipeline:
+
+- the passage corpus is embedded once into the sharded HBM index
+  (Pallas search kernel on TPU);
+- queries batch through one jitted embed + search + greedy-decode pass;
+- ``refresh(new_retriever_params)`` re-embeds the corpus in place via
+  the async refresher (serving keeps answering from the previous
+  complete snapshot while the refresh sweeps).
+
+Usage::
+
+    pipe = RagPipeline.from_pretrained("out/retriever", "out/generator",
+                                       passages=corpus_list)
+    answers = pipe.answer(["what is ..?", ...], top_k=4)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import List, Optional, Sequence
+
+import jax
+import numpy as np
+
+from dalm_tpu.core.mesh import MeshConfig, make_mesh, unbox
+from dalm_tpu.data.tokenizer import resolve_tokenizer
+from dalm_tpu.eval.retriever import build_embed_fn, load_retriever_for_eval
+from dalm_tpu.index.dense import ShardedDenseIndex
+from dalm_tpu.models.generate import build_greedy_generate
+from dalm_tpu.models.registry import build_decoder, resolve_decoder
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class RagAnswer:
+    query: str
+    answer: str
+    passages: List[str]
+    scores: List[float]
+
+
+class RagPipeline:
+    def __init__(
+        self,
+        retriever_model,
+        retriever_params,
+        retriever_tok,
+        generator,
+        generator_params,
+        generator_tok,
+        passages: Sequence[str],
+        mesh=None,
+        max_passage_len: int = 128,
+        max_prompt_len: int = 256,
+        max_new_tokens: int = 64,
+        embed_batch: int = 64,
+        index_kernel: str = "xla",
+    ):
+        self.mesh = mesh or make_mesh(MeshConfig())
+        self.retriever = retriever_model
+        self.r_params = retriever_params
+        self.r_tok = retriever_tok
+        self.generator = generator
+        self.g_params = generator_params
+        self.g_tok = generator_tok
+        self.g_tok.padding_side = "left"
+        self.passages = list(passages)
+        self.max_passage_len = max_passage_len
+        self.max_prompt_len = max_prompt_len
+        self.embed_batch = embed_batch
+
+        self._embed = build_embed_fn(self.retriever, self.r_params)
+        self._generate = build_greedy_generate(
+            self.generator, max_new_tokens,
+            eos_token_id=self.g_tok.eos_token_id,
+            pad_token_id=self.g_tok.pad_token_id or 0,
+        )
+        embs = self._embed_texts([f"#passage# {p}" for p in self.passages], max_passage_len)
+        self.index = ShardedDenseIndex.build(self.mesh, embs, kernel=index_kernel)
+        self.refresher = None
+
+    # ---- construction ----------------------------------------------------
+    @classmethod
+    def from_pretrained(
+        cls,
+        retriever_path: str,
+        generator_path: str,
+        passages: Sequence[str],
+        retriever_peft_path: Optional[str] = None,
+        generator_peft_path: Optional[str] = None,
+        retriever_tokenizer: str = "byte",
+        generator_tokenizer: str = "byte",
+        retriever_is_autoregressive: bool = False,
+        **kw,
+    ) -> "RagPipeline":
+        retriever, r_params, r_tok = load_retriever_for_eval(
+            retriever_path, retriever_peft_path, retriever_is_autoregressive,
+            None, retriever_tokenizer,
+        )
+        g_cfg, g_params = resolve_decoder(generator_path)
+        generator = build_decoder(g_cfg)
+        if g_params is None:
+            import jax.numpy as jnp
+
+            g_params = unbox(
+                generator.init(
+                    jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32), jnp.ones((1, 8), jnp.int32)
+                )["params"]
+            )
+        if generator_peft_path:
+            from dalm_tpu.models.lora import load_adapter, merge_lora
+
+            lora_params, spec = load_adapter(generator_peft_path)
+            g_params = merge_lora(g_params, lora_params, spec)
+        g_tok = resolve_tokenizer(generator_tokenizer)
+        return cls(retriever, r_params, r_tok, generator, g_params, g_tok, passages, **kw)
+
+    # ---- internals -------------------------------------------------------
+    def _embed_texts(self, texts: Sequence[str], max_len: int) -> np.ndarray:
+        out = np.zeros((len(texts), self.retriever.embedding_dim), np.float32)
+        for start in range(0, len(texts), self.embed_batch):
+            chunk = list(texts[start : start + self.embed_batch])
+            real = len(chunk)
+            if real < self.embed_batch:
+                chunk += [chunk[-1]] * (self.embed_batch - real)
+            toks = self.r_tok(chunk, padding="max_length", max_length=max_len, truncation=True)
+            embs = self._embed(
+                np.asarray(toks["input_ids"], np.int32),
+                np.asarray(toks["attention_mask"], np.int32),
+            )
+            out[start : start + real] = np.asarray(embs, np.float32)[:real]
+        return out
+
+    # ---- API -------------------------------------------------------------
+    def retrieve(self, queries: Sequence[str], top_k: int = 4):
+        q_embs = self._embed_texts([f"#query# {q}" for q in queries], self.max_passage_len)
+        scores, ids = self.index.search(q_embs, top_k)
+        return scores, ids
+
+    def answer(self, queries: Sequence[str], top_k: int = 4) -> List[RagAnswer]:
+        scores, ids = self.retrieve(queries, top_k)
+        prompts = [
+            f"#query# {q} #passage# {self.passages[int(ids[i, 0])]} #answer# "
+            for i, q in enumerate(queries)
+        ]
+        toks = self.g_tok(prompts, padding="max_length", max_length=self.max_prompt_len, truncation=True)
+        gen = np.asarray(
+            self._generate(
+                self.g_params,
+                np.asarray(toks["input_ids"], np.int32),
+                np.asarray(toks["attention_mask"], np.int32),
+            )
+        )
+        results = []
+        for i, q in enumerate(queries):
+            text = self.g_tok.decode(gen[i], skip_special_tokens=True)
+            answer = text.split("#answer#")[0].strip()
+            results.append(
+                RagAnswer(
+                    query=q,
+                    answer=answer,
+                    passages=[self.passages[int(j)] for j in ids[i]],
+                    scores=[float(s) for s in scores[i]],
+                )
+            )
+        return results
+
+    def refresh(self, new_retriever_params, slice_size: int = 256) -> None:
+        """Swap in updated retriever weights and re-embed the corpus
+        (incremental; serving continues from the previous snapshot)."""
+        from dalm_tpu.index.refresh import AsyncIndexRefresher
+
+        self.r_params = new_retriever_params
+        self._embed = build_embed_fn(self.retriever, self.r_params)
+        texts = [f"#passage# {p}" for p in self.passages]
+        toks = self.r_tok(texts, padding="max_length", max_length=self.max_passage_len, truncation=True)
+        ids = np.asarray(toks["input_ids"], np.int32)
+        mask = np.asarray(toks["attention_mask"], np.int32)
+
+        embed_fn = jax.jit(lambda params, i, m: self.retriever.embed(params, i, m))
+        refresher = AsyncIndexRefresher(self.index, embed_fn, ids, mask, slice_size=slice_size)
+        refresher.refresh_fully(self.r_params)

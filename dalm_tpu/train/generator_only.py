@@ -176,7 +176,9 @@ def train_generator(
         )
         return causal_lm_loss(logits, batch["input_ids"])
 
-    @jax.jit
+    from functools import partial
+
+    @partial(jax.jit, donate_argnums=(0,))
     def train_step(state, batch, step_rng):
         loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, step_rng)
         return state.apply_gradients(grads), loss

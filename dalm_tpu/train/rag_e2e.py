@@ -267,7 +267,9 @@ def train_e2e(
         total = retriever_loss + gen_loss
         return total, (retriever_loss, gen_loss)
 
-    @jax.jit
+    from functools import partial
+
+    @partial(jax.jit, donate_argnums=(0,))
     def train_step(state, batch, step_rng):
         (loss, (r_loss, g_loss)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch, step_rng
@@ -317,6 +319,7 @@ def train_e2e(
     profiler = Profiler(profile_dir, profile_start_step, profile_num_steps)
 
     start_epoch, skip_batches, completed_steps = 0, 0, 0
+    micro_steps, start_steps = 0, 0
     if resume_from_checkpoint:
         path = (
             resume_from_checkpoint
@@ -333,6 +336,7 @@ def train_e2e(
                 completed_steps = num
                 start_epoch = completed_steps // steps_per_epoch
                 skip_batches = (completed_steps % steps_per_epoch) * gradient_accumulation_steps
+            start_steps = completed_steps
             logger.info("resumed from %s (epoch %d, step %d)", path, start_epoch, completed_steps)
 
     np_rng = np.random.default_rng(seed)
@@ -347,7 +351,9 @@ def train_e2e(
             multiple_of=mesh.shape["data"],
         ):
             batch = put_batch(batch_np, mesh, np.int32)
-            step_rng = jax.random.fold_in(dropout_rng, int(completed_steps))
+            step_rng = jax.random.fold_in(
+                dropout_rng, int(start_steps * gradient_accumulation_steps + micro_steps)
+            )
             profiler.maybe_start(completed_steps)
             timer.start()
             state, loss, r_loss, g_loss = train_step(state, batch, step_rng)
@@ -357,10 +363,12 @@ def train_e2e(
             timer.stop()
             total_loss += final["loss"]
             n_in_epoch += 1
-            completed_steps += 1
+            micro_steps += 1
+            completed_steps = start_steps + micro_steps // gradient_accumulation_steps
             profiler.maybe_stop(completed_steps)
 
-            if completed_steps % 100 == 0:
+            stepped = micro_steps % gradient_accumulation_steps == 0
+            if stepped and completed_steps % 100 == 0:
                 logger.info("epoch %d step %d loss %.4f", epoch, completed_steps, final["loss"])
                 tracker.log(
                     {
@@ -370,7 +378,7 @@ def train_e2e(
                     },
                     step=completed_steps,
                 )
-            if checkpoint_every and completed_steps % checkpoint_every == 0 and output_dir:
+            if stepped and checkpoint_every and completed_steps % checkpoint_every == 0 and output_dir:
                 ckpt.save_state(output_dir, f"step_{completed_steps}", state)
             if completed_steps >= max_train_steps:
                 break

@@ -210,7 +210,9 @@ def train_retriever(
         )
         return loss
 
-    @jax.jit
+    from functools import partial
+
+    @partial(jax.jit, donate_argnums=(0,))
     def train_step(state, batch, step_rng):
         loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, step_rng)
         new_state = state.apply_gradients(grads)
@@ -227,6 +229,7 @@ def train_retriever(
 
     # Resume (`train_rage2e.py:389-427` semantics).
     start_epoch, skip_batches, completed_steps = 0, 0, 0
+    micro_steps, start_steps = 0, 0
     if resume_from_checkpoint:
         path = (
             resume_from_checkpoint
@@ -243,6 +246,7 @@ def train_retriever(
                 completed_steps = num
                 start_epoch = completed_steps // steps_per_epoch
                 skip_batches = (completed_steps % steps_per_epoch) * gradient_accumulation_steps
+            start_steps = completed_steps
             logger.info("resumed from %s (epoch %d, step %d)", path, start_epoch, completed_steps)
 
     np_rng = np.random.default_rng(seed)
@@ -259,7 +263,9 @@ def train_retriever(
             multiple_of=mesh.shape["data"],
         ):
             batch = put_batch(batch_np, mesh, np.int32)
-            step_rng = jax.random.fold_in(dropout_rng, int(completed_steps))
+            step_rng = jax.random.fold_in(
+                dropout_rng, int(start_steps * gradient_accumulation_steps + micro_steps)
+            )
             profiler.maybe_start(completed_steps)
             timer.start()
             state, loss = train_step(state, batch, step_rng)
@@ -267,13 +273,15 @@ def train_retriever(
             timer.stop()
             total_loss += final_loss
             n_in_epoch += 1
-            completed_steps += 1
+            micro_steps += 1
+            completed_steps = start_steps + micro_steps // gradient_accumulation_steps
             profiler.maybe_stop(completed_steps)
 
-            if completed_steps % 100 == 0:
+            stepped = micro_steps % gradient_accumulation_steps == 0
+            if stepped and completed_steps % 100 == 0:
                 logger.info("epoch %d step %d loss %.4f", epoch, completed_steps, final_loss)
                 tracker.log({"train/loss": final_loss}, step=completed_steps)
-            if checkpoint_every and completed_steps % checkpoint_every == 0 and output_dir:
+            if stepped and checkpoint_every and completed_steps % checkpoint_every == 0 and output_dir:
                 ckpt.save_state(output_dir, f"step_{completed_steps}", state)
             if completed_steps >= max_train_steps:
                 break
