@@ -42,6 +42,11 @@ class DecoderConfig:
     rms_norm_eps: float = 1e-5
     tie_embeddings: bool = False
     remat: bool = False  # jax.checkpoint each layer (FLOPs for HBM)
+    # "einsum" (XLA-fused, any shape) or "flash" (Pallas TPU blockwise
+    # kernel — used for full-sequence causal attention when the sequence
+    # is long and block-aligned, e.g. SFT packing at seq 2560; falls back
+    # to einsum for short/unaligned shapes and cached decode).
+    attention_impl: str = "einsum"
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -118,7 +123,7 @@ class DecoderAttention(nn.Module):
     cfg: DecoderConfig
 
     @nn.compact
-    def __call__(self, hidden, mask, cos, sin, kv_cache=None, cache_index=None):
+    def __call__(self, hidden, mask, cos, sin, kv_cache=None, cache_index=None, segment_mask=None):
         """mask: (B, 1, S_q, S_k) additive-ready boolean (True = attend).
 
         With ``kv_cache`` (dict k/v of (B, max_len, KVH, D)) the current
@@ -147,10 +152,35 @@ class DecoderAttention(nn.Module):
             k = jnp.repeat(k, rep, axis=2)
             v = jnp.repeat(v, rep, axis=2)
 
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(hd).astype(cfg.dtype)
-        scores = jnp.where(mask, scores.astype(jnp.float32), jnp.finfo(jnp.float32).min)
-        probs = jax.nn.softmax(scores, axis=-1).astype(cfg.dtype)
-        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, S, nh * hd)
+        use_flash = (
+            cfg.attention_impl == "flash"
+            and kv_cache is None
+            and S >= 256
+            and S % 128 == 0
+            and jax.default_backend() == "tpu"
+        )
+        if use_flash:
+            # Pallas blockwise flash kernel: O(S) memory, never builds the
+            # (S, S) score matrix. Padding is expressed via segment ids
+            # (pads form their own segment → real tokens never attend them).
+            from jax.experimental.pallas.ops.tpu.flash_attention import (
+                SegmentIds, flash_attention,
+            )
+
+            seg = segment_mask  # (B, S) int; None when all-valid
+            ctx = flash_attention(
+                q.transpose(0, 2, 1, 3),
+                k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3),
+                segment_ids=SegmentIds(q=seg, kv=seg) if seg is not None else None,
+                causal=True,
+                sm_scale=1.0 / float(hd) ** 0.5,
+            ).transpose(0, 2, 1, 3).reshape(B, S, nh * hd).astype(cfg.dtype)
+        else:
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(hd).astype(cfg.dtype)
+            scores = jnp.where(mask, scores.astype(jnp.float32), jnp.finfo(jnp.float32).min)
+            probs = jax.nn.softmax(scores, axis=-1).astype(cfg.dtype)
+            ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, S, nh * hd)
         out = _proj(cfg.hidden_size, "o_proj", cfg, ("heads", "embed"))(ctx)
         return out, new_cache
 
@@ -159,11 +189,11 @@ class DecoderLayer(nn.Module):
     cfg: DecoderConfig
 
     @nn.compact
-    def __call__(self, hidden, mask, cos, sin, kv_cache=None, cache_index=None):
+    def __call__(self, hidden, mask, cos, sin, kv_cache=None, cache_index=None, segment_mask=None):
         cfg = self.cfg
         normed = RMSNorm(cfg.rms_norm_eps, cfg.dtype, cfg.param_dtype, name="input_norm")(hidden)
         attn_out, new_cache = DecoderAttention(cfg, name="attention")(
-            normed, mask, cos, sin, kv_cache, cache_index
+            normed, mask, cos, sin, kv_cache, cache_index, segment_mask
         )
         hidden = hidden + attn_out
 
@@ -253,6 +283,10 @@ class Decoder(nn.Module):
             if attention_mask is not None:
                 mask = mask & (attention_mask[:, None, None, :] > 0)
 
+        segment_mask = None
+        if kv_cache is None and attention_mask is not None:
+            segment_mask = attention_mask.astype(jnp.int32)
+
         layer_cls = DecoderLayer
         if cfg.remat and kv_cache is None:
             layer_cls = nn.remat(DecoderLayer, static_argnums=())
@@ -261,7 +295,7 @@ class Decoder(nn.Module):
         for i in range(cfg.num_layers):
             layer_cache = kv_cache[f"layer_{i}"] if kv_cache is not None else None
             hidden, layer_new = layer_cls(cfg, name=f"layer_{i}")(
-                hidden, mask, cos, sin, layer_cache, cache_index
+                hidden, mask, cos, sin, layer_cache, cache_index, segment_mask
             )
             if new_cache is not None:
                 new_cache[f"layer_{i}"] = layer_new

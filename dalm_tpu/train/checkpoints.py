@@ -58,6 +58,34 @@ def parse_checkpoint_tag(path: str) -> tuple[str, int]:
     return m.group(1), int(m.group(2))
 
 
+def prune_checkpoints(root: str, keep_last: int = 3, kind: str = "step") -> int:
+    """Remove all but the newest ``keep_last`` ``{kind}_*`` dirs.
+
+    The reference accumulates step_k dirs forever; bounded retention is
+    table stakes for long runs. Returns the number removed.
+    """
+    import shutil
+
+    if not os.path.isdir(root):
+        return 0
+    found = []
+    for d in os.listdir(root):
+        full = os.path.join(root, d)
+        if os.path.isdir(full):
+            try:
+                k, num = parse_checkpoint_tag(full)
+            except ValueError:
+                continue
+            if k == kind:
+                found.append((num, full))
+    found.sort()
+    removed = 0
+    for _, path in found[:-keep_last] if keep_last > 0 else found:
+        shutil.rmtree(path, ignore_errors=True)
+        removed += 1
+    return removed
+
+
 def latest_checkpoint(root: str) -> Optional[str]:
     """Most recent checkpoint dir under root (epochs outrank steps within)."""
     if not os.path.isdir(root):

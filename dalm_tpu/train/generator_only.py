@@ -99,8 +99,21 @@ def train_generator(
     compute_dtype = parse_dtype(dtype) if dtype else None
     vocab = -(-tok.vocab_size // 128) * 128
     cfg, init_params = resolve_decoder(model_name, dtype=compute_dtype, vocab_size=vocab)
-    if gradient_checkpointing and any(f.name == "remat" for f in dataclasses.fields(cfg)):
+    field_names = {f.name for f in dataclasses.fields(cfg)}
+    if gradient_checkpointing and "remat" in field_names:
         cfg = dataclasses.replace(cfg, remat=True)
+    # Long-sequence attention: the Pallas flash kernel is required at the
+    # reference's seq_length (einsum attention cannot even compile B4
+    # S2560 on one chip — measured: flash 352 ms/step, einsum OOM).
+    if "attention_impl" in field_names and jax.default_backend() == "tpu":
+        if seq_length % 128 == 0:
+            cfg = dataclasses.replace(cfg, attention_impl="flash")
+        elif seq_length >= 1024:
+            logger.warning(
+                "seq_length %d is not a multiple of 128 — the flash attention "
+                "kernel is disabled and long sequences may exhaust HBM; "
+                "prefer e.g. 2560 over the reference's 2600", seq_length,
+            )
     model = build_decoder(cfg)
 
     train_data, valid_data = create_datasets(

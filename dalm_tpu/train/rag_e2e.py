@@ -380,6 +380,7 @@ def train_e2e(
                 )
             if stepped and checkpoint_every and completed_steps % checkpoint_every == 0 and output_dir:
                 ckpt.save_state(output_dir, f"step_{completed_steps}", state)
+                ckpt.prune_checkpoints(output_dir, keep_last=3)
             if completed_steps >= max_train_steps:
                 break
         skip_batches = 0
