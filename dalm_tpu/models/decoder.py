@@ -113,9 +113,11 @@ class RMSNorm(nn.Module):
 
 
 def _proj(features, name, cfg, kernel_axes):
-    return nn.Dense(
+    from dalm_tpu.models.layers import FlexLinear
+
+    return FlexLinear(
         features, name=name, use_bias=False, dtype=cfg.dtype, param_dtype=cfg.param_dtype,
-        kernel_init=nn.with_logical_partitioning(nn.initializers.normal(0.02), kernel_axes),
+        kernel_axes=kernel_axes,
     )
 
 

@@ -73,15 +73,16 @@ class EncoderConfig:
 
 
 def _dense(features, name, cfg, kernel_axes, bias_axes):
-    return nn.Dense(
+    from dalm_tpu.models.layers import FlexLinear
+
+    return FlexLinear(
         features,
         name=name,
+        use_bias=True,
         dtype=cfg.dtype,
         param_dtype=cfg.param_dtype,
-        kernel_init=nn.with_logical_partitioning(
-            nn.initializers.normal(stddev=0.02), kernel_axes
-        ),
-        bias_init=nn.with_logical_partitioning(nn.initializers.zeros_init(), bias_axes),
+        kernel_axes=kernel_axes,
+        bias_axes=bias_axes,
     )
 
 

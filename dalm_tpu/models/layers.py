@@ -1,0 +1,75 @@
+"""FlexLinear: a Dense layer with optional packed (QLoRA) weight storage.
+
+Motivation (RESULTS.md 7B finding): the merge-based LoRA formulation
+materializes the full effective weight set every step — fine ≤1B, fatal
+for 7B on one 16 GB chip. FlexLinear keeps the classic
+``params: {kernel, bias}`` layout at init/checkpoint time, but at apply
+time it first checks two auxiliary collections:
+
+- ``quant``:  ``{q: int8 (in, out), scale: f32 (1, out)}`` — the frozen
+  base kernel, dequantized *inside this layer's matmul* (one transient
+  layer-sized buffer, fused by XLA);
+- ``lora``:   ``{a: (in, r), b: (r, out)}`` — trainable low-rank factors
+  (α/r pre-folded into ``a``), applied as ``(x @ a) @ b`` — never
+  forming the (in, out) delta.
+
+So ``y = x @ dequant(W) + (x @ a) @ b [+ bias]`` with per-layer peak
+memory, and gradients flow only into the ``lora`` collection when that
+is the only differentiable input. Packing a param tree into this layout
+is `dalm_tpu.models.qlora.pack_qlora`.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class FlexLinear(nn.Module):
+    features: int
+    use_bias: bool = False
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+    kernel_axes: Tuple = ("embed", "mlp")
+    bias_axes: Tuple = ("mlp",)
+
+    @nn.compact
+    def __call__(self, x):
+        quantized = self.has_variable("quant", "q")
+        if quantized:
+            q = self.get_variable("quant", "q")
+            scale = self.get_variable("quant", "scale")
+            kernel = (q.astype(jnp.float32) * scale.astype(jnp.float32)).astype(self.dtype)
+        elif self.has_variable("quant", "w"):
+            # packed-but-unquantized frozen base (bf16 storage)
+            kernel = self.get_variable("quant", "w").astype(self.dtype)
+        else:
+            kernel = self.param(
+                "kernel",
+                nn.with_logical_partitioning(nn.initializers.normal(0.02), self.kernel_axes),
+                (x.shape[-1], self.features),
+                self.param_dtype,
+            ).astype(self.dtype)
+
+        y = x @ kernel
+
+        if self.has_variable("lora", "a"):
+            a = self.get_variable("lora", "a").astype(self.dtype)
+            b = self.get_variable("lora", "b").astype(self.dtype)
+            y = y + (x @ a) @ b
+
+        if self.use_bias:
+            if self.has_variable("quant", "bias"):
+                bias = self.get_variable("quant", "bias").astype(self.dtype)
+            else:
+                bias = self.param(
+                    "bias",
+                    nn.with_logical_partitioning(nn.initializers.zeros_init(), self.bias_axes),
+                    (self.features,),
+                    self.param_dtype,
+                ).astype(self.dtype)
+            y = y + bias
+        return y

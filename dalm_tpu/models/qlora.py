@@ -1,0 +1,261 @@
+"""Fused QLoRA: pack param trees into FlexLinear's quant/lora collections.
+
+The memory-scalable LoRA formulation (vs the merge-based one in
+`models/lora.py`): the frozen base is stored int8 (or bf16) in a
+``quant`` collection, trainable low-rank factors live in a ``lora``
+collection, and every FlexLinear computes
+``x @ dequant(W) + (x @ a) @ b`` locally — no whole-model effective
+weight set ever exists (RESULTS.md 7B finding).
+
+Apply shape::
+
+    residual, quant = pack_qlora_frozen(params, targets=spec.target_modules)
+    lora = init_qlora_factors(rng, params, spec)
+    out = model.apply({"params": residual, "quant": quant, "lora": lora}, ...)
+    # differentiate w.r.t. `lora` only
+
+Also: `init_params_leafwise` — materialize + quantize a big model's
+random init one leaf at a time (fp32 whole-tree init of 7B is 28 GB;
+leafwise peak is one kernel).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dalm_tpu.models.lora import LoraSpec, _target_kernel_paths
+from dalm_tpu.models.quant import quantize_tensor
+
+logger = logging.getLogger(__name__)
+
+
+def _walk_kernels(params: Any, path=()):
+    """Yield (path_tuple, leaf) for every 2-D 'kernel' leaf."""
+    if isinstance(params, dict):
+        for k, v in params.items():
+            if k == "kernel" and hasattr(v, "ndim") and v.ndim == 2:
+                yield path + (k,), v
+            else:
+                yield from _walk_kernels(v, path + (k,))
+
+
+def _set(tree: dict, path: tuple, value) -> None:
+    node = tree
+    for k in path[:-1]:
+        node = node.setdefault(k, {})
+    node[path[-1]] = value
+
+
+def _del(tree: dict, path: tuple) -> None:
+    node = tree
+    for k in path[:-1]:
+        node = node[k]
+    del node[path[-1]]
+    # prune empty parents
+    def prune(t):
+        if not isinstance(t, dict):
+            return False
+        for k in list(t):
+            if prune(t[k]):
+                del t[k]
+        return len(t) == 0
+
+    prune(tree)
+
+
+def pack_qlora_frozen(
+    params: Any,
+    quantize: bool = True,
+    min_size: int = 4096,
+) -> Tuple[dict, dict]:
+    """Move every large 2-D kernel out of ``params`` into a ``quant`` tree.
+
+    Returns (residual_params, quant_tree). Kernels smaller than
+    ``min_size`` elements (and all non-kernel leaves) stay in params.
+    The quant tree stores int8+scale under the kernel's module path
+    (``quantize=False`` → bf16 storage, bnb-less frozen-base mode).
+    """
+    import copy
+
+    residual = jax.tree.map(lambda x: x, params)  # shallow-structured copy
+    residual = jax.device_get(residual) if False else _deep_dict(residual)
+    quant: dict = {}
+    n = 0
+    for path, kernel in list(_walk_kernels(params)):
+        if kernel.size < min_size:
+            continue
+        module_path = path[:-1]  # strip "kernel"
+        if quantize:
+            qt = quantize_tensor(jnp.asarray(kernel))
+            _set(quant, module_path + ("q",), qt["__int8__"])
+            _set(quant, module_path + ("scale",), qt["scale"])
+        else:
+            _set(quant, module_path + ("w",), jnp.asarray(kernel, jnp.bfloat16))
+        _del(residual, path)
+        n += 1
+    logger.info("packed %d kernels into the quant collection (quantize=%s)", n, quantize)
+    return residual, quant
+
+
+def init_qlora_factors(rng: jax.Array, params: Any, spec: LoraSpec) -> dict:
+    """Trainable ``lora`` collection for the spec's target modules.
+
+    ``a ~ N(0, 0.02) * (alpha/r)`` (scaling pre-folded), ``b = 0``.
+    """
+    lora: dict = {}
+    count = 0
+    for path in _target_kernel_paths(params, spec):
+        kernel = params
+        for k in path:
+            kernel = kernel[k]
+        d_in, d_out = kernel.shape
+        rng, a_rng = jax.random.split(rng)
+        module_path = tuple(path[:-1])
+        a = jax.random.normal(a_rng, (d_in, spec.rank), jnp.float32) * 0.02 * spec.scaling
+        _set(lora, module_path + ("a",), a)
+        _set(lora, module_path + ("b",), jnp.zeros((spec.rank, d_out), jnp.float32))
+        count += 1
+    if count == 0:
+        raise ValueError(f"no kernels matched LoRA targets {spec.target_modules}")
+    return lora
+
+
+def init_packed_leafwise(
+    model,
+    rng: jax.Array,
+    example_args: tuple,
+    spec: Optional[LoraSpec] = None,
+    quantize: bool = True,
+    min_size: int = 4096,
+    dtype=jnp.bfloat16,
+) -> Tuple[dict, dict, Optional[dict]]:
+    """Random-init a big model DIRECTLY into packed QLoRA storage.
+
+    Never materializes the full-precision tree: each abstract leaf is
+    generated, quantized (if a big kernel), and the transient freed
+    before the next — peak extra memory is one kernel. For 7B: resident
+    int8 ≈ 7 GB instead of 28 GB fp32 + 7 GB (RESULTS.md finding).
+
+    Returns (residual_params, quant_tree, lora_tree-or-None).
+    """
+    from dalm_tpu.core.mesh import unbox
+
+    abstract = jax.eval_shape(lambda r: model.init(r, *example_args), rng)["params"]
+    abstract = unbox(abstract)
+
+    target_paths = set()
+    if spec is not None:
+        target_paths = {tuple(p) for p in _target_kernel_paths(abstract, spec)}
+
+    residual: dict = {}
+    quant: dict = {}
+    lora: dict = {} if spec is not None else None
+
+    quantize_jit = jax.jit(quantize_tensor)
+
+    def gen_leaf(key, struct, names):
+        if len(struct.shape) >= 2:
+            return (jax.random.normal(key, struct.shape, jnp.float32) * 0.02).astype(dtype)
+        if names and names[-1] == "scale":
+            return jnp.ones(struct.shape, dtype)
+        return jnp.zeros(struct.shape, dtype)
+
+    flat, _ = jax.tree_util.tree_flatten_with_path(abstract)
+    key = rng
+    for path, struct in flat:
+        names = tuple(getattr(p, "key", "") for p in path)
+        key, sub = jax.random.split(key)
+        is_big_kernel = names[-1] == "kernel" and len(struct.shape) == 2 and int(
+            np.prod(struct.shape)
+        ) >= min_size
+        module_path = names[:-1]
+        if is_big_kernel:
+            leaf = gen_leaf(sub, struct, names)
+            if quantize:
+                qt = quantize_jit(leaf)
+                del leaf  # free the transient before the next leaf
+                _set(quant, module_path + ("q",), qt["__int8__"])
+                _set(quant, module_path + ("scale",), qt["scale"])
+            else:
+                _set(quant, module_path + ("w",), leaf)
+        else:
+            _set(residual, names, gen_leaf(sub, struct, names))
+        if spec is not None and names in target_paths:
+            d_in, d_out = struct.shape
+            key, a_rng = jax.random.split(key)
+            _set(lora, module_path + ("a",),
+                 jax.random.normal(a_rng, (d_in, spec.rank), jnp.float32) * 0.02 * spec.scaling)
+            _set(lora, module_path + ("b",), jnp.zeros((spec.rank, d_out), jnp.float32))
+    return residual, quant, lora
+
+
+def factors_to_flat(lora_tree: dict, spec: LoraSpec) -> Dict[str, dict]:
+    """Fused ``lora`` collection → the flat merge-format adapter dict
+    (``{"path/to/kernel": {lora_a, lora_b}}``, scaling un-folded) so one
+    adapter file format serves both runtimes."""
+    flat: Dict[str, dict] = {}
+
+    def walk(node, path):
+        if isinstance(node, dict) and "a" in node and "b" in node:
+            flat["/".join(path + ("kernel",))] = {
+                "lora_a": node["a"] / spec.scaling,
+                "lora_b": node["b"],
+            }
+        elif isinstance(node, dict):
+            for k, v in node.items():
+                walk(v, path + (k,))
+
+    walk(lora_tree, ())
+    return flat
+
+
+def flat_to_factors(flat: Dict[str, dict], spec: LoraSpec) -> dict:
+    """Inverse of :func:`factors_to_flat` (scaling re-folded into a)."""
+    tree: dict = {}
+    for path_str, ab in flat.items():
+        module_path = tuple(path_str.split("/"))[:-1]
+        _set(tree, module_path + ("a",), jnp.asarray(ab["lora_a"]) * spec.scaling)
+        _set(tree, module_path + ("b",), jnp.asarray(ab["lora_b"]))
+    return tree
+
+
+def _deep_dict(tree):
+    if isinstance(tree, dict):
+        return {k: _deep_dict(v) for k, v in tree.items()}
+    return tree
+
+
+def init_params_leafwise(model, rng: jax.Array, example_args: tuple, dtype=jnp.bfloat16):
+    """Random-init a big model one leaf at a time in ``dtype``.
+
+    ``jax.eval_shape`` gives the abstract tree (no memory); each leaf is
+    then materialized directly in the target dtype — peak extra memory is
+    a single kernel, vs a whole fp32 tree (28 GB for 7B) for plain init.
+    Weights are N(0, 0.02) for >=2-D leaves, zeros for 1-D (biases), ones
+    for norm scales — statistically equivalent to the module initializers
+    for the purpose of memory/compile proofs and fresh pretraining.
+    """
+    from dalm_tpu.core.mesh import unbox
+
+    abstract = jax.eval_shape(lambda r: model.init(r, *example_args), rng)["params"]
+    abstract = unbox(abstract)
+
+    flat, treedef = jax.tree_util.tree_flatten_with_path(abstract)
+    leaves = []
+    key = rng
+    for path, shape_struct in flat:
+        key, sub = jax.random.split(key)
+        names = [getattr(p, "key", "") for p in path]
+        if len(shape_struct.shape) >= 2:
+            leaf = (jax.random.normal(sub, shape_struct.shape, jnp.float32) * 0.02).astype(dtype)
+        elif names and names[-1] == "scale":
+            leaf = jnp.ones(shape_struct.shape, dtype)
+        else:
+            leaf = jnp.zeros(shape_struct.shape, dtype)
+        leaves.append(leaf)
+    return jax.tree_util.tree_unflatten(treedef, leaves)

@@ -94,3 +94,16 @@ class RagE2EModel:
         if task == "generation":
             return self.generate_logits(params, input_ids, attention_mask)
         raise ValueError(f"unknown task {task!r}")
+
+    # ---- fused-QLoRA variants (models/qlora.py collections) -------------
+    def embed_with(self, variables: dict, input_ids, attention_mask):
+        """Like :meth:`embed` but with full variable collections for the
+        retriever (``{"params": residual, "quant": ..., "lora": ...}``)."""
+        if self.retriever_is_autoregressive:
+            hidden = self.retriever.apply(variables, input_ids, attention_mask, return_hidden=True)
+            return eos_pool(hidden, attention_mask, normalize=self.normalize)
+        hidden = self.retriever.apply(variables, input_ids, attention_mask, deterministic=True)
+        return mean_pool_l2(hidden, attention_mask, normalize=self.normalize)
+
+    def logits_with(self, variables: dict, input_ids, attention_mask):
+        return self.generator.apply(variables, input_ids, attention_mask)

@@ -105,6 +105,7 @@ def train_e2e(
     local_negatives: bool = True,
     live_index: bool = False,
     index_refresh_slice: int = 256,
+    lora_runtime: str = "merge",  # "merge" (<=1B) | "fused" (QLoRA, 7B-scale)
     profile_dir: Optional[str] = None,
     profile_start_step: int = 10,
     profile_num_steps: int = 5,
@@ -187,10 +188,34 @@ def train_e2e(
     from dalm_tpu.models import lora as lora_mod
 
     quantized_subs: set = set()
+    fused = lora_runtime == "fused"
+    fused_quant: dict = {}
     for sub in ("retriever", "generator"):
         sub_mode = Mode.RETRIEVER if sub == "retriever" else Mode.GENERATOR
         peft_on = peft_mode in (Mode.BOTH, sub_mode)
         quant_on = quant_mode in (Mode.BOTH, sub_mode)
+        if peft_on and fused:
+            # fused QLoRA (models/qlora.py): frozen base in the quant
+            # collection (int8 when use_bnb), trainable low-rank factors
+            # in the lora collection — per-layer dequant, no whole-model
+            # effective-weight materialization (7B-scale path).
+            from dalm_tpu.models import qlora as qlora_mod
+
+            is_clm = sub == "generator" or retriever_is_autoregressive
+            spec = lora_mod.LoraSpec.for_causal_lm() if is_clm else lora_mod.LoraSpec.for_encoder()
+            lora_specs[sub] = spec
+            residual, quant_tree = qlora_mod.pack_qlora_frozen(
+                full_params[sub], quantize=quant_on
+            )
+            base_frozen[sub] = residual
+            fused_quant[sub] = quant_tree
+            if quant_on:
+                quantized_subs.add(sub)
+            trainable[sub] = qlora_mod.init_qlora_factors(
+                jax.random.fold_in(init_rng, 23 if sub == "retriever" else 29),
+                full_params[sub], spec,
+            )
+            continue
         if peft_on:
             is_clm = sub == "generator" or retriever_is_autoregressive
             spec = lora_mod.LoraSpec.for_causal_lm() if is_clm else lora_mod.LoraSpec.for_encoder()
@@ -238,7 +263,46 @@ def train_e2e(
                 eff[sub] = train_params[sub]
         return eff
 
+    def _sub_variables(train_params, sub):
+        """Variable collections for a fused submodel."""
+        return {
+            "params": base_frozen[sub],
+            "quant": fused_quant[sub],
+            "lora": train_params[sub],
+        }
+
     def loss_fn(train_params, batch, step_rng):
+        if fused and lora_specs:
+            q_emb = rag.embed_with(
+                _sub_variables(train_params, "retriever") if "retriever" in lora_specs
+                else {"params": train_params["retriever"]},
+                batch["retriever_query_input_ids"], batch["retriever_query_attention_mask"],
+            )
+            p_emb = rag.embed_with(
+                _sub_variables(train_params, "retriever") if "retriever" in lora_specs
+                else {"params": train_params["retriever"]},
+                batch["retriever_passage_input_ids"], batch["retriever_passage_attention_mask"],
+            )
+            block = per_device_train_batch_size if (local_negatives and mesh.shape["data"] > 1) else None
+            retriever_loss, sim = contrastive_loss(
+                q_emb.astype(jnp.float32), p_emb.astype(jnp.float32), float(logit_scale),
+                local_negatives_block=block,
+            )
+            logits = rag.logits_with(
+                _sub_variables(train_params, "generator") if "generator" in lora_specs
+                else {"params": train_params["generator"]},
+                batch["generator_input_input_ids"], batch["generator_input_attention_mask"],
+            )
+            gen_loss = marginalized_nll_loss(
+                logits,
+                batch["generator_input_input_ids"],
+                batch["generator_input_attention_mask"],
+                sim,
+                batch["query_passage_input_len"],
+            )
+            total = retriever_loss + gen_loss
+            return total, (retriever_loss, gen_loss)
+
         params = effective_params(train_params, step_rng)
         d_rng = step_rng if dropout else None
         q_emb = rag.embed(
@@ -401,11 +465,22 @@ def train_e2e(
         ):
             sub_dir = os.path.join(output_dir, sub)
             if sub in lora_specs:
-                save_pretrained(
-                    sub_dir, cfg, jax.device_get(base_frozen[sub]),
-                    extra={"tokenizer": tok_name},
-                )
-                lora_mod.save_adapter(sub_dir, jax.device_get(state.params[sub]), lora_specs[sub])
+                if fused:
+                    from dalm_tpu.models import qlora as qlora_mod
+
+                    full_base = full_params[sub]  # pre-pack full-precision base
+                    save_pretrained(
+                        sub_dir, cfg, jax.device_get(full_base),
+                        extra={"tokenizer": tok_name},
+                    )
+                    flat = qlora_mod.factors_to_flat(jax.device_get(state.params[sub]), lora_specs[sub])
+                    lora_mod.save_adapter(sub_dir, flat, lora_specs[sub])
+                else:
+                    save_pretrained(
+                        sub_dir, cfg, jax.device_get(base_frozen[sub]),
+                        extra={"tokenizer": tok_name},
+                    )
+                    lora_mod.save_adapter(sub_dir, jax.device_get(state.params[sub]), lora_specs[sub])
             else:
                 save_pretrained(
                     sub_dir, cfg, jax.device_get(state.params[sub]),
