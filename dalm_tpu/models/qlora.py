@@ -194,6 +194,137 @@ def init_packed_leafwise(
     return residual, quant, lora
 
 
+def init_packed_on_device(
+    model,
+    rng: jax.Array,
+    example_args: tuple,
+    spec: Optional[LoraSpec] = None,
+    quantize: bool = True,
+    min_size: int = 4096,
+    dtype=jnp.bfloat16,
+) -> Tuple[dict, dict, Optional[dict]]:
+    """Like :func:`init_packed_leafwise` but as ONE compiled program.
+
+    Per-leaf host dispatches are latency-bound on tunneled transports
+    (hundreds of round trips for a 7B tree); here the whole generate+
+    quantize pipeline traces into a single XLA program — serial schedule,
+    per-leaf transients freed as the program runs, one dispatch total.
+    """
+    from dalm_tpu.core.mesh import unbox
+
+    abstract = jax.eval_shape(lambda r: model.init(r, *example_args), rng)["params"]
+    abstract = unbox(abstract)
+    target_paths = set()
+    if spec is not None:
+        target_paths = {tuple(p) for p in _target_kernel_paths(abstract, spec)}
+    flat, _ = jax.tree_util.tree_flatten_with_path(abstract)
+    plan = [(tuple(getattr(p, "key", "") for p in path), s) for path, s in flat]
+
+    def build(key):
+        residual: dict = {}
+        quant: dict = {}
+        lora: dict = {} if spec is not None else None
+        for names, struct in plan:
+            import zlib
+
+            tag = zlib.crc32("/".join(names).encode()) & 0x7FFFFFFF
+            _, sub = jax.random.split(jax.random.fold_in(key, tag))
+            module_path = names[:-1]
+            big_kernel = (
+                names[-1] == "kernel"
+                and len(struct.shape) == 2
+                and int(np.prod(struct.shape)) >= min_size
+            )
+            if big_kernel:
+                leaf = (jax.random.normal(sub, struct.shape, jnp.float32) * 0.02).astype(dtype)
+                if quantize:
+                    qt = quantize_tensor(leaf)
+                    _set(quant, module_path + ("q",), qt["__int8__"])
+                    _set(quant, module_path + ("scale",), qt["scale"])
+                else:
+                    _set(quant, module_path + ("w",), leaf)
+            elif len(struct.shape) >= 2:
+                _set(residual, names, (jax.random.normal(sub, struct.shape, jnp.float32) * 0.02).astype(dtype))
+            elif names[-1] == "scale":
+                _set(residual, names, jnp.ones(struct.shape, dtype))
+            else:
+                _set(residual, names, jnp.zeros(struct.shape, dtype))
+            if spec is not None and names in target_paths:
+                d_in, d_out = struct.shape
+                _, a_rng = jax.random.split(jax.random.fold_in(key, tag ^ 0x5A5A))
+                _set(lora, module_path + ("a",),
+                     jax.random.normal(a_rng, (d_in, spec.rank), jnp.float32) * 0.02 * spec.scaling)
+                _set(lora, module_path + ("b",), jnp.zeros((spec.rank, d_out), jnp.float32))
+        return residual, quant, lora if spec is not None else {}
+
+    residual, quant, lora = jax.jit(build)(rng)
+    return residual, quant, (lora if spec is not None else None)
+
+
+def quantize_tensor_np(w: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side symmetric per-column int8 (same math as quantize_tensor)."""
+    w = np.asarray(w, np.float32)
+    absmax = np.max(np.abs(w), axis=0, keepdims=True)
+    scale = np.where(absmax > 0, absmax / 127.0, 1.0).astype(np.float32)
+    q = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
+    return q, scale
+
+
+def load_hf_decoder_packed(
+    path: str,
+    spec: Optional[LoraSpec] = None,
+    quantize: bool = True,
+    min_size: int = 4096,
+    rng: Optional[jax.Array] = None,
+    dtype=jnp.bfloat16,
+) -> Tuple[Any, dict, dict, Optional[dict]]:
+    """Stream a Llama-family HF checkpoint directly into packed storage.
+
+    Tensors are read one at a time from safetensors, quantized on HOST
+    (numpy), and shipped to device as int8 — the full-precision model
+    never exists on device and host peak is one tensor. This is how a
+    real 7B checkpoint enters the fused-QLoRA runtime on a 16 GB chip.
+
+    Returns (config, residual_params, quant_tree, lora_tree-or-None).
+    """
+    from dalm_tpu.models.hf_loader import load_hf_decoder
+
+    # Reuse the (small-tensor) mapping logic by loading the converted
+    # tree lazily: hf_loader materializes numpy on host (OK — host RAM),
+    # then we stream each kernel to device quantized.
+    cfg, host_params = load_hf_decoder(path, dtype=dtype)
+
+    residual: dict = {}
+    quant: dict = {}
+    lora: dict = {} if spec is not None else None
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    target_paths = set()
+    if spec is not None:
+        target_paths = {tuple(p) for p in _target_kernel_paths(host_params, spec)}
+
+    flat, _ = jax.tree_util.tree_flatten_with_path(host_params)
+    for p, leaf in flat:
+        names = tuple(getattr(x, "key", "") for x in p)
+        module_path = names[:-1]
+        big_kernel = names[-1] == "kernel" and leaf.ndim == 2 and leaf.size >= min_size
+        if big_kernel and quantize:
+            q, scale = quantize_tensor_np(leaf)
+            _set(quant, module_path + ("q",), jax.device_put(q))
+            _set(quant, module_path + ("scale",), jax.device_put(scale))
+        elif big_kernel:
+            _set(quant, module_path + ("w",), jax.device_put(np.asarray(leaf, jnp.bfloat16)))
+        else:
+            _set(residual, names, jax.device_put(jnp.asarray(leaf, dtype)))
+        if spec is not None and names in target_paths:
+            d_in, d_out = leaf.shape
+            rng, a_rng = jax.random.split(rng)
+            _set(lora, module_path + ("a",),
+                 jax.random.normal(a_rng, (d_in, spec.rank), jnp.float32) * 0.02 * spec.scaling)
+            _set(lora, module_path + ("b",), jnp.zeros((spec.rank, d_out), jnp.float32))
+    return cfg, residual, quant, (lora if spec is not None else None)
+
+
 def factors_to_flat(lora_tree: dict, spec: LoraSpec) -> Dict[str, dict]:
     """Fused ``lora`` collection → the flat merge-format adapter dict
     (``{"path/to/kernel": {lora_a, lora_b}}``, scaling un-folded) so one

@@ -104,3 +104,37 @@ def test_leafwise_init_shapes_match():
     # model actually runs with the leafwise params
     out = model.apply({"params": leafwise}, ids, mask)
     assert np.isfinite(np.asarray(out, np.float32)).all()
+
+
+def test_load_hf_decoder_packed(tmp_path):
+    """HF checkpoint → packed storage; forward stays close to full load."""
+    import pytest
+
+    transformers = pytest.importorskip("transformers")
+    cfg_hf = transformers.LlamaConfig(
+        vocab_size=128, hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=4, intermediate_size=64, max_position_embeddings=64,
+        tie_word_embeddings=False,
+    )
+    hf_model = transformers.LlamaForCausalLM(cfg_hf)
+    hf_model.save_pretrained(tmp_path, safe_serialization=True)
+
+    from dalm_tpu.models.hf_loader import load_hf_decoder
+    from dalm_tpu.models.qlora import load_hf_decoder_packed
+
+    cfg, params = load_hf_decoder(str(tmp_path))
+    model = Decoder(cfg)
+    ids = jnp.asarray([[1, 5, 9, 22]])
+    mask = jnp.ones_like(ids)
+    full = model.apply({"params": params}, ids, mask)
+
+    cfg2, residual, quant, lora = load_hf_decoder_packed(
+        str(tmp_path), spec=lora_mod.LoraSpec.for_causal_lm(rank=2),
+        quantize=True, min_size=1, dtype=jnp.float32,
+    )
+    packed_model = Decoder(cfg2)
+    packed = packed_model.apply({"params": residual, "quant": quant, "lora": lora}, ids, mask)
+    a = np.asarray(full)
+    b = np.asarray(packed)
+    cos = (a * b).sum(-1) / (np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1))
+    assert (cos > 0.98).all()
