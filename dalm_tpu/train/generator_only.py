@@ -172,16 +172,16 @@ def train_generator(
     state = TrainState.create(trainable, tx)
     state = jax.device_put(state, replicated(mesh))
 
-    def effective(params):
+    def effective(params, base):
         if not use_peft:
             return params
         from dalm_tpu.models import lora as lora_mod
 
-        return lora_mod.merge_lora(base_params, params, lora_spec, None)
+        return lora_mod.merge_lora(base, params, lora_spec, None)
 
-    def loss_fn(params, batch, step_rng):
+    def loss_fn(params, base, batch, step_rng):
         logits = model.apply(
-            {"params": effective(params)},
+            {"params": effective(params, base)},
             batch["input_ids"],
             jnp.ones_like(batch["input_ids"]),
             neftune_alpha=float(neftune_noise_alpha),
@@ -192,14 +192,14 @@ def train_generator(
     from functools import partial
 
     @partial(jax.jit, donate_argnums=(0,))
-    def train_step(state, batch, step_rng):
-        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, step_rng)
+    def train_step(state, base, batch, step_rng):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, base, batch, step_rng)
         return state.apply_gradients(grads), loss
 
     @jax.jit
-    def eval_step(params, batch):
+    def eval_step(params, base, batch):
         logits = model.apply(
-            {"params": effective(params)}, batch["input_ids"], jnp.ones_like(batch["input_ids"])
+            {"params": effective(params, base)}, batch["input_ids"], jnp.ones_like(batch["input_ids"])
         )
         return causal_lm_loss(logits, batch["input_ids"])
 
@@ -210,7 +210,7 @@ def train_generator(
         ebs = per_device_eval_batch_size * mesh.shape["data"]
         for s in range(0, len(valid_blocks) - ebs + 1, ebs):
             batch = put_batch({"input_ids": valid_blocks[s : s + ebs]}, mesh, np.int32)
-            losses.append(float(eval_step(params, batch)))
+            losses.append(float(eval_step(params, base_params, batch)))
         return float(np.mean(losses)) if losses else float("nan")
 
     tracker = MetricsLogger(
@@ -234,7 +234,7 @@ def train_generator(
             batch = put_batch({"input_ids": train_blocks[idx]}, mesh, np.int32)
             step_rng = jax.random.fold_in(noise_rng, completed)
             timer.start()
-            state, loss = train_step(state, batch, step_rng)
+            state, loss = train_step(state, base_params, batch, step_rng)
             final_loss = float(loss)
             timer.stop()
             completed += 1

@@ -249,13 +249,13 @@ def train_e2e(
 
     dropout = use_dropout and getattr(r_cfg, "hidden_dropout", 0.0) > 0
 
-    def effective_params(train_params, step_rng):
+    def effective_params(train_params, frozen, step_rng):
         from dalm_tpu.models.quant import dequantize_params
 
         eff = {}
         for sub in ("retriever", "generator"):
             if sub in lora_specs:
-                base = base_frozen[sub]
+                base = frozen["base"][sub]
                 if sub in quantized_subs:
                     base = dequantize_params(base)  # fused into matmuls by XLA
                 eff[sub] = lora_mod.merge_lora(base, train_params[sub], lora_specs[sub], None)
@@ -263,25 +263,25 @@ def train_e2e(
                 eff[sub] = train_params[sub]
         return eff
 
-    def _sub_variables(train_params, sub):
+    def _sub_variables(train_params, frozen, sub):
         """Variable collections for a fused submodel."""
         return {
-            "params": base_frozen[sub],
-            "quant": fused_quant[sub],
+            "params": frozen["base"][sub],
+            "quant": frozen["quant"][sub],
             "lora": train_params[sub],
         }
 
-    def loss_fn(train_params, batch, step_rng):
+    def loss_fn(train_params, frozen, batch, step_rng):
         if fused and lora_specs:
+            r_vars = (
+                _sub_variables(train_params, frozen, "retriever") if "retriever" in lora_specs
+                else {"params": train_params["retriever"]}
+            )
             q_emb = rag.embed_with(
-                _sub_variables(train_params, "retriever") if "retriever" in lora_specs
-                else {"params": train_params["retriever"]},
-                batch["retriever_query_input_ids"], batch["retriever_query_attention_mask"],
+                r_vars, batch["retriever_query_input_ids"], batch["retriever_query_attention_mask"]
             )
             p_emb = rag.embed_with(
-                _sub_variables(train_params, "retriever") if "retriever" in lora_specs
-                else {"params": train_params["retriever"]},
-                batch["retriever_passage_input_ids"], batch["retriever_passage_attention_mask"],
+                r_vars, batch["retriever_passage_input_ids"], batch["retriever_passage_attention_mask"]
             )
             block = per_device_train_batch_size if (local_negatives and mesh.shape["data"] > 1) else None
             retriever_loss, sim = contrastive_loss(
@@ -289,7 +289,7 @@ def train_e2e(
                 local_negatives_block=block,
             )
             logits = rag.logits_with(
-                _sub_variables(train_params, "generator") if "generator" in lora_specs
+                _sub_variables(train_params, frozen, "generator") if "generator" in lora_specs
                 else {"params": train_params["generator"]},
                 batch["generator_input_input_ids"], batch["generator_input_attention_mask"],
             )
@@ -303,7 +303,7 @@ def train_e2e(
             total = retriever_loss + gen_loss
             return total, (retriever_loss, gen_loss)
 
-        params = effective_params(train_params, step_rng)
+        params = effective_params(train_params, frozen, step_rng)
         d_rng = step_rng if dropout else None
         q_emb = rag.embed(
             params, batch["retriever_query_input_ids"], batch["retriever_query_attention_mask"],
@@ -333,10 +333,14 @@ def train_e2e(
 
     from functools import partial
 
+    # Frozen trees ride as jit ARGUMENTS — closing over them would bake
+    # gigabytes of weights into the compiled program as constants.
+    frozen_trees = {"base": base_frozen, "quant": fused_quant}
+
     @partial(jax.jit, donate_argnums=(0,))
-    def train_step(state, batch, step_rng):
+    def train_step(state, frozen, batch, step_rng):
         (loss, (r_loss, g_loss)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, step_rng
+            state.params, frozen, batch, step_rng
         )
         new_state = state.apply_gradients(grads)
         return new_state, loss, r_loss, g_loss
@@ -359,8 +363,14 @@ def train_e2e(
         p_ids, p_mask = p_ids[unique_idx], p_mask[unique_idx]
 
         @jax.jit
-        def _index_embed(train_params, ids, mask):
-            params = effective_params(train_params, None)
+        def _index_embed(train_params, frozen, ids, mask):
+            if fused and lora_specs:
+                r_vars = (
+                    _sub_variables(train_params, frozen, "retriever")
+                    if "retriever" in lora_specs else {"params": train_params["retriever"]}
+                )
+                return rag.embed_with(r_vars, ids, mask).astype(jnp.float32)
+            params = effective_params(train_params, frozen, None)
             return rag.embed(params, ids, mask).astype(jnp.float32)
 
         dim = r_cfg.hidden_size
@@ -368,7 +378,7 @@ def train_e2e(
         live = ShardedDenseIndex.build(mesh, seed_embs)
         refresher = AsyncIndexRefresher(
             live,
-            lambda params, ids, mask: _index_embed(params, ids, mask),
+            lambda params, ids, mask: _index_embed(params, frozen_trees, ids, mask),
             p_ids, p_mask, slice_size=index_refresh_slice,
         )
         logger.info("live index: %d unique passages, slice %d", len(p_ids), index_refresh_slice)
@@ -420,7 +430,7 @@ def train_e2e(
             )
             profiler.maybe_start(completed_steps)
             timer.start()
-            state, loss, r_loss, g_loss = train_step(state, batch, step_rng)
+            state, loss, r_loss, g_loss = train_step(state, frozen_trees, batch, step_rng)
             if refresher is not None:
                 refresh_stats = refresher.tick(state.params)
             final = {"loss": float(loss), "retriever": float(r_loss), "generator": float(g_loss)}

@@ -184,7 +184,7 @@ def train_retriever(
 
     dropout = use_dropout and getattr(model_cfg, "hidden_dropout", 0.0) > 0
 
-    def loss_fn(params, batch, step_rng):
+    def loss_fn(params, base_params, batch, step_rng):
         if use_peft:
             from dalm_tpu.models import lora as lora_mod
 
@@ -213,8 +213,10 @@ def train_retriever(
     from functools import partial
 
     @partial(jax.jit, donate_argnums=(0,))
-    def train_step(state, batch, step_rng):
-        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, step_rng)
+    def train_step(state, base, batch, step_rng):
+        # base rides as an argument — closing over it would bake the
+        # frozen weights into the program as constants.
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, base, batch, step_rng)
         new_state = state.apply_gradients(grads)
         return new_state, loss
 
@@ -268,7 +270,7 @@ def train_retriever(
             )
             profiler.maybe_start(completed_steps)
             timer.start()
-            state, loss = train_step(state, batch, step_rng)
+            state, loss = train_step(state, base_params, batch, step_rng)
             final_loss = float(loss)
             timer.stop()
             total_loss += final_loss
