@@ -1,19 +1,20 @@
 """Benchmark: RAG-e2e training throughput (samples/sec/chip).
 
 Anchor (BASELINE.md): the reference trains bge-large + Llama-2-7b,
-batch 18, 200k rows in 7 h on one A100-80GB → ≈ 200000/25200 = 7.94
-samples/sec/GPU. No other throughput numbers are published.
+batch 18, 200k rows in 7 h on one A100-80GB → ≈ 7.94 samples/sec/GPU.
 
-This round's measurement: the full jitted RAG-e2e train step (two
-retriever forwards + similarity + generator forward + both losses +
-backward + adam) in bf16 at the reference's sequence geometry
-(query 50 / passage 128 / generator 256) and batch 18, on one chip.
-Model scale this round is bge-small-class retriever + ~125M-class
-generator (HF-weight parity runs for the 7B config land in a later
-round; the metric name carries the config so nothing is apples-to-
-oranges silently).
+Headline config (matches the reference's): bge-large retriever +
+Llama-2-7B-shape generator, batch 18, q50/p128/g256 — runnable on a
+single 16 GB v5e via the fused-QLoRA runtime (int8 frozen base,
+per-layer dequant, LoRA factors trainable, per-layer remat). Weights are
+random-init (throughput is weight-independent); `models/qlora.py`
+streams real HF checkpoints into the same storage.
 
-Prints exactly one JSON line.
+Falls back to a bf16 small-model config when the flagship cannot run
+(e.g. CPU-only environments). Prints exactly ONE JSON line.
+
+NOTE: sync via scalar host readback (float(loss)) — some PJRT
+transports ack block_until_ready before execution finishes.
 """
 
 from __future__ import annotations
@@ -26,24 +27,114 @@ import numpy as np
 BASELINE_SAMPLES_PER_SEC = 200_000 / (7 * 3600)  # 7.936
 
 
-def main() -> None:
+def _bench_flagship_7b():
+    """bge-large + Llama-2-7B shape, batch 18, fused QLoRA on one chip."""
+    import dataclasses
+    from functools import partial
+
     import jax
     import jax.numpy as jnp
     import optax
 
+    from __graft_entry__ import _example_batch
+    from dalm_tpu.losses.contrastive import contrastive_loss
+    from dalm_tpu.losses.marginalized import marginalized_nll_loss
+    from dalm_tpu.models import lora as lora_mod
+    from dalm_tpu.models.decoder import Decoder, DecoderConfig
+    from dalm_tpu.models.encoder import Encoder, EncoderConfig
+    from dalm_tpu.models.pooling import mean_pool_l2
+    from dalm_tpu.models.qlora import init_packed_on_device
+    from dalm_tpu.train.state import TrainState
+
+    B = 18
+    r_cfg = dataclasses.replace(
+        EncoderConfig.bge_large(), dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
+        hidden_dropout=0.0, attention_dropout=0.0,
+    )
+    g_cfg = dataclasses.replace(
+        DecoderConfig.llama2_7b(), dtype=jnp.bfloat16, param_dtype=jnp.bfloat16, remat=True,
+    )
+    encoder, decoder = Encoder(r_cfg), Decoder(g_cfg)
+    ids8 = jnp.zeros((1, 8), jnp.int32)
+    ones8 = jnp.ones((1, 8), jnp.int32)
+
+    enc_res, enc_quant, enc_lora = init_packed_on_device(
+        encoder, jax.random.PRNGKey(0), (ids8, ones8),
+        spec=lora_mod.LoraSpec.for_encoder(), quantize=False,
+    )
+    dec_res, dec_quant, dec_lora = init_packed_on_device(
+        decoder, jax.random.PRNGKey(1), (ids8, ones8),
+        spec=lora_mod.LoraSpec.for_causal_lm(), quantize=True,
+    )
+    frozen = {"er": enc_res, "eq": enc_quant, "dr": dec_res, "dq": dec_quant}
+    state = TrainState.create({"retriever": enc_lora, "generator": dec_lora}, optax.adam(1e-4))
+
+    def loss_fn(lora, frozen, batch):
+        def embed(i, m):
+            h = encoder.apply(
+                {"params": frozen["er"], "quant": frozen["eq"], "lora": lora["retriever"]}, i, m
+            )
+            return mean_pool_l2(h, m)
+
+        q = embed(batch["retriever_query_input_ids"], batch["retriever_query_attention_mask"])
+        p = embed(batch["retriever_passage_input_ids"], batch["retriever_passage_attention_mask"])
+        r_loss, sim = contrastive_loss(q.astype(jnp.float32), p.astype(jnp.float32), 100.0)
+        logits = decoder.apply(
+            {"params": frozen["dr"], "quant": frozen["dq"], "lora": lora["generator"]},
+            batch["generator_input_input_ids"], batch["generator_input_attention_mask"],
+        )
+        g_loss = marginalized_nll_loss(
+            logits, batch["generator_input_input_ids"],
+            batch["generator_input_attention_mask"], sim, batch["query_passage_input_len"],
+        )
+        return r_loss + g_loss
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state, frozen, batch):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, frozen, batch)
+        return state.apply_gradients(grads), loss
+
+    batch = {
+        k: jnp.asarray(v)
+        for k, v in _example_batch(np.random.default_rng(0), B, 30000, 50, 128, 256).items()
+    }
+    state, loss = train_step(state, frozen, batch)
+    _ = float(loss)
+    iters = 8
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, loss = train_step(state, frozen, batch)
+    _ = float(loss)
+    dt = time.perf_counter() - t0
+    import jax as _jax
+
+    per_chip = B * iters / dt / _jax.device_count()
+    return {
+        "metric": "rag_e2e_train_samples_per_sec_per_chip[bge-large+llama2-7B-shape,b18,q50/p128/g256,fused-qlora-int8,1xv5e-16GB]",
+        "value": round(per_chip, 3),
+        "unit": "samples/sec/chip",
+        "vs_baseline": round(per_chip / BASELINE_SAMPLES_PER_SEC, 3),
+    }
+
+
+def _bench_small():
+    """Fallback: bge-small-class + 125M-class, full fine-tune, bf16/f32."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from functools import partial
+
+    from __graft_entry__ import _example_batch, _loss_fn
     from dalm_tpu.core.mesh import MeshConfig, make_mesh, put_batch, unbox
     from dalm_tpu.models.decoder import DecoderConfig
     from dalm_tpu.models.encoder import EncoderConfig
     from dalm_tpu.models.rag import RagE2EModel
     from dalm_tpu.train.state import TrainState
-    from __graft_entry__ import _example_batch, _loss_fn
 
     on_tpu = jax.devices()[0].platform != "cpu"
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
-
-    vocab = 30592  # 30522 rounded to /128
     r_cfg = EncoderConfig(
-        vocab_size=vocab, hidden_size=384, num_layers=12, num_heads=12,
+        vocab_size=30592, hidden_size=384, num_layers=12, num_heads=12,
         intermediate_size=1536, max_position_embeddings=512,
         hidden_dropout=0.0, attention_dropout=0.0, dtype=dtype,
     )
@@ -52,54 +143,53 @@ def main() -> None:
         intermediate_size=2048, max_position_embeddings=1024, dtype=dtype,
     )
     rag = RagE2EModel(r_cfg, g_cfg)
-
     mesh = make_mesh(MeshConfig())
     batch_size = 18 * mesh.shape["data"]
-
     params = unbox(rag.init_params(jax.random.PRNGKey(0), query_len=50, gen_len=256))
-    tx = optax.adam(1e-4)
-    state = TrainState.create(params, tx)
-
+    state = TrainState.create(params, optax.adam(1e-4))
     loss_fn = _loss_fn(rag)
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,))
     def train_step(state, batch):
         loss, grads = jax.value_and_grad(loss_fn)(state.params, batch)
         return state.apply_gradients(grads), loss
 
-    rng = np.random.default_rng(0)
     batch = put_batch(
-        _example_batch(rng, batch=batch_size, vocab=30000, q_len=50, p_len=128, g_len=256),
-        mesh,
-        np.int32,
+        _example_batch(np.random.default_rng(0), batch=batch_size, vocab=30000, q_len=50, p_len=128, g_len=256),
+        mesh, np.int32,
     )
-
-    # Warmup / compile. NOTE: sync via scalar host readback (float(loss)),
-    # not block_until_ready — some PJRT transports ack readiness before
-    # execution finishes; a host transfer cannot lie.
     for _ in range(3):
         state, loss = train_step(state, batch)
     _ = float(loss)
-
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
         state, loss = train_step(state, batch)
     _ = float(loss)
     dt = time.perf_counter() - t0
+    per_chip = batch_size * iters / dt / jax.device_count()
+    return {
+        "metric": "rag_e2e_train_samples_per_sec_per_chip[bge-small-class+125M-class,b18,q50/p128/g256,bf16]",
+        "value": round(per_chip, 3),
+        "unit": "samples/sec/chip",
+        "vs_baseline": round(per_chip / BASELINE_SAMPLES_PER_SEC, 3),
+    }
 
-    samples_per_sec = batch_size * iters / dt
-    per_chip = samples_per_sec / jax.device_count()
-    print(
-        json.dumps(
-            {
-                "metric": "rag_e2e_train_samples_per_sec_per_chip[bge-small-class+125M-class,b18,q50/p128/g256,bf16]",
-                "value": round(per_chip, 3),
-                "unit": "samples/sec/chip",
-                "vs_baseline": round(per_chip / BASELINE_SAMPLES_PER_SEC, 3),
-            }
-        )
-    )
+
+def main() -> None:
+    import jax
+
+    result = None
+    if jax.devices()[0].platform != "cpu":
+        try:
+            result = _bench_flagship_7b()
+        except Exception as e:  # OOM / unsupported → honest fallback
+            import sys
+
+            print(f"flagship 7B bench failed ({type(e).__name__}); falling back", file=sys.stderr)
+    if result is None:
+        result = _bench_small()
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
