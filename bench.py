@@ -1,182 +1,212 @@
-"""Benchmark: RAG-e2e training throughput (samples/sec/chip).
+"""Benchmark: RAG-e2e training throughput through the SHIPPED trainer.
 
 Anchor (BASELINE.md): the reference trains bge-large + Llama-2-7b,
 batch 18, 200k rows in 7 h on one A100-80GB → ≈ 7.94 samples/sec/GPU.
 
 Headline config (matches the reference's): bge-large retriever +
-Llama-2-7B-shape generator, batch 18, q50/p128/g256 — runnable on a
-single 16 GB v5e via the fused-QLoRA runtime (int8 frozen base,
+Llama-2-7B-shape generator, batch 18, q50/p128/g256 — run END-TO-END
+through `dalm_tpu.train.rag_e2e.train_e2e` (tokenize → packed QLoRA
+init → jitted joint train step → windowed throughput), on a single
+16 GB v5e via the fused-QLoRA runtime (int8 frozen generator base,
 per-layer dequant, LoRA factors trainable, per-layer remat). Weights are
 random-init (throughput is weight-independent); `models/qlora.py`
 streams real HF checkpoints into the same storage.
 
+Timing: the trainer loop keeps losses on device and syncs only at
+epoch/logging boundaries (WindowedThroughput); the first window holds
+the XLA compile and is dropped. The JSON also carries step_time_s,
+flops_per_step, and mfu so the number defends itself:
+
+  FLOPs/step ≈ Σ_submodel f · P_mm · tokens, with P_mm = Σ matmul-kernel
+  sizes (from jax.eval_shape — embedding gathers excluded) and
+  f = 2 (fwd) + 2 (remat re-fwd, if on) + 2 (bwd wrt activations)
+    [+ 2 bwd wrt weights only for densely-trained submodels].
+  Attention score/AV FLOPs add ~T/(12·hidden) ≈ 0.5% at T=256 — ignored.
+
 Falls back to a bf16 small-model config when the flagship cannot run
 (e.g. CPU-only environments). Prints exactly ONE JSON line.
-
-NOTE: sync via scalar host readback (float(loss)) — some PJRT
-transports ack block_until_ready before execution finishes.
 """
 
 from __future__ import annotations
 
 import json
-import time
+import math
+import string
 
 import numpy as np
 
 BASELINE_SAMPLES_PER_SEC = 200_000 / (7 * 3600)  # 7.936
+V5E_BF16_PEAK_FLOPS = 197e12  # TPU v5e (lite) bf16 peak per chip
+
+
+def _synthetic_dataset(rows: int, q_chars=48, p_chars=126, a_chars=60):
+    """In-memory HF Dataset in the toy-CSV schema; byte tokenizer ⇒
+    1 char = 1 token, so these lengths fill q50/p128/g256 after markers."""
+    from datasets import Dataset
+
+    rng = np.random.default_rng(0)
+    letters = np.array(list(string.ascii_lowercase + " "))
+
+    def text(n, i):
+        return "".join(rng.choice(letters, size=n)) + f" {i}"
+
+    return Dataset.from_dict(
+        {
+            "Question": [text(q_chars, i) for i in range(rows)],
+            "Abstract": [text(p_chars, i) for i in range(rows)],
+            "Answer": [text(a_chars, i) for i in range(rows)],
+        }
+    )
+
+
+def _matmul_params(module, seq_len: int, init_kwargs=None) -> int:
+    """Σ sizes of 2-D matmul kernels via jax.eval_shape (no memory)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dalm_tpu.core.mesh import unbox
+
+    ids = jnp.zeros((1, seq_len), jnp.int32)
+    mask = jnp.ones((1, seq_len), jnp.int32)
+    kw = init_kwargs or {}
+    abstract = unbox(
+        jax.eval_shape(lambda r: module.init(r, ids, mask, **kw), jax.random.PRNGKey(0))["params"]
+    )
+    total = 0
+    flat, _ = jax.tree_util.tree_flatten_with_path(abstract)
+    for path, leaf in flat:
+        names = [getattr(p, "key", "") for p in path]
+        if names and names[-1] == "kernel" and len(leaf.shape) == 2:
+            total += int(np.prod(leaf.shape))
+    return total
+
+
+def _train_flops_per_step(
+    batch: int, q_len: int, p_len: int, g_len: int,
+    enc_mm: int, dec_mm: int, enc_remat: bool, dec_remat: bool,
+    enc_dense: bool, dec_dense: bool,
+) -> float:
+    """See module docstring for the factor arithmetic."""
+
+    def factor(remat, dense):
+        return 2 + (2 if remat else 0) + 2 + (2 if dense else 0)
+
+    enc_tokens = batch * (q_len + p_len)  # query fwd + passage fwd
+    dec_tokens = batch * g_len
+    return factor(enc_remat, enc_dense) * enc_mm * enc_tokens + factor(
+        dec_remat, dec_dense
+    ) * dec_mm * dec_tokens
 
 
 def _bench_flagship_7b():
-    """bge-large + Llama-2-7B shape, batch 18, fused QLoRA on one chip."""
-    import dataclasses
-    from functools import partial
-
+    """bge-large + Llama-2-7B shape, b18, fused QLoRA, through train_e2e."""
     import jax
+
+    from dalm_tpu.models.decoder import DecoderConfig
+    from dalm_tpu.models.encoder import EncoderConfig
+    from dalm_tpu.models.registry import build_decoder
+    from dalm_tpu.models.encoder import Encoder
+    from dalm_tpu.train.rag_e2e import train_e2e
+
+    B, Q, P, G = 18, 50, 128, 256
+    steps_per_epoch = 8
+    ds = _synthetic_dataset(B * steps_per_epoch)
+
+    result = train_e2e(
+        ds,
+        "bge-large",
+        "llama2-7b",
+        per_device_train_batch_size=B,
+        num_train_epochs=3,  # epoch 1 = compile window (dropped)
+        query_max_len=Q,
+        passage_max_len=P,
+        generator_max_len=G,
+        retriever_tokenizer="byte@30522",  # bge-large vocab (rounds to 30592)
+        generator_tokenizer="byte@32000",  # llama vocab
+        dtype="bfloat16",
+        use_peft="both",
+        use_bnb="generator",
+        lora_runtime="fused",
+        with_tracking=False,
+        output_dir=None,
+        num_warmup_steps=0,
+    )
+
+    step_time = result["avg_step_time"]
+    per_chip = result["samples_per_sec"] / jax.device_count()
+
+    import dataclasses
     import jax.numpy as jnp
-    import optax
 
-    from __graft_entry__ import _example_batch
-    from dalm_tpu.losses.contrastive import contrastive_loss
-    from dalm_tpu.losses.marginalized import marginalized_nll_loss
-    from dalm_tpu.models import lora as lora_mod
-    from dalm_tpu.models.decoder import Decoder, DecoderConfig
-    from dalm_tpu.models.encoder import Encoder, EncoderConfig
-    from dalm_tpu.models.pooling import mean_pool_l2
-    from dalm_tpu.models.qlora import init_packed_on_device
-    from dalm_tpu.train.state import TrainState
-
-    B = 18
     r_cfg = dataclasses.replace(
-        EncoderConfig.bge_large(), dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
-        hidden_dropout=0.0, attention_dropout=0.0,
+        EncoderConfig.bge_large(), vocab_size=30592, dtype=jnp.bfloat16
     )
-    g_cfg = dataclasses.replace(
-        DecoderConfig.llama2_7b(), dtype=jnp.bfloat16, param_dtype=jnp.bfloat16, remat=True,
+    g_cfg = dataclasses.replace(DecoderConfig.llama2_7b(), dtype=jnp.bfloat16)
+    enc_mm = _matmul_params(Encoder(r_cfg), Q)
+    dec_mm = _matmul_params(build_decoder(g_cfg), 32)
+    flops = _train_flops_per_step(
+        B, Q, P, G, enc_mm, dec_mm,
+        enc_remat=False, dec_remat=g_cfg.remat, enc_dense=False, dec_dense=False,
     )
-    encoder, decoder = Encoder(r_cfg), Decoder(g_cfg)
-    ids8 = jnp.zeros((1, 8), jnp.int32)
-    ones8 = jnp.ones((1, 8), jnp.int32)
-
-    enc_res, enc_quant, enc_lora = init_packed_on_device(
-        encoder, jax.random.PRNGKey(0), (ids8, ones8),
-        spec=lora_mod.LoraSpec.for_encoder(), quantize=False,
-    )
-    dec_res, dec_quant, dec_lora = init_packed_on_device(
-        decoder, jax.random.PRNGKey(1), (ids8, ones8),
-        spec=lora_mod.LoraSpec.for_causal_lm(), quantize=True,
-    )
-    frozen = {"er": enc_res, "eq": enc_quant, "dr": dec_res, "dq": dec_quant}
-    state = TrainState.create({"retriever": enc_lora, "generator": dec_lora}, optax.adam(1e-4))
-
-    def loss_fn(lora, frozen, batch):
-        def embed(i, m):
-            h = encoder.apply(
-                {"params": frozen["er"], "quant": frozen["eq"], "lora": lora["retriever"]}, i, m
-            )
-            return mean_pool_l2(h, m)
-
-        q = embed(batch["retriever_query_input_ids"], batch["retriever_query_attention_mask"])
-        p = embed(batch["retriever_passage_input_ids"], batch["retriever_passage_attention_mask"])
-        r_loss, sim = contrastive_loss(q.astype(jnp.float32), p.astype(jnp.float32), 100.0)
-        logits = decoder.apply(
-            {"params": frozen["dr"], "quant": frozen["dq"], "lora": lora["generator"]},
-            batch["generator_input_input_ids"], batch["generator_input_attention_mask"],
-        )
-        g_loss = marginalized_nll_loss(
-            logits, batch["generator_input_input_ids"],
-            batch["generator_input_attention_mask"], sim, batch["query_passage_input_len"],
-        )
-        return r_loss + g_loss
-
-    @partial(jax.jit, donate_argnums=(0,))
-    def train_step(state, frozen, batch):
-        loss, grads = jax.value_and_grad(loss_fn)(state.params, frozen, batch)
-        return state.apply_gradients(grads), loss
-
-    batch = {
-        k: jnp.asarray(v)
-        for k, v in _example_batch(np.random.default_rng(0), B, 30000, 50, 128, 256).items()
-    }
-    state, loss = train_step(state, frozen, batch)
-    _ = float(loss)
-    iters = 8
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, loss = train_step(state, frozen, batch)
-    _ = float(loss)
-    dt = time.perf_counter() - t0
-    import jax as _jax
-
-    per_chip = B * iters / dt / _jax.device_count()
+    mfu = flops / step_time / V5E_BF16_PEAK_FLOPS if step_time else 0.0
     return {
-        "metric": "rag_e2e_train_samples_per_sec_per_chip[bge-large+llama2-7B-shape,b18,q50/p128/g256,fused-qlora-int8,1xv5e-16GB]",
+        "metric": "rag_e2e_train_samples_per_sec_per_chip[bge-large+llama2-7B-shape,b18,q50/p128/g256,fused-qlora-int8,train_e2e-loop,1xv5e-16GB]",
         "value": round(per_chip, 3),
         "unit": "samples/sec/chip",
         "vs_baseline": round(per_chip / BASELINE_SAMPLES_PER_SEC, 3),
+        "step_time_s": round(step_time, 4) if step_time else None,
+        "flops_per_step": flops,
+        "mfu_vs_197tflops_bf16_peak": round(mfu, 4),
+        "encoder_matmul_params": enc_mm,
+        "decoder_matmul_params": dec_mm,
+        "steps": result["steps"],
     }
 
 
 def _bench_small():
-    """Fallback: bge-small-class + 125M-class, full fine-tune, bf16/f32."""
+    """Fallback: bge-small-class + 125M-class through train_e2e, bf16/f32."""
     import jax
-    import jax.numpy as jnp
-    import optax
-    from functools import partial
 
-    from __graft_entry__ import _example_batch, _loss_fn
-    from dalm_tpu.core.mesh import MeshConfig, make_mesh, put_batch, unbox
-    from dalm_tpu.models.decoder import DecoderConfig
-    from dalm_tpu.models.encoder import EncoderConfig
-    from dalm_tpu.models.rag import RagE2EModel
-    from dalm_tpu.train.state import TrainState
+    from dalm_tpu.train.rag_e2e import train_e2e
 
     on_tpu = jax.devices()[0].platform != "cpu"
-    dtype = jnp.bfloat16 if on_tpu else jnp.float32
-    r_cfg = EncoderConfig(
-        vocab_size=30592, hidden_size=384, num_layers=12, num_heads=12,
-        intermediate_size=1536, max_position_embeddings=512,
-        hidden_dropout=0.0, attention_dropout=0.0, dtype=dtype,
-    )
-    g_cfg = DecoderConfig(
-        vocab_size=32000, hidden_size=768, num_layers=12, num_heads=12,
-        intermediate_size=2048, max_position_embeddings=1024, dtype=dtype,
-    )
-    rag = RagE2EModel(r_cfg, g_cfg)
-    mesh = make_mesh(MeshConfig())
-    batch_size = 18 * mesh.shape["data"]
-    params = unbox(rag.init_params(jax.random.PRNGKey(0), query_len=50, gen_len=256))
-    state = TrainState.create(params, optax.adam(1e-4))
-    loss_fn = _loss_fn(rag)
+    B, Q, P, G = 18, 50, 128, 256
+    steps_per_epoch = 4
+    n_data = max(1, jax.device_count())
+    ds = _synthetic_dataset(B * steps_per_epoch * n_data)
 
-    @partial(jax.jit, donate_argnums=(0,))
-    def train_step(state, batch):
-        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch)
-        return state.apply_gradients(grads), loss
-
-    batch = put_batch(
-        _example_batch(np.random.default_rng(0), batch=batch_size, vocab=30000, q_len=50, p_len=128, g_len=256),
-        mesh, np.int32,
+    result = train_e2e(
+        ds,
+        "bge-small",
+        "gpt2",
+        per_device_train_batch_size=B,
+        num_train_epochs=3,
+        query_max_len=Q,
+        passage_max_len=P,
+        generator_max_len=G,
+        retriever_tokenizer="byte@30522",
+        generator_tokenizer="byte@32000",
+        dtype="bfloat16" if on_tpu else None,
+        with_tracking=False,
+        output_dir=None,
+        num_warmup_steps=0,
     )
-    for _ in range(3):
-        state, loss = train_step(state, batch)
-    _ = float(loss)
-    iters = 10
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, loss = train_step(state, batch)
-    _ = float(loss)
-    dt = time.perf_counter() - t0
-    per_chip = batch_size * iters / dt / jax.device_count()
+    step_time = result["avg_step_time"]
+    per_chip = result["samples_per_sec"] / jax.device_count()
     return {
-        "metric": "rag_e2e_train_samples_per_sec_per_chip[bge-small-class+125M-class,b18,q50/p128/g256,bf16]",
+        "metric": "rag_e2e_train_samples_per_sec_per_chip[bge-small+gpt2-124M,b18,q50/p128/g256,bf16,train_e2e-loop]",
         "value": round(per_chip, 3),
         "unit": "samples/sec/chip",
         "vs_baseline": round(per_chip / BASELINE_SAMPLES_PER_SEC, 3),
+        "step_time_s": round(step_time, 4) if step_time else None,
+        "steps": result["steps"],
     }
 
 
 def main() -> None:
+    import logging
+
+    logging.disable(logging.WARNING)
     import jax
 
     result = None
@@ -185,7 +215,9 @@ def main() -> None:
             result = _bench_flagship_7b()
         except Exception as e:  # OOM / unsupported → honest fallback
             import sys
+            import traceback
 
+            traceback.print_exc(file=sys.stderr)
             print(f"flagship 7B bench failed ({type(e).__name__}); falling back", file=sys.stderr)
     if result is None:
         result = _bench_small()

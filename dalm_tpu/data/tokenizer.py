@@ -27,16 +27,20 @@ class ByteTokenizer:
 
     PAD, BOS, EOS = 256, 257, 258
 
-    def __init__(self, add_eos_token: bool = False):
+    def __init__(self, add_eos_token: bool = False, vocab_pad: int | None = None):
         self.add_eos_token = add_eos_token
         self.pad_token_id = self.PAD
         self.bos_token_id = self.BOS
         self.eos_token_id = self.EOS
         self.padding_side = "right"
+        # Reported vocab size, for benchmarking a full-size model (e.g.
+        # a 32000-vocab 7B shape) with byte-level inputs: ids stay <259,
+        # the extra embedding/LM-head rows are simply unused.
+        self._vocab_pad = vocab_pad
 
     @property
     def vocab_size(self) -> int:
-        return 259
+        return max(259, self._vocab_pad or 0)
 
     def encode(self, text: str) -> list[int]:
         ids = list(text.encode("utf-8"))
@@ -133,9 +137,12 @@ class HFTokenizerAdapter:
 
 
 def resolve_tokenizer(name_or_path: str, add_eos_token: bool = False):
-    """"byte" → ByteTokenizer; otherwise a local HF tokenizer path/name."""
+    """"byte" (or "byte@N" with a padded vocab) → ByteTokenizer;
+    otherwise a local HF tokenizer path/name."""
     if name_or_path in ("byte", "bytes", "byte-level"):
         return ByteTokenizer(add_eos_token=add_eos_token)
+    if name_or_path.startswith("byte@"):
+        return ByteTokenizer(add_eos_token=add_eos_token, vocab_pad=int(name_or_path[5:]))
     from transformers import AutoTokenizer
 
     local_only = not os.environ.get("DALM_ALLOW_HUB")

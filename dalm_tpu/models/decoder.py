@@ -68,9 +68,12 @@ class DecoderConfig:
 
     @staticmethod
     def llama2_7b() -> "DecoderConfig":
+        # remat on by default: 7B training without per-layer checkpointing
+        # exceeds single-chip HBM; decode ignores remat (kv_cache path).
         return DecoderConfig(
             vocab_size=32000, hidden_size=4096, num_layers=32, num_heads=32,
             intermediate_size=11008, max_position_embeddings=4096,
+            remat=True, param_dtype=jnp.bfloat16,
         )
 
 

@@ -202,6 +202,7 @@ def init_packed_on_device(
     quantize: bool = True,
     min_size: int = 4096,
     dtype=jnp.bfloat16,
+    example_kwargs: Optional[dict] = None,
 ) -> Tuple[dict, dict, Optional[dict]]:
     """Like :func:`init_packed_leafwise` but as ONE compiled program.
 
@@ -212,7 +213,8 @@ def init_packed_on_device(
     """
     from dalm_tpu.core.mesh import unbox
 
-    abstract = jax.eval_shape(lambda r: model.init(r, *example_args), rng)["params"]
+    kw = example_kwargs or {}
+    abstract = jax.eval_shape(lambda r: model.init(r, *example_args, **kw), rng)["params"]
     abstract = unbox(abstract)
     target_paths = set()
     if spec is not None:
@@ -323,6 +325,36 @@ def load_hf_decoder_packed(
                  jax.random.normal(a_rng, (d_in, spec.rank), jnp.float32) * 0.02 * spec.scaling)
             _set(lora, module_path + ("b",), jnp.zeros((spec.rank, d_out), jnp.float32))
     return cfg, residual, quant, (lora if spec is not None else None)
+
+
+def unpack_to_params(residual: Any, quant: Any, dtype=None) -> dict:
+    """Reconstruct a full-precision param tree from packed QLoRA storage.
+
+    Host-side (numpy): dequantizes each packed kernel (``q * scale`` or
+    the stored bf16 ``w``) back into its module's ``kernel`` slot. Used
+    to export a merge-path-loadable base when training ran fully packed
+    and no pre-pack tree ever existed.
+    """
+    import ml_dtypes
+
+    out_dtype = np.dtype(dtype) if dtype is not None else np.dtype(ml_dtypes.bfloat16)
+    residual = jax.device_get(residual)
+    quant = jax.device_get(quant)
+    out = _deep_dict(residual)
+
+    def walk(node, path):
+        if isinstance(node, dict) and ("q" in node or "w" in node):
+            if "q" in node:
+                kernel = np.asarray(node["q"], np.float32) * np.asarray(node["scale"], np.float32)
+            else:
+                kernel = np.asarray(node["w"], np.float32)
+            _set(out, path + ("kernel",), kernel.astype(out_dtype))
+        elif isinstance(node, dict):
+            for k, v in node.items():
+                walk(v, path + (k,))
+
+    walk(quant, ())
+    return out
 
 
 def factors_to_flat(lora_tree: dict, spec: LoraSpec) -> Dict[str, dict]:

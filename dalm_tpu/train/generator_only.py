@@ -38,7 +38,7 @@ from dalm_tpu.data.tokenizer import resolve_tokenizer
 from dalm_tpu.losses.causal import causal_lm_loss
 from dalm_tpu.models.registry import build_decoder
 from dalm_tpu.models.registry import resolve_decoder, save_pretrained
-from dalm_tpu.train.metrics import MetricsLogger, StepTimer
+from dalm_tpu.train.metrics import MetricsLogger, WindowedThroughput
 from dalm_tpu.train.optim import make_optimizer
 from dalm_tpu.train.state import TrainState
 
@@ -217,11 +217,14 @@ def train_generator(
         output_dir, project_name=run_name, config=args,
         report_to=log_with or "all", enabled=log_with is not None or output_dir is not None,
     )
-    timer = StepTimer()
+    timer = WindowedThroughput()
 
     np_rng = np.random.default_rng(seed)
     completed = 0
+    # Loss stays on device between logging points; see rag_e2e.py note.
     final_loss = float("nan")
+    last = None
+    timer.mark(0)
     for epoch in range(num_train_epochs):
         order = np_rng.permutation(len(train_blocks))
         shards = mesh.shape["data"]
@@ -233,12 +236,12 @@ def train_generator(
                     continue
             batch = put_batch({"input_ids": train_blocks[idx]}, mesh, np.int32)
             step_rng = jax.random.fold_in(noise_rng, completed)
-            timer.start()
             state, loss = train_step(state, base_params, batch, step_rng)
-            final_loss = float(loss)
-            timer.stop()
+            last = loss
             completed += 1
             if completed % logging_steps == 0:
+                final_loss = float(jax.device_get(last))  # device sync point
+                timer.mark(completed)
                 tracker.log({"train/loss": final_loss}, step=completed)
             if eval_steps and completed % eval_steps == 0:
                 val = run_validation(state.params)
@@ -248,6 +251,9 @@ def train_generator(
         if output_dir:
             _save(output_dir, cfg, state, base_params, lora_spec, tok, tokenizer, use_peft)
 
+    if last is not None:
+        final_loss = float(jax.device_get(last))
+        timer.mark(completed)
     if output_dir:
         final_dir = os.path.join(output_dir, "final_checkpoint")
         _save(final_dir, cfg, state, base_params, lora_spec, tok, tokenizer, use_peft)

@@ -109,3 +109,40 @@ class StepTimer:
 
     def samples_per_sec(self, batch_size: int) -> float:
         return batch_size / self.avg if self.avg else 0.0
+
+
+class WindowedThroughput:
+    """Throughput meter that never syncs the device itself.
+
+    Per-step host readbacks (``float(loss)``) serialize XLA dispatch, so
+    the trainers only read losses back on the logging/epoch cadence. Call
+    ``mark(completed_steps)`` immediately *after* each such readback (the
+    readback is the synchronization point — on some transports
+    ``block_until_ready`` acks before execution finishes) and the meter
+    derives sec/step from wall time between marks. The first window is
+    dropped from the average when more than one exists (it contains the
+    XLA compile).
+    """
+
+    def __init__(self):
+        self._t0: Optional[float] = None
+        self._steps0 = 0
+        self.windows: list[tuple[int, float]] = []  # (steps, seconds)
+
+    def mark(self, completed_steps: int) -> None:
+        now = time.perf_counter()
+        if self._t0 is not None and completed_steps > self._steps0:
+            self.windows.append((completed_steps - self._steps0, now - self._t0))
+        self._t0, self._steps0 = now, completed_steps
+
+    @property
+    def avg(self) -> Optional[float]:
+        """Average seconds per step, compile window excluded."""
+        w = self.windows[1:] if len(self.windows) > 1 else self.windows
+        steps = sum(s for s, _ in w)
+        secs = sum(t for _, t in w)
+        return secs / steps if steps else None
+
+    def samples_per_sec(self, batch_size: int) -> float:
+        a = self.avg
+        return batch_size / a if a else 0.0

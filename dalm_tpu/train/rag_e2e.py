@@ -47,7 +47,7 @@ from dalm_tpu.models.rag import Mode, RagE2EModel
 from dalm_tpu.models.registry import resolve_decoder, resolve_encoder, save_pretrained
 from dalm_tpu.train import checkpoints as ckpt
 from dalm_tpu.train.data_iter import epoch_batches, num_batches_per_epoch
-from dalm_tpu.train.metrics import MetricsLogger, StepTimer
+from dalm_tpu.train.metrics import MetricsLogger, WindowedThroughput
 from dalm_tpu.train.optim import make_optimizer
 from dalm_tpu.train.state import TrainState
 
@@ -169,12 +169,35 @@ def train_e2e(
 
     rng = jax.random.PRNGKey(seed)
     init_rng, dropout_rng = jax.random.split(rng)
-    full_params = rag.init_params(init_rng, query_len=query_max_len, gen_len=generator_max_len)
-    if r_params is not None:
-        full_params["retriever"] = r_params
-    if g_params is not None:
-        full_params["generator"] = g_params
-    full_params = unbox(full_params)
+    # Per-sub lazy init (same RNG derivation as RagE2EModel.init_params):
+    # fused submodels random-init DIRECTLY into packed int8/bf16 storage,
+    # so a full-precision 7B tree (28 GB fp32) never materializes.
+    r_init_rng, g_init_rng = jax.random.split(init_rng)
+    sub_rngs = {"retriever": r_init_rng, "generator": g_init_rng}
+    resolved = {"retriever": r_params, "generator": g_params}
+    sub_lens = {"retriever": query_max_len, "generator": generator_max_len}
+
+    def _sub_module(sub):
+        return rag.retriever if sub == "retriever" else rag.generator
+
+    def _sub_init_args(sub):
+        ids = jnp.zeros((1, sub_lens[sub]), jnp.int32)
+        mask = jnp.ones((1, sub_lens[sub]), jnp.int32)
+        kwargs = {"return_hidden": True} if sub == "retriever" and retriever_is_autoregressive else {}
+        return (ids, mask), kwargs
+
+    full_params: dict = {}  # full-precision bases, only where one exists
+
+    def _full(sub):
+        if sub not in full_params:
+            if resolved[sub] is not None:
+                full_params[sub] = resolved[sub]
+            else:
+                (ids, mask), kwargs = _sub_init_args(sub)
+                full_params[sub] = unbox(
+                    _sub_module(sub).init(sub_rngs[sub], ids, mask, **kwargs)["params"]
+                )
+        return full_params[sub]
 
     # Mode-gated LoRA (`rag_e2e_base_model.py:61-80`): adapters on the
     # sub-models named by `use_peft`; the rest of the tree trains densely
@@ -204,23 +227,29 @@ def train_e2e(
             is_clm = sub == "generator" or retriever_is_autoregressive
             spec = lora_mod.LoraSpec.for_causal_lm() if is_clm else lora_mod.LoraSpec.for_encoder()
             lora_specs[sub] = spec
-            residual, quant_tree = qlora_mod.pack_qlora_frozen(
-                full_params[sub], quantize=quant_on
-            )
+            if resolved[sub] is None:
+                args_, kwargs_ = _sub_init_args(sub)
+                residual, quant_tree, lora_tree = qlora_mod.init_packed_on_device(
+                    _sub_module(sub), sub_rngs[sub], args_, spec=spec,
+                    quantize=quant_on, example_kwargs=kwargs_,
+                )
+                trainable[sub] = lora_tree
+            else:
+                residual, quant_tree = qlora_mod.pack_qlora_frozen(_full(sub), quantize=quant_on)
+                trainable[sub] = qlora_mod.init_qlora_factors(
+                    jax.random.fold_in(init_rng, 23 if sub == "retriever" else 29),
+                    _full(sub), spec,
+                )
             base_frozen[sub] = residual
             fused_quant[sub] = quant_tree
             if quant_on:
                 quantized_subs.add(sub)
-            trainable[sub] = qlora_mod.init_qlora_factors(
-                jax.random.fold_in(init_rng, 23 if sub == "retriever" else 29),
-                full_params[sub], spec,
-            )
             continue
         if peft_on:
             is_clm = sub == "generator" or retriever_is_autoregressive
             spec = lora_mod.LoraSpec.for_causal_lm() if is_clm else lora_mod.LoraSpec.for_encoder()
             lora_specs[sub] = spec
-            base = full_params[sub]
+            base = _full(sub)
             if quant_on:
                 # int8 frozen base — the bnb-nf4 equivalent (models/quant.py)
                 from dalm_tpu.models.quant import quantize_params
@@ -230,7 +259,7 @@ def train_e2e(
             base_frozen[sub] = base
             trainable[sub] = lora_mod.init_lora_params(
                 jax.random.fold_in(init_rng, 13 if sub == "retriever" else 17),
-                full_params[sub],
+                _full(sub),
                 spec,
             )
         else:
@@ -239,7 +268,7 @@ def train_e2e(
                     "use_bnb=%s on %s without use_peft — quantization applies to "
                     "frozen bases only (as with bitsandbytes); ignoring", use_bnb, sub
                 )
-            trainable[sub] = full_params[sub]
+            trainable[sub] = _full(sub)
 
     if base_frozen:
         base_frozen = jax.device_put(base_frozen, replicated(mesh))
@@ -387,7 +416,7 @@ def train_e2e(
         output_dir, project_name="rag_e2e_training", config=args,
         report_to=report_to, enabled=with_tracking,
     )
-    timer = StepTimer()
+    timer = WindowedThroughput()
     from dalm_tpu.core.profiling import Profiler
 
     profiler = Profiler(profile_dir, profile_start_step, profile_num_steps)
@@ -415,11 +444,23 @@ def train_e2e(
 
     np_rng = np.random.default_rng(seed)
     checkpoint_every = int(checkpointing_steps) if str(checkpointing_steps).isdigit() else None
+    # Losses stay on device between logging points — a per-step float()
+    # readback would serialize dispatch and halve throughput (the
+    # reference also reads its loss only on the 100-step logging cadence,
+    # `train_rage2e.py:481`). `last` holds the latest device scalars.
     final = {"loss": float("nan"), "retriever": float("nan"), "generator": float("nan")}
+    last = None
+
+    def read_last():
+        if last is not None:
+            vals = jax.device_get(last)
+            return {"loss": float(vals[0]), "retriever": float(vals[1]), "generator": float(vals[2])}
+        return final
 
     for epoch in range(start_epoch, num_train_epochs):
         epoch_rng = np.random.default_rng(np_rng.integers(2**31))
-        total_loss, n_in_epoch = 0.0, 0
+        loss_sum, n_in_epoch = None, 0
+        timer.mark(completed_steps)
         for batch_np in epoch_batches(
             processed, BATCH_COLUMNS, global_batch, rng=epoch_rng, skip_batches=skip_batches,
             multiple_of=mesh.shape["data"],
@@ -429,13 +470,11 @@ def train_e2e(
                 dropout_rng, int(start_steps * gradient_accumulation_steps + micro_steps)
             )
             profiler.maybe_start(completed_steps)
-            timer.start()
             state, loss, r_loss, g_loss = train_step(state, frozen_trees, batch, step_rng)
             if refresher is not None:
                 refresh_stats = refresher.tick(state.params)
-            final = {"loss": float(loss), "retriever": float(r_loss), "generator": float(g_loss)}
-            timer.stop()
-            total_loss += final["loss"]
+            last = (loss, r_loss, g_loss)
+            loss_sum = loss if loss_sum is None else loss_sum + loss
             n_in_epoch += 1
             micro_steps += 1
             completed_steps = start_steps + micro_steps // gradient_accumulation_steps
@@ -443,6 +482,8 @@ def train_e2e(
 
             stepped = micro_steps % gradient_accumulation_steps == 0
             if stepped and completed_steps % 100 == 0:
+                final = read_last()  # device sync point
+                timer.mark(completed_steps)
                 logger.info("epoch %d step %d loss %.4f", epoch, completed_steps, final["loss"])
                 tracker.log(
                     {
@@ -458,14 +499,15 @@ def train_e2e(
             if completed_steps >= max_train_steps:
                 break
         skip_batches = 0
-        tracker.log(
-            {"train/epoch_loss": total_loss / max(n_in_epoch, 1), "epoch": epoch},
-            step=completed_steps,
-        )
+        epoch_loss = float(jax.device_get(loss_sum)) / n_in_epoch if n_in_epoch else float("nan")
+        final = read_last()
+        timer.mark(completed_steps)
+        tracker.log({"train/epoch_loss": epoch_loss, "epoch": epoch}, step=completed_steps)
         if checkpointing_steps == "epoch" and output_dir:
             ckpt.save_state(output_dir, f"epoch_{epoch}", state)
         if completed_steps >= max_train_steps:
             break
+    final = read_last()
 
     if output_dir:
         # Split save (`train_rage2e.py:508-524`): retriever/ and generator/.
@@ -478,7 +520,13 @@ def train_e2e(
                 if fused:
                     from dalm_tpu.models import qlora as qlora_mod
 
-                    full_base = full_params[sub]  # pre-pack full-precision base
+                    # Pre-pack full-precision base when one existed;
+                    # otherwise reconstruct it from packed storage.
+                    full_base = full_params.get(sub)
+                    if full_base is None:
+                        full_base = qlora_mod.unpack_to_params(
+                            base_frozen[sub], fused_quant[sub]
+                        )
                     save_pretrained(
                         sub_dir, cfg, jax.device_get(full_base),
                         extra={"tokenizer": tok_name},

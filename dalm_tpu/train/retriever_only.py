@@ -37,7 +37,7 @@ from dalm_tpu.models.embedder import SentenceEmbedder
 from dalm_tpu.models.registry import resolve_decoder, resolve_encoder, save_pretrained
 from dalm_tpu.train import checkpoints as ckpt
 from dalm_tpu.train.data_iter import epoch_batches, num_batches_per_epoch
-from dalm_tpu.train.metrics import MetricsLogger, StepTimer
+from dalm_tpu.train.metrics import MetricsLogger, WindowedThroughput
 from dalm_tpu.train.optim import make_optimizer
 from dalm_tpu.train.state import TrainState
 
@@ -224,7 +224,7 @@ def train_retriever(
         output_dir, project_name="peft_contrastive_training", config=args,
         report_to=report_to, enabled=with_tracking,
     )
-    timer = StepTimer()
+    timer = WindowedThroughput()
     from dalm_tpu.core.profiling import Profiler
 
     profiler = Profiler(profile_dir, profile_start_step, profile_num_steps)
@@ -253,13 +253,17 @@ def train_retriever(
 
     np_rng = np.random.default_rng(seed)
     checkpoint_every = int(checkpointing_steps) if str(checkpointing_steps).isdigit() else None
-    total_loss = 0.0
+    # Loss stays on device between logging points (per-step float()
+    # readbacks serialize dispatch; the reference also only reads its
+    # loss on the 100-step logging cadence, `train_retriever_only.py:386`).
     final_loss = float("nan")
+    last = None
 
     for epoch in range(start_epoch, num_train_epochs):
         epoch_rng = np.random.default_rng(np_rng.integers(2**31))
-        total_loss = 0.0
+        loss_sum = None
         n_in_epoch = 0
+        timer.mark(completed_steps)
         for batch_np in epoch_batches(
             processed, BATCH_COLUMNS, global_batch, rng=epoch_rng, skip_batches=skip_batches,
             multiple_of=mesh.shape["data"],
@@ -269,11 +273,9 @@ def train_retriever(
                 dropout_rng, int(start_steps * gradient_accumulation_steps + micro_steps)
             )
             profiler.maybe_start(completed_steps)
-            timer.start()
             state, loss = train_step(state, base_params, batch, step_rng)
-            final_loss = float(loss)
-            timer.stop()
-            total_loss += final_loss
+            last = loss
+            loss_sum = loss if loss_sum is None else loss_sum + loss
             n_in_epoch += 1
             micro_steps += 1
             completed_steps = start_steps + micro_steps // gradient_accumulation_steps
@@ -281,6 +283,8 @@ def train_retriever(
 
             stepped = micro_steps % gradient_accumulation_steps == 0
             if stepped and completed_steps % 100 == 0:
+                final_loss = float(jax.device_get(last))  # device sync point
+                timer.mark(completed_steps)
                 logger.info("epoch %d step %d loss %.4f", epoch, completed_steps, final_loss)
                 tracker.log({"train/loss": final_loss}, step=completed_steps)
             if stepped and checkpoint_every and completed_steps % checkpoint_every == 0 and output_dir:
@@ -289,10 +293,11 @@ def train_retriever(
             if completed_steps >= max_train_steps:
                 break
         skip_batches = 0
-        tracker.log(
-            {"train/epoch_loss": total_loss / max(n_in_epoch, 1), "epoch": epoch},
-            step=completed_steps,
-        )
+        epoch_loss = float(jax.device_get(loss_sum)) / n_in_epoch if n_in_epoch else float("nan")
+        if last is not None:
+            final_loss = float(jax.device_get(last))
+        timer.mark(completed_steps)
+        tracker.log({"train/epoch_loss": epoch_loss, "epoch": epoch}, step=completed_steps)
         if checkpointing_steps == "epoch" and output_dir:
             ckpt.save_state(output_dir, f"epoch_{epoch}", state)
         if completed_steps >= max_train_steps:

@@ -1,0 +1,95 @@
+"""End-to-end RAG-e2e trainer tests (C3): the joint contrastive +
+marginalized objective through the real `train_e2e` loop on the 8-device
+CPU mesh, for both LoRA runtimes, then `evaluate_rag` on the artifacts
+(reference flow: `train_rage2e.py:229` → `eval_rag.py:167`)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from dalm_tpu.eval.rag import evaluate_rag
+from dalm_tpu.train.rag_e2e import train_e2e
+
+
+@pytest.mark.slow
+def test_train_e2e_then_eval_rag(toy_csv, tmp_path):
+    out = str(tmp_path / "rag_out")
+    result = train_e2e(
+        toy_csv,
+        "tiny",
+        "tiny",
+        per_device_train_batch_size=2,
+        num_train_epochs=2,
+        output_dir=out,
+        query_max_len=16,
+        passage_max_len=24,
+        generator_max_len=48,
+        with_tracking=True,
+        use_dropout=False,
+        checkpointing_steps="epoch",
+    )
+    assert result["steps"] >= 2
+    assert np.isfinite(result["final_loss"])
+    assert np.isfinite(result["final_retriever_loss"])
+    assert np.isfinite(result["final_generator_loss"])
+    for sub in ("retriever", "generator"):
+        assert os.path.exists(os.path.join(out, sub, "params.msgpack"))
+    assert os.path.isdir(os.path.join(out, "epoch_0"))
+
+    results = evaluate_rag(
+        toy_csv,
+        os.path.join(out, "retriever"),
+        os.path.join(out, "generator"),
+        max_length=24,
+        top_k=4,
+        max_new_tokens=8,
+        test_batch_size=8,
+    )
+    assert results.total_examples == 16
+    assert results.hit_rate > 0.1  # trained tiny model beats nothing-at-all
+    assert results.exact_match is not None
+
+
+@pytest.mark.slow
+def test_train_e2e_fused_qlora_packed_init(toy_csv, tmp_path):
+    """Fused runtime with random init: params go straight into packed
+    storage (no full-precision tree ever exists) and the final save
+    reconstructs a merge-loadable base via unpack_to_params."""
+    out = str(tmp_path / "fused_out")
+    result = train_e2e(
+        toy_csv,
+        "tiny",
+        "tiny",
+        per_device_train_batch_size=2,
+        num_train_epochs=1,
+        output_dir=out,
+        query_max_len=16,
+        passage_max_len=16,
+        generator_max_len=32,
+        with_tracking=False,
+        use_peft="both",
+        use_bnb="generator",
+        lora_runtime="fused",
+        use_dropout=False,
+    )
+    assert np.isfinite(result["final_loss"])
+    for sub in ("retriever", "generator"):
+        sub_dir = os.path.join(out, sub)
+        assert os.path.exists(os.path.join(sub_dir, "params.msgpack"))
+        assert os.path.exists(os.path.join(sub_dir, "adapter_params.msgpack"))
+
+    # The reconstructed bases + adapters must round-trip through the
+    # merge-based eval path.
+    results = evaluate_rag(
+        toy_csv,
+        os.path.join(out, "retriever"),
+        os.path.join(out, "generator"),
+        retriever_peft_model_path=os.path.join(out, "retriever"),
+        generator_peft_model_path=os.path.join(out, "generator"),
+        max_length=16,
+        top_k=4,
+        max_new_tokens=4,
+        test_batch_size=8,
+    )
+    assert results.total_examples == 16
