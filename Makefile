@@ -8,6 +8,12 @@ test:
 test-fast:
 	python -m pytest tests/ -q -m "not slow"
 
+# Static gate (reference: `inv lint` = mypy+black+ruff, tasks.py:77-96).
+# This image ships no lint tools; tools/lint.py is a first-party AST
+# checker and also invokes ruff when importable (config in pyproject).
+lint:
+	python tools/lint.py
+
 native:
 	$(MAKE) -C dalm_tpu/native
 

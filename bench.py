@@ -30,7 +30,6 @@ Falls back to a bf16 small-model config when the flagship cannot run
 from __future__ import annotations
 
 import json
-import math
 import string
 
 import numpy as np

@@ -11,7 +11,6 @@ code, and the distributed index's winner merge.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 
 def psum(x, axis_name):

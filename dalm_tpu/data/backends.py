@@ -10,7 +10,7 @@ with the jitted KV-cache greedy loop on the TPU mesh.
 from __future__ import annotations
 
 import logging
-from typing import Callable, List, Optional, Protocol
+from typing import Callable, List, Optional
 
 import numpy as np
 

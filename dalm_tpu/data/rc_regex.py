@@ -36,7 +36,6 @@ text-completion.
 from __future__ import annotations
 
 import logging
-import os
 import random
 import re
 from concurrent.futures import ProcessPoolExecutor
@@ -46,7 +45,7 @@ import numpy as np
 
 from dalm_tpu.data.rc_utils import input_generator
 from dalm_tpu.data.segmentation import segment
-from dalm_tpu.data.spm import PieceVocab, WORD_BOUNDARY, domain_keywords, load_piece_vocab
+from dalm_tpu.data.spm import WORD_BOUNDARY, domain_keywords, load_piece_vocab
 
 logger = logging.getLogger(__name__)
 

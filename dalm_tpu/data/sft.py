@@ -122,3 +122,39 @@ def pack_dataset(
             if max_blocks and len(blocks) >= max_blocks:
                 return np.asarray(blocks, np.int32)
     return np.asarray(blocks, np.int32) if blocks else np.zeros((0, seq_length), np.int32)
+
+
+def pad_dataset(
+    dataset: Iterable[Dict[str, Any]],
+    tokenizer,
+    seq_length: int,
+    formatting_func: Callable[[Dict[str, Any]], str] = prepare_sample_text,
+    max_samples: Optional[int] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-sample fixed-length padding — TRL ``packing=False`` equivalent
+    (`trainer.py:231`). Each row is tokenized, EOS-terminated, truncated
+    to ``seq_length`` and right-padded; the attention mask zeroes the pad
+    region so the loss covers only real tokens. Shapes stay static (TPU).
+    """
+    eos = tokenizer.eos_token_id
+    pad = getattr(tokenizer, "pad_token_id", None)
+    if pad is None:
+        pad = eos if eos is not None else 0
+    ids_rows: List[List[int]] = []
+    mask_rows: List[List[int]] = []
+    for example in dataset:
+        text = formatting_func(example)
+        if not text:
+            continue
+        ids = tokenizer.encode_batch([text], padding=False)["input_ids"][0]
+        if eos is not None:
+            ids = list(ids) + [eos]
+        ids = list(ids)[:seq_length]
+        n = len(ids)
+        ids_rows.append(ids + [pad] * (seq_length - n))
+        mask_rows.append([1] * n + [0] * (seq_length - n))
+        if max_samples and len(ids_rows) >= max_samples:
+            break
+    if not ids_rows:
+        return np.zeros((0, seq_length), np.int32), np.zeros((0, seq_length), np.int32)
+    return np.asarray(ids_rows, np.int32), np.asarray(mask_rows, np.int32)

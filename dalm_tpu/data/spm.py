@@ -21,8 +21,6 @@ sentencepiece isn't in this image; both roles are covered first-party:
 from __future__ import annotations
 
 import logging
-import os
-import tempfile
 from typing import Iterable, List, Optional, Sequence
 
 logger = logging.getLogger(__name__)

@@ -32,7 +32,7 @@ from dalm_tpu.eval.common import (
 from dalm_tpu.eval.results import EvalResults
 from dalm_tpu.index.dense import ShardedDenseIndex
 from dalm_tpu.models.embedder import SentenceEmbedder
-from dalm_tpu.models.registry import load_pretrained, resolve_decoder, resolve_encoder
+from dalm_tpu.models.registry import resolve_decoder, resolve_encoder
 
 logger = logging.getLogger(__name__)
 

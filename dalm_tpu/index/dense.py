@@ -27,8 +27,6 @@ back, `:60-64`).
 from __future__ import annotations
 
 import math
-from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ from typing import Any, Optional, Union
 
 import jax
 
-from dalm_tpu.models.decoder import Decoder, DecoderConfig
+from dalm_tpu.models.decoder import DecoderConfig
 from dalm_tpu.models.encoder import Encoder, EncoderConfig
 from dalm_tpu.models.pooling import eos_pool, mean_pool_l2
 

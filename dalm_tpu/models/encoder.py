@@ -17,7 +17,7 @@ attention is unnecessary; the kernel slot is pluggable via
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional
+from typing import Optional
 
 import flax.linen as nn
 import jax

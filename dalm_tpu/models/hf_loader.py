@@ -19,7 +19,7 @@ from __future__ import annotations
 import json
 import logging
 import os
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import numpy as np
 
@@ -180,6 +180,39 @@ def load_hf_decoder(path: str, dtype=None) -> Tuple[DecoderConfig, Any]:
 # --------------------------------------------------------------------------
 # PEFT-compatible adapter export
 # --------------------------------------------------------------------------
+
+def peft_arch_for_config(cfg) -> "str | None":
+    """Config type → PEFT module-path layout ("llama"/"bert"), or None
+    when no compatible torch-PEFT layout exists (e.g. GPT-2's fused
+    c_attn has no per-projection twin)."""
+    from dalm_tpu.models.decoder import DecoderConfig
+    from dalm_tpu.models.encoder import EncoderConfig
+
+    if isinstance(cfg, EncoderConfig):
+        return "bert"
+    if isinstance(cfg, DecoderConfig):
+        return "llama"
+    return None
+
+
+def export_peft_if_supported(
+    output_dir: str, flat_adapter: Dict[str, dict], spec, model_cfg,
+    base_model_name_or_path: str = "",
+) -> bool:
+    """Trainer-facing wrapper: export when the config has a PEFT layout."""
+    arch = peft_arch_for_config(model_cfg)
+    if arch is None:
+        logger.warning(
+            "PEFT adapter export is not supported for %s; skipping",
+            type(model_cfg).__name__,
+        )
+        return False
+    export_peft_adapter(
+        output_dir, flat_adapter, spec, arch=arch,
+        base_model_name_or_path=base_model_name_or_path,
+    )
+    return True
+
 
 def export_peft_adapter(
     output_dir: str,

@@ -21,10 +21,9 @@ is `dalm_tpu.models.qlora.pack_qlora`.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 

@@ -28,8 +28,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
-import re
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

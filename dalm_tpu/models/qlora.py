@@ -80,7 +80,6 @@ def pack_qlora_frozen(
     The quant tree stores int8+scale under the kernel's module path
     (``quantize=False`` → bf16 storage, bnb-less frozen-base mode).
     """
-    import copy
 
     residual = jax.tree.map(lambda x: x, params)  # shallow-structured copy
     residual = jax.device_get(residual) if False else _deep_dict(residual)

@@ -17,12 +17,11 @@ from __future__ import annotations
 
 import dataclasses
 import enum
-from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
 
-from dalm_tpu.models.decoder import Decoder, DecoderConfig
+from dalm_tpu.models.decoder import DecoderConfig
 from dalm_tpu.models.encoder import Encoder, EncoderConfig
 from dalm_tpu.models.pooling import eos_pool, mean_pool_l2
 

@@ -27,7 +27,7 @@ import numpy as np
 from flax import serialization
 
 from dalm_tpu.models.decoder import Decoder, DecoderConfig
-from dalm_tpu.models.encoder import Encoder, EncoderConfig
+from dalm_tpu.models.encoder import EncoderConfig
 from dalm_tpu.models.gpt2 import GPT2Config, GPT2Decoder
 
 ENCODER_PRESETS = {

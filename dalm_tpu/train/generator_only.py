@@ -33,7 +33,12 @@ import numpy as np
 
 from dalm_tpu.core.dtypes import parse_dtype
 from dalm_tpu.core.mesh import MeshConfig, make_mesh, put_batch, replicated, unbox
-from dalm_tpu.data.sft import chars_token_ratio, create_datasets, pack_dataset, prepare_sample_text
+from dalm_tpu.data.sft import (
+    chars_token_ratio,
+    create_datasets,
+    pack_dataset,
+    pad_dataset,
+)
 from dalm_tpu.data.tokenizer import resolve_tokenizer
 from dalm_tpu.losses.causal import causal_lm_loss
 from dalm_tpu.models.registry import build_decoder
@@ -84,6 +89,7 @@ def train_generator(
     use_peft: bool = True,
     seed: int = 42,
     max_train_blocks: Optional[int] = None,
+    export_peft: bool = False,
 ) -> dict:
     args = {
         k: v for k, v in locals().items()
@@ -125,16 +131,35 @@ def train_generator(
     ratio = chars_token_ratio(train_data, tok)
     logger.info("chars/token ratio: %.2f", ratio)
 
-    if not packing:
-        raise NotImplementedError(
-            "packing=False (per-sample padding) is not implemented; the "
-            "reference default is packing=True"
+    if packing:
+        train_blocks = pack_dataset(train_data, tok, seq_length, max_blocks=max_train_blocks)
+        valid_blocks = pack_dataset(valid_data, tok, seq_length, max_blocks=256)
+        train_masks = np.ones_like(train_blocks)
+        valid_masks = np.ones_like(valid_blocks)
+        if len(train_blocks) == 0:
+            raise ValueError(f"dataset packs to zero {seq_length}-token blocks")
+        logger.info(
+            "packed %d train / %d valid blocks of %d tokens",
+            len(train_blocks), len(valid_blocks), seq_length,
         )
-    train_blocks = pack_dataset(train_data, tok, seq_length, max_blocks=max_train_blocks)
-    valid_blocks = pack_dataset(valid_data, tok, seq_length, max_blocks=256)
-    if len(train_blocks) == 0:
-        raise ValueError(f"dataset packs to zero {seq_length}-token blocks")
-    logger.info("packed %d train / %d valid blocks of %d tokens", len(train_blocks), len(valid_blocks), seq_length)
+    else:
+        # TRL packing=False equivalent (`trainer.py:231`): one sample per
+        # row, right-padded to seq_length, loss masked to real tokens.
+        if group_by_length:
+            logger.warning(
+                "group_by_length has no effect here: TPU static shapes pad "
+                "every sample to seq_length regardless of batch composition"
+            )
+        train_blocks, train_masks = pad_dataset(
+            train_data, tok, seq_length, max_samples=max_train_blocks
+        )
+        valid_blocks, valid_masks = pad_dataset(valid_data, tok, seq_length, max_samples=256)
+        if len(train_blocks) == 0:
+            raise ValueError("dataset yields zero non-empty samples")
+        logger.info(
+            "padded %d train / %d valid samples to %d tokens",
+            len(train_blocks), len(valid_blocks), seq_length,
+        )
 
     steps_per_epoch = math.ceil(len(train_blocks) / global_batch / gradient_accumulation_steps)
     total_steps = steps_per_epoch * num_train_epochs
@@ -183,11 +208,11 @@ def train_generator(
         logits = model.apply(
             {"params": effective(params, base)},
             batch["input_ids"],
-            jnp.ones_like(batch["input_ids"]),
+            batch["attention_mask"],
             neftune_alpha=float(neftune_noise_alpha),
             noise_rng=step_rng,
         )
-        return causal_lm_loss(logits, batch["input_ids"])
+        return causal_lm_loss(logits, batch["input_ids"], batch["attention_mask"])
 
     from functools import partial
 
@@ -199,9 +224,9 @@ def train_generator(
     @jax.jit
     def eval_step(params, base, batch):
         logits = model.apply(
-            {"params": effective(params, base)}, batch["input_ids"], jnp.ones_like(batch["input_ids"])
+            {"params": effective(params, base)}, batch["input_ids"], batch["attention_mask"]
         )
-        return causal_lm_loss(logits, batch["input_ids"])
+        return causal_lm_loss(logits, batch["input_ids"], batch["attention_mask"])
 
     def run_validation(params):
         if len(valid_blocks) == 0:
@@ -209,7 +234,10 @@ def train_generator(
         losses = []
         ebs = per_device_eval_batch_size * mesh.shape["data"]
         for s in range(0, len(valid_blocks) - ebs + 1, ebs):
-            batch = put_batch({"input_ids": valid_blocks[s : s + ebs]}, mesh, np.int32)
+            batch = put_batch(
+                {"input_ids": valid_blocks[s : s + ebs], "attention_mask": valid_masks[s : s + ebs]},
+                mesh, np.int32,
+            )
             losses.append(float(eval_step(params, base_params, batch)))
         return float(np.mean(losses)) if losses else float("nan")
 
@@ -234,7 +262,10 @@ def train_generator(
                 idx = idx[: (len(idx) // shards) * shards]
                 if len(idx) == 0:
                     continue
-            batch = put_batch({"input_ids": train_blocks[idx]}, mesh, np.int32)
+            batch = put_batch(
+                {"input_ids": train_blocks[idx], "attention_mask": train_masks[idx]},
+                mesh, np.int32,
+            )
             step_rng = jax.random.fold_in(noise_rng, completed)
             state, loss = train_step(state, base_params, batch, step_rng)
             last = loss
@@ -249,14 +280,16 @@ def train_generator(
                 logger.info("step %d eval loss %.4f", completed, val)
         # save per epoch (reference save_strategy="epoch")
         if output_dir:
-            _save(output_dir, cfg, state, base_params, lora_spec, tok, tokenizer, use_peft)
+            _save(output_dir, cfg, state, base_params, lora_spec, tok, tokenizer, use_peft,
+                  export_peft=export_peft, base_name=model_name)
 
     if last is not None:
         final_loss = float(jax.device_get(last))
         timer.mark(completed)
     if output_dir:
         final_dir = os.path.join(output_dir, "final_checkpoint")
-        _save(final_dir, cfg, state, base_params, lora_spec, tok, tokenizer, use_peft)
+        _save(final_dir, cfg, state, base_params, lora_spec, tok, tokenizer, use_peft,
+              export_peft=export_peft, base_name=model_name)
     tracker.close()
     val = run_validation(state.params)
     return {
@@ -268,11 +301,17 @@ def train_generator(
     }
 
 
-def _save(out_dir, cfg, state, base_params, lora_spec, tok, tokenizer_name, use_peft):
+def _save(out_dir, cfg, state, base_params, lora_spec, tok, tokenizer_name, use_peft,
+          export_peft=False, base_name=""):
     if use_peft:
         from dalm_tpu.models import lora as lora_mod
 
         save_pretrained(out_dir, cfg, jax.device_get(base_params), extra={"tokenizer": tokenizer_name})
-        lora_mod.save_adapter(out_dir, jax.device_get(state.params), lora_spec)
+        flat = jax.device_get(state.params)
+        lora_mod.save_adapter(out_dir, flat, lora_spec)
+        if export_peft:
+            from dalm_tpu.models.hf_loader import export_peft_if_supported
+
+            export_peft_if_supported(out_dir, flat, lora_spec, cfg, base_name)
     else:
         save_pretrained(out_dir, cfg, jax.device_get(state.params), extra={"tokenizer": tokenizer_name})

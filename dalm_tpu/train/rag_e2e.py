@@ -37,7 +37,7 @@ import numpy as np
 from datasets import Dataset
 
 from dalm_tpu.core.dtypes import parse_dtype
-from dalm_tpu.core.mesh import MeshConfig, batch_sharding, make_mesh, put_batch, replicated, unbox
+from dalm_tpu.core.mesh import MeshConfig, make_mesh, put_batch, replicated, unbox
 from dalm_tpu.data.loading import load_dataset
 from dalm_tpu.data.preprocess import preprocess_rag_e2e_dataset
 from dalm_tpu.data.tokenizer import resolve_tokenizer
@@ -106,6 +106,7 @@ def train_e2e(
     live_index: bool = False,
     index_refresh_slice: int = 256,
     lora_runtime: str = "merge",  # "merge" (<=1B) | "fused" (QLoRA, 7B-scale)
+    export_peft: bool = False,  # also write torch-PEFT adapter_model.bin
     profile_dir: Optional[str] = None,
     profile_start_step: int = 10,
     profile_num_steps: int = 5,
@@ -538,7 +539,16 @@ def train_e2e(
                         sub_dir, cfg, jax.device_get(base_frozen[sub]),
                         extra={"tokenizer": tok_name},
                     )
-                    lora_mod.save_adapter(sub_dir, jax.device_get(state.params[sub]), lora_specs[sub])
+                    flat = jax.device_get(state.params[sub])
+                    lora_mod.save_adapter(sub_dir, flat, lora_specs[sub])
+                if export_peft:
+                    from dalm_tpu.models.hf_loader import export_peft_if_supported
+
+                    name = (
+                        retriever_name_or_path if sub == "retriever"
+                        else generator_name_or_path
+                    )
+                    export_peft_if_supported(sub_dir, flat, lora_specs[sub], cfg, name)
             else:
                 save_pretrained(
                     sub_dir, cfg, jax.device_get(state.params[sub]),

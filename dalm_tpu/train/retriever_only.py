@@ -28,7 +28,7 @@ import numpy as np
 from datasets import Dataset
 
 from dalm_tpu.core.dtypes import parse_dtype
-from dalm_tpu.core.mesh import MeshConfig, batch_sharding, make_mesh, put_batch, replicated
+from dalm_tpu.core.mesh import MeshConfig, make_mesh, put_batch, replicated
 from dalm_tpu.data.loading import load_dataset
 from dalm_tpu.data.preprocess import preprocess_retriever_dataset
 from dalm_tpu.data.tokenizer import resolve_tokenizer
@@ -86,6 +86,7 @@ def train_retriever(
     model_parallel: int = 1,
     use_dropout: bool = True,
     local_negatives: bool = True,
+    export_peft: bool = False,
     profile_dir: Optional[str] = None,
     profile_start_step: int = 10,
     profile_num_steps: int = 5,
@@ -317,6 +318,13 @@ def train_retriever(
                 extra={"tokenizer": tokenizer, "is_autoregressive": is_autoregressive},
             )
             lora_mod.save_adapter(retriever_dir, jax.device_get(state.params), lora_spec)
+            if export_peft:
+                from dalm_tpu.models.hf_loader import export_peft_if_supported
+
+                export_peft_if_supported(
+                    retriever_dir, jax.device_get(state.params), lora_spec,
+                    model_cfg, retriever_name_or_path,
+                )
         else:
             save_pretrained(
                 retriever_dir, model_cfg, jax.device_get(state.params),

@@ -1,7 +1,5 @@
 """Regex RC mining + composition tests."""
 
-import numpy as np
-import pytest
 
 from dalm_tpu.data.rc_regex import (
     CauseEffectMiner,

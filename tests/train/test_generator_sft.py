@@ -1,0 +1,84 @@
+"""Generator-only SFT trainer e2e (C13): both packing modes through the
+real `train_generator` loop on the CPU mesh (reference:
+`generator_only/trainer.py:140-265`, TRL SFTTrainer equivalent)."""
+
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def messages_dataset(tmp_path_factory):
+    """Tiny chat `messages` dataset saved to disk (local_dataset path)."""
+    from datasets import Dataset
+
+    rows = []
+    for i in range(24):
+        rows.append(
+            {
+                "messages": [
+                    {"role": "user", "content": f"question number {i} about topic {i % 5}"},
+                    {"role": "assistant", "content": f"the answer to {i} is {i * 7}"},
+                ]
+            }
+        )
+    d = tmp_path_factory.mktemp("sft_data") / "ds"
+    Dataset.from_list(rows).save_to_disk(str(d))
+    return str(d)
+
+
+@pytest.mark.slow
+def test_sft_packed(messages_dataset, tmp_path):
+    from dalm_tpu.train.generator_only import train_generator
+
+    out = str(tmp_path / "sft_out")
+    result = train_generator(
+        "tiny",
+        messages_dataset,
+        local_dataset=True,
+        output_dir=out,
+        num_train_epochs=2,
+        seq_length=64,
+        per_device_train_batch_size=1,
+        eval_steps=0,
+        logging_steps=2,
+        validation_split=0.2,
+        lora_r=4,
+        lora_alpha=8,
+        use_peft=True,
+        gradient_checkpointing=False,
+    )
+    assert np.isfinite(result["final_loss"])
+    assert np.isfinite(result["eval_loss"])
+    final = os.path.join(out, "final_checkpoint")
+    assert os.path.exists(os.path.join(final, "adapter_params.msgpack"))
+
+
+@pytest.mark.slow
+def test_sft_unpacked_padding(messages_dataset, tmp_path):
+    """packing=False: per-sample padding + masked loss (TRL parity,
+    `generator_only/trainer.py:231`)."""
+    from dalm_tpu.train.generator_only import train_generator
+
+    out = str(tmp_path / "sft_pad_out")
+    result = train_generator(
+        "tiny",
+        messages_dataset,
+        local_dataset=True,
+        output_dir=out,
+        num_train_epochs=1,
+        seq_length=96,
+        per_device_train_batch_size=1,
+        eval_steps=0,
+        logging_steps=2,
+        validation_split=0.2,
+        packing=False,
+        group_by_length=True,  # accepted; warns, no effect on static shapes
+        lora_r=4,
+        lora_alpha=8,
+        use_peft=True,
+        gradient_checkpointing=False,
+    )
+    assert np.isfinite(result["final_loss"])
+    assert result["steps"] > 0
