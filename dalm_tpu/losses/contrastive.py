@@ -56,6 +56,7 @@ def contrastive_loss(
     passage_embs: jax.Array,
     logit_scale: float = 100.0,
     local_negatives_block: int | None = None,
+    extra_negative_logits: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Symmetric NT-Xent over the batch; returns (loss, sim_logits).
 
@@ -70,6 +71,14 @@ def contrastive_loss(
     pjit program. The masked logits are also what the marginalized loss
     must consume (its ``log_softmax(S, axis=1)`` then normalizes over
     local passages, as the reference's does).
+
+    ``extra_negative_logits`` (B, K): hard-negative scores retrieved
+    from the live index (already logit-scaled; stale embeddings, so the
+    gradient flows only through the query side). They extend each row's
+    query→passage softmax — and the returned (B, B+K) sim matrix, whose
+    positives remain at column i, so the marginalized loss's passage
+    normalizer includes them too (the reference's own TODO at
+    `train_rage2e.py:461-462`). The passage→query direction stays square.
     """
     logits = cosine_sim_logits(query_embs, passage_embs, logit_scale)
     if local_negatives_block:
@@ -77,5 +86,11 @@ def contrastive_loss(
         blocks = jnp.arange(n) // local_negatives_block
         same_block = blocks[:, None] == blocks[None, :]
         logits = jnp.where(same_block, logits, jnp.finfo(jnp.float32).min)
-    loss = (nt_xent_loss(logits) + nt_xent_loss(logits.T)) / 2.0
-    return loss, logits
+    if extra_negative_logits is not None:
+        aug = jnp.concatenate(
+            [logits, extra_negative_logits.astype(logits.dtype)], axis=1
+        )
+    else:
+        aug = logits
+    loss = (nt_xent_loss(aug) + nt_xent_loss(logits.T)) / 2.0
+    return loss, aug

@@ -105,6 +105,7 @@ def train_e2e(
     local_negatives: bool = True,
     live_index: bool = False,
     index_refresh_slice: int = 256,
+    live_negatives_k: int = 0,  # >0: top-k hard negatives from the live index
     lora_runtime: str = "merge",  # "merge" (<=1B) | "fused" (QLoRA, 7B-scale)
     export_peft: bool = False,  # also write torch-PEFT adapter_model.bin
     profile_dir: Optional[str] = None,
@@ -301,7 +302,25 @@ def train_e2e(
             "lora": train_params[sub],
         }
 
-    def loss_fn(train_params, frozen, batch, step_rng):
+    def _hard_negative_logits(q_emb, index_embs, positive_index, num_real):
+        """Top-k live-index scores per query, excluding each query's own
+        positive and the index's shape-padding rows. Stale passage
+        embeddings — the gradient flows through the query side only."""
+        qf = q_emb.astype(jnp.float32)
+        scores = jnp.matmul(
+            qf, index_embs.T.astype(jnp.float32),
+            precision=jax.lax.Precision.HIGHEST,
+        ) * float(logit_scale)
+        n_idx = index_embs.shape[0]
+        neg_inf = jnp.finfo(jnp.float32).min
+        cols = jnp.arange(n_idx)[None, :]
+        scores = jnp.where(cols >= num_real, neg_inf, scores)  # padding rows
+        scores = jnp.where(cols == positive_index[:, None], neg_inf, scores)
+        k = min(int(live_negatives_k), max(int(num_real) - 1, 1))
+        extra, _ = jax.lax.top_k(scores, k)
+        return extra
+
+    def loss_fn(train_params, frozen, batch, step_rng, index_embs=None):
         if fused and lora_specs:
             r_vars = (
                 _sub_variables(train_params, frozen, "retriever") if "retriever" in lora_specs
@@ -314,9 +333,13 @@ def train_e2e(
                 r_vars, batch["retriever_passage_input_ids"], batch["retriever_passage_attention_mask"]
             )
             block = per_device_train_batch_size if (local_negatives and mesh.shape["data"] > 1) else None
+            extra = (
+                _hard_negative_logits(q_emb, index_embs, batch["positive_index"], num_real_passages)
+                if index_embs is not None else None
+            )
             retriever_loss, sim = contrastive_loss(
                 q_emb.astype(jnp.float32), p_emb.astype(jnp.float32), float(logit_scale),
-                local_negatives_block=block,
+                local_negatives_block=block, extra_negative_logits=extra,
             )
             logits = rag.logits_with(
                 _sub_variables(train_params, frozen, "generator") if "generator" in lora_specs
@@ -344,9 +367,13 @@ def train_e2e(
             deterministic=d_rng is None,
         )
         block = per_device_train_batch_size if (local_negatives and mesh.shape["data"] > 1) else None
+        extra = (
+            _hard_negative_logits(q_emb, index_embs, batch["positive_index"], num_real_passages)
+            if index_embs is not None else None
+        )
         retriever_loss, sim = contrastive_loss(
             q_emb.astype(jnp.float32), p_emb.astype(jnp.float32), float(logit_scale),
-            local_negatives_block=block,
+            local_negatives_block=block, extra_negative_logits=extra,
         )
         logits = rag.generate_logits(
             params, batch["generator_input_input_ids"], batch["generator_input_attention_mask"]
@@ -368,9 +395,9 @@ def train_e2e(
     frozen_trees = {"base": base_frozen, "quant": fused_quant}
 
     @partial(jax.jit, donate_argnums=(0,))
-    def train_step(state, frozen, batch, step_rng):
+    def train_step(state, frozen, batch, step_rng, index_embs=None):
         (loss, (r_loss, g_loss)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, frozen, batch, step_rng
+            state.params, frozen, batch, step_rng, index_embs
         )
         new_state = state.apply_gradients(grads)
         return new_state, loss, r_loss, g_loss
@@ -379,8 +406,14 @@ def train_e2e(
     # passages live as a sharded on-device index, continuously re-embedded
     # with the *current* retriever weights — one small slice per train
     # step, double-buffered (index/refresh.py) — instead of an offline
-    # rebuild after training.
+    # rebuild after training. With live_negatives_k > 0 the index also
+    # feeds the loss: per-step top-k hard negatives extend the
+    # contrastive softmax and the marginalized loss's passage normalizer
+    # (the reference's acknowledged TODO, `train_rage2e.py:461-462`).
+    if live_negatives_k and not live_index:
+        raise ValueError("live_negatives_k > 0 requires live_index=True")
     refresher = None
+    num_real_passages = 0
     if live_index:
         from dalm_tpu.index.dense import ShardedDenseIndex
         from dalm_tpu.index.refresh import AsyncIndexRefresher
@@ -388,9 +421,20 @@ def train_e2e(
         p_ids = np.asarray(processed["retriever_passage_input_ids"], np.int32)
         p_mask = np.asarray(processed["retriever_passage_attention_mask"], np.int32)
         # dedupe identical passages by token content
-        _, unique_idx = np.unique(p_ids, axis=0, return_index=True)
-        unique_idx = np.sort(unique_idx)
-        p_ids, p_mask = p_ids[unique_idx], p_mask[unique_idx]
+        _, unique_idx, inverse = np.unique(
+            p_ids, axis=0, return_index=True, return_inverse=True
+        )
+        sorted_idx = np.sort(unique_idx)
+        # each dataset row's position in the sorted-unique (index) order
+        rank = np.empty(len(unique_idx), np.int64)
+        rank[np.argsort(unique_idx)] = np.arange(len(unique_idx))
+        positive_index = rank[np.asarray(inverse).reshape(-1)]
+        p_ids, p_mask = p_ids[sorted_idx], p_mask[sorted_idx]
+        num_real_passages = len(p_ids)
+        if live_negatives_k:
+            if "positive_index" in processed.column_names:
+                processed = processed.remove_columns(["positive_index"])
+            processed = processed.add_column("positive_index", positive_index.tolist())
 
         @jax.jit
         def _index_embed(train_params, frozen, ids, mask):
@@ -443,6 +487,7 @@ def train_e2e(
             start_steps = completed_steps
             logger.info("resumed from %s (epoch %d, step %d)", path, start_epoch, completed_steps)
 
+    batch_columns = BATCH_COLUMNS + (("positive_index",) if live_negatives_k else ())
     np_rng = np.random.default_rng(seed)
     checkpoint_every = int(checkpointing_steps) if str(checkpointing_steps).isdigit() else None
     # Losses stay on device between logging points — a per-step float()
@@ -463,7 +508,7 @@ def train_e2e(
         loss_sum, n_in_epoch = None, 0
         timer.mark(completed_steps)
         for batch_np in epoch_batches(
-            processed, BATCH_COLUMNS, global_batch, rng=epoch_rng, skip_batches=skip_batches,
+            processed, batch_columns, global_batch, rng=epoch_rng, skip_batches=skip_batches,
             multiple_of=mesh.shape["data"],
         ):
             batch = put_batch(batch_np, mesh, np.int32)
@@ -471,7 +516,10 @@ def train_e2e(
                 dropout_rng, int(start_steps * gradient_accumulation_steps + micro_steps)
             )
             profiler.maybe_start(completed_steps)
-            state, loss, r_loss, g_loss = train_step(state, frozen_trees, batch, step_rng)
+            index_arg = refresher.index.embeddings if live_negatives_k else None
+            state, loss, r_loss, g_loss = train_step(
+                state, frozen_trees, batch, step_rng, index_arg
+            )
             if refresher is not None:
                 refresh_stats = refresher.tick(state.params)
             last = (loss, r_loss, g_loss)

@@ -93,3 +93,40 @@ def test_train_e2e_fused_qlora_packed_init(toy_csv, tmp_path):
         test_batch_size=8,
     )
     assert results.total_examples == 16
+
+
+@pytest.mark.slow
+def test_train_e2e_live_index_hard_negatives(toy_csv, tmp_path):
+    """live_negatives_k: the refreshed on-device index feeds top-k hard
+    negatives into the contrastive softmax and the marginalized passage
+    normalizer each step (the reference's TODO, train_rage2e.py:461-462)."""
+    result = train_e2e(
+        toy_csv,
+        "tiny",
+        "tiny",
+        per_device_train_batch_size=2,
+        num_train_epochs=2,
+        output_dir=None,
+        query_max_len=16,
+        passage_max_len=16,
+        generator_max_len=32,
+        with_tracking=False,
+        use_dropout=False,
+        live_index=True,
+        index_refresh_slice=8,
+        live_negatives_k=3,
+    )
+    assert np.isfinite(result["final_loss"])
+    assert result["steps"] >= 2
+    # the refresher completed at least one full sweep at the end
+    assert result["index_version"] >= 1
+
+
+@pytest.mark.slow
+def test_live_negatives_requires_live_index(toy_csv):
+    with pytest.raises(ValueError, match="live_index"):
+        train_e2e(
+            toy_csv, "tiny", "tiny", per_device_train_batch_size=2,
+            num_train_epochs=1, query_max_len=16, passage_max_len=16,
+            generator_max_len=32, with_tracking=False, live_negatives_k=2,
+        )
