@@ -40,10 +40,11 @@ def main() -> None:
         return (e / jnp.linalg.norm(e.astype(jnp.float32), axis=1, keepdims=True).astype(jnp.bfloat16))
 
     device_embs = jax.device_put(make_embs(jax.random.PRNGKey(0)), sharding)
-    queries = rng.normal(size=(Q, D)).astype(np.float32)
-    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
 
-    for kernel in (["xla", "pallas"] if on_tpu else ["xla"]):
+    variants = [("xla", Q)] + ([("pallas", Q), ("pallas", 1024)] if on_tpu else [])
+    for kernel, nq in variants:
+        queries = rng.normal(size=(nq, D)).astype(np.float32)
+        queries /= np.linalg.norm(queries, axis=1, keepdims=True)
         index = ShardedDenseIndex(mesh, device_embs, num_real=N, kernel=kernel)
         # Device-resident measurement: keep queries on device and pipeline
         # dispatches so transport latency amortizes (serving does the same).
@@ -57,11 +58,11 @@ def main() -> None:
             s, i = fn(q_dev, index.embeddings)
         _ = float(s[0, 0])  # host readback sync
         dt = time.perf_counter() - t0
-        qps = Q * iters / dt / jax.device_count()
+        qps = nq * iters / dt / jax.device_count()
         print(
             json.dumps(
                 {
-                    "metric": f"index_search_qps_per_chip[{kernel},200k x 1024,bf16,k=10,q=256]",
+                    "metric": f"index_search_qps_per_chip[{kernel},200k x 1024,bf16,k=10,q={nq}]",
                     "value": round(qps, 1),
                     "unit": "queries/sec/chip",
                     "vs_baseline": None,

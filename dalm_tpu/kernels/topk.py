@@ -58,6 +58,9 @@ def _topk_kernel(valid_ref, q_ref, e_ref, out_s_ref, out_i_ref, best_s, best_i, 
     scores = jnp.where(col_ids < num_valid, scores, NEG_INF)
 
     # Fold the block into the running best: k iterative masked-max passes.
+    # (A per-block threshold gate was tried and reverted: with hundreds of
+    # queries ganged per scan, some query always has a new winner, so the
+    # branch never skips and only adds predication overhead.)
     comb_s = jnp.concatenate([best_s[:], scores], axis=1)  # (Q, k + B_N)
     comb_i = jnp.concatenate([best_i[:], col_ids], axis=1)
 
@@ -70,7 +73,9 @@ def _topk_kernel(valid_ref, q_ref, e_ref, out_s_ref, out_i_ref, best_s, best_i, 
         sel_id = jnp.min(jnp.where(at_max, comb_i, BIG_ID), axis=1, keepdims=True)
         new_s.append(m)
         new_i.append(sel_id)
-        comb_s = jnp.where((comb_i == sel_id) & at_max, NEG_INF, comb_s)
+        # ids are globally unique, so the id match alone masks exactly
+        # the selected entry (no need to AND with at_max).
+        comb_s = jnp.where(comb_i == sel_id, NEG_INF, comb_s)
     best_s[:] = jnp.concatenate(new_s, axis=1)
     best_i[:] = jnp.concatenate(new_i, axis=1)
 
@@ -86,7 +91,7 @@ def fused_dot_topk(
     embeddings: jax.Array,
     k: int,
     num_valid=None,
-    block_rows: int = 1024,
+    block_rows: int = 4096,
     interpret: bool = False,
 ):
     """Exact top-k inner-product search over one shard.
@@ -130,6 +135,12 @@ def fused_dot_topk(
             jax.ShapeDtypeStruct((nq, k), jnp.float32),
             jax.ShapeDtypeStruct((nq, k), jnp.int32),
         ],
+        # Larger row blocks amortize the per-block fold; raise the scoped
+        # VMEM ceiling so 4096-row bf16 blocks double-buffer (measured
+        # fastest; the 16 MB default OOMs above 2048).
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
     )(num_valid, queries, embeddings)
     return out_s, out_i

@@ -152,6 +152,19 @@ def train_e2e(
         desc="tokenize",
     )
 
+    # Diagnostic: rows whose `#query# q #passage# p #answer#` prefix fills
+    # (or overflows) generator_max_len have an EMPTY answer region — the
+    # marginalized loss then contributes no retriever gradient for them.
+    qpl = np.asarray(processed["query_passage_input_len"])
+    n_empty = int((qpl >= generator_max_len - 1).sum())
+    if n_empty:
+        logger.warning(
+            "%d/%d rows have no answer tokens inside generator_max_len=%d "
+            "(prefix length >= limit): the marginalized loss is inert for "
+            "them — raise generator_max_len or shorten query/passage lens",
+            n_empty, len(qpl), generator_max_len,
+        )
+
     steps_per_epoch = math.ceil(
         num_batches_per_epoch(len(processed), global_batch) / gradient_accumulation_steps
     )

@@ -1,0 +1,211 @@
+"""Directional quality reproduction: RAG-e2e > retriever-only > base.
+
+The reference's headline result (`/root/reference/README.md:140-144`) is
+recall@10 on a held-out QA split going 0.45984 (plain bge-large) →
+0.46037 (retriever-only contrastive) → **0.73634 (RAG-e2e)**: joint
+training with the marginalized generator loss improves retrieval far
+beyond contrastive-only training. That run needs the 200k patent corpus
+and pretrained bge weights (unavailable offline), so this script
+reproduces the *directional* effect end-to-end with zero external
+assets:
+
+- a synthetic domain corpus: each passage carries a distinctive keyword
+  set; each query paraphrases a subset of its passage's keywords with
+  filler noise; the answer repeats a keyword (so the generator's
+  answer-region loss couples to the retrieval score);
+- one shared random-init encoder checkpoint seeds BOTH training runs;
+- run A: `train_retriever` (contrastive only);
+- run B: `train_e2e` (contrastive + marginalized, identical retriever
+  hyperparameters, same seed);
+- eval: `evaluate_retriever` recall@10 on the held-out 20% title split,
+  same exact-index protocol as the reference's hnswlib eval.
+
+Usage:
+    python experiments/quality_directional.py [--passages 512]
+        [--model tiny|bge-small] [--epochs 2] [--out experiments/results]
+
+Writes a JSON + markdown row per run; see experiments/README.md for
+recorded results.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import string
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def make_corpus(n_passages: int, seed: int = 0, vocab_size: int = 240, kws_per_doc: int = 6):
+    """Synthetic QA corpus in the toy-CSV schema (Question/Abstract/Answer/Title).
+
+    Queries share NO byte-level tokens with their passages: each passage
+    keyword has a fixed "synonym" used on the query side, so a random
+    encoder scores near chance and retrieval quality comes entirely from
+    learning the synonym pairing during training (the pairing vocabulary
+    is global — train docs teach it, test docs recombine it)."""
+    rng = np.random.default_rng(seed)
+
+    def word():
+        n = rng.integers(6, 9)
+        cons, vow = "bcdfghjklmnpqrstvwz", "aeiou"
+        return "".join(
+            (cons[rng.integers(len(cons))] if i % 2 == 0 else vow[rng.integers(len(vow))])
+            for i in range(n)
+        )
+
+    keywords = [word() for _ in range(vocab_size)]
+    synonyms = [word() for _ in range(vocab_size)]
+    filler = ["the", "of", "about", "regarding", "system", "method", "device"]
+    rows = []
+    for i in range(n_passages):
+        kw_idx = rng.choice(vocab_size, size=kws_per_doc, replace=False)
+        kws = [keywords[j] for j in kw_idx]
+        passage = (
+            f"{kws[0]} {kws[1]} apparatus comprising {kws[2]} and {kws[3]} "
+            f"wherein {kws[4]} connects to {kws[5]} for improved operation."
+        )
+        q_idx = rng.permutation(kw_idx)[:3]
+        syns = [synonyms[j] for j in q_idx]
+        query = f"what {filler[int(rng.integers(len(filler)))]} {syns[0]} {syns[1]} {syns[2]}"
+        answer = keywords[int(q_idx[0])]
+        rows.append(
+            {"Title": f"doc {i}", "Question": query, "Abstract": passage, "Answer": answer}
+        )
+    return rows
+
+
+def title_split(rows, test_frac=0.2, seed=42):
+    """Title-grouped 80/20 split (reference `qa_gen:169-184` semantics)."""
+    rng = np.random.default_rng(seed)
+    titles = sorted({r["Title"] for r in rows})
+    rng.shuffle(titles)
+    n_test = int(len(titles) * test_frac)
+    test_titles = set(titles[:n_test])
+    train = [r for r in rows if r["Title"] not in test_titles]
+    test = [r for r in rows if r["Title"] in test_titles]
+    return train, test
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--passages", type=int, default=2048)
+    ap.add_argument("--pair-vocab", type=int, default=96)
+    ap.add_argument("--model", default="tiny", choices=["tiny", "bge-small"])
+    ap.add_argument("--epochs", type=int, default=2)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--query-len", type=int, default=48)
+    ap.add_argument("--passage-len", type=int, default=96)
+    ap.add_argument("--gen-len", type=int, default=160)
+    ap.add_argument("--generator", default="tiny")
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--warmup", type=int, default=0)
+    ap.add_argument("--out", default="experiments/results")
+    ap.add_argument("--cpu-mesh", action="store_true", help="force 8-device CPU mesh")
+    args = ap.parse_args()
+
+    if args.cpu_mesh:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+        )
+    import jax
+
+    if args.cpu_mesh:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_default_matmul_precision", "float32")
+
+    from datasets import Dataset
+
+    from dalm_tpu.eval.retriever import evaluate_retriever
+    from dalm_tpu.models.encoder import Encoder
+    from dalm_tpu.models.registry import ENCODER_PRESETS, save_pretrained
+    from dalm_tpu.train.rag_e2e import train_e2e
+    from dalm_tpu.train.retriever_only import train_retriever
+
+    os.makedirs(args.out, exist_ok=True)
+    rows = make_corpus(args.passages, vocab_size=args.pair_vocab)
+    train_rows, test_rows = title_split(rows)
+    train_ds = Dataset.from_list(train_rows)
+    test_ds = Dataset.from_list(test_rows)
+    print(f"corpus: {len(train_rows)} train / {len(test_rows)} test rows")
+
+    # One shared random init seeds all runs (and serves as the "plain
+    # base model" row).
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    vocab = 384  # byte tokenizer rounded to 128
+    cfg = ENCODER_PRESETS[args.model]()
+    cfg = dataclasses.replace(cfg, vocab_size=vocab)
+    enc = Encoder(cfg)
+    ids = jnp.zeros((1, args.query_len), jnp.int32)
+    params = enc.init(jax.random.PRNGKey(0), ids, jnp.ones_like(ids))["params"]
+    from dalm_tpu.core.mesh import unbox
+
+    base_dir = os.path.join(args.out, "base_encoder")
+    save_pretrained(base_dir, cfg, jax.device_get(unbox(params)), extra={"tokenizer": "byte"})
+
+    common_eval = dict(
+        max_length=args.passage_len, top_k=10, test_batch_size=32, query_batch_size=32
+    )
+    results = {}
+
+    def eval_dir(model_dir, tag):
+        ev = evaluate_retriever(test_ds, model_dir, **common_eval)
+        results[tag] = {
+            "recall@10": ev.recall, "hit_rate@10": ev.hit_rate,
+            "precision@10": ev.precision, "n": ev.total_examples,
+        }
+        print(f"[{tag}] recall@10={ev.recall:.4f} hit={ev.hit_rate:.4f}")
+        return ev
+
+    t0 = time.time()
+    eval_dir(base_dir, "base (random init)")
+
+    # Run A: retriever-only contrastive.
+    ro_out = os.path.join(args.out, "retriever_only")
+    train_retriever(
+        base_dir, train_ds,
+        per_device_train_batch_size=args.batch, num_train_epochs=args.epochs,
+        learning_rate=args.lr, query_max_len=args.query_len,
+        passage_max_len=args.passage_len, output_dir=ro_out,
+        with_tracking=False, use_dropout=False, num_warmup_steps=args.warmup,
+    )
+    eval_dir(os.path.join(ro_out, 'retriever'), 'retriever-only')
+
+    # Run B: RAG-e2e joint (same retriever init/hparams + generator).
+    e2e_out = os.path.join(args.out, "rag_e2e")
+    train_e2e(
+        train_ds, base_dir, args.generator,
+        per_device_train_batch_size=args.batch, num_train_epochs=args.epochs,
+        learning_rate=args.lr, query_max_len=args.query_len,
+        passage_max_len=args.passage_len, generator_max_len=args.gen_len,
+        output_dir=e2e_out, with_tracking=False, use_dropout=False,
+        num_warmup_steps=args.warmup,
+    )
+    eval_dir(os.path.join(e2e_out, "retriever"), "rag-e2e")
+
+    results["config"] = {k: v for k, v in vars(args).items()}
+    results["wall_clock_s"] = round(time.time() - t0, 1)
+    out_json = os.path.join(args.out, "quality_directional.json")
+    with open(out_json, "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps(results, indent=2))
+
+    base = results["base (random init)"]["recall@10"]
+    ro = results["retriever-only"]["recall@10"]
+    e2e = results["rag-e2e"]["recall@10"]
+    ok = e2e > ro >= base or (e2e > base and e2e > ro)
+    print(f"directional effect (rag-e2e > retriever-only): {'YES' if e2e > ro else 'NO'}")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
