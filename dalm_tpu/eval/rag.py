@@ -74,6 +74,7 @@ def evaluate_rag(
     mesh=None,
     max_new_tokens: int = 64,
     index_kernel: str = "xla",
+    threshold: float = 0.0,  # hnswlib-parity score cutoff (`eval/utils.py:52`)
 ) -> EvalResults:
     if mesh is None:
         mesh = make_mesh(MeshConfig())
@@ -159,7 +160,7 @@ def evaluate_rag(
             mask = np.concatenate([mask, np.repeat(mask[-1:], pad, axis=0)])
         query_embs = np.asarray(embed_fn(ids, mask), np.float32)[:real]
         scores, found = index.search(query_embs, top_k)
-        hits = threshold_hits(scores, found, id_to_passage, 0.0)
+        hits = threshold_hits(scores, found, id_to_passage, threshold)
         p, r, h, top_passages = score_batch(hits, gold_passages[start:end])
         precisions.extend(p)
         recalls.extend(r)

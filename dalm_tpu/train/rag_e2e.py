@@ -53,6 +53,19 @@ from dalm_tpu.train.state import TrainState
 
 logger = logging.getLogger(__name__)
 
+
+def _is_llama_hf_dir(spec) -> bool:
+    """True for an HF checkpoint dir of a Llama-family (non-GPT2) model."""
+    from dalm_tpu.models.registry import _is_hf_dir
+
+    if not isinstance(spec, str) or not _is_hf_dir(spec):
+        return False
+    import json as _json
+
+    with open(os.path.join(spec, "config.json")) as f:
+        return _json.load(f).get("model_type", "") != "gpt2"
+
+
 BATCH_COLUMNS = (
     "retriever_query_input_ids",
     "retriever_query_attention_mask",
@@ -136,7 +149,36 @@ def train_e2e(
         r_cfg, r_params = resolve_decoder(retriever_name_or_path, dtype=compute_dtype, vocab_size=vocab_r)
     else:
         r_cfg, r_params = resolve_encoder(retriever_name_or_path, dtype=compute_dtype, vocab_size=vocab_r)
-    g_cfg, g_params = resolve_decoder(generator_name_or_path, dtype=compute_dtype, vocab_size=vocab_g)
+
+    # 7B-scale HF checkpoints entering the fused-QLoRA runtime stream
+    # tensor-by-tensor into packed int8/bf16 storage (host peak = one
+    # tensor, device never holds the full-precision tree) instead of
+    # materializing a full tree through resolve_decoder.
+    g_packed = None
+    if (
+        lora_runtime == "fused"
+        and (use_peft is not None and Mode(use_peft) in (Mode.BOTH, Mode.GENERATOR))
+        and _is_llama_hf_dir(generator_name_or_path)
+    ):
+        import dataclasses as _dc
+
+        from dalm_tpu.models import lora as _lora_mod
+        from dalm_tpu.models import qlora as _qlora_mod
+
+        _spec = _lora_mod.LoraSpec.for_causal_lm()
+        g_cfg, _res, _quant, _lora = _qlora_mod.load_hf_decoder_packed(
+            generator_name_or_path, spec=_spec,
+            quantize=quant_mode in (Mode.BOTH, Mode.GENERATOR),
+            dtype=compute_dtype or jnp.bfloat16,
+            rng=jax.random.PRNGKey(seed + 29),
+        )
+        if compute_dtype is not None:
+            g_cfg = _dc.replace(g_cfg, dtype=compute_dtype)
+        g_cfg = _dc.replace(g_cfg, remat=True)  # training default at scale
+        g_packed = (_spec, _res, _quant, _lora)
+        g_params = None
+    else:
+        g_cfg, g_params = resolve_decoder(generator_name_or_path, dtype=compute_dtype, vocab_size=vocab_g)
 
     rag = RagE2EModel(r_cfg, g_cfg, retriever_is_autoregressive=retriever_is_autoregressive)
 
@@ -241,6 +283,16 @@ def train_e2e(
 
             is_clm = sub == "generator" or retriever_is_autoregressive
             spec = lora_mod.LoraSpec.for_causal_lm() if is_clm else lora_mod.LoraSpec.for_encoder()
+            if sub == "generator" and g_packed is not None:
+                # streamed straight from the HF checkpoint (above)
+                spec, residual, quant_tree, lora_tree = g_packed
+                lora_specs[sub] = spec
+                trainable[sub] = lora_tree
+                base_frozen[sub] = residual
+                fused_quant[sub] = quant_tree
+                if quant_on:
+                    quantized_subs.add(sub)
+                continue
             lora_specs[sub] = spec
             if resolved[sub] is None:
                 args_, kwargs_ = _sub_init_args(sub)

@@ -130,3 +130,55 @@ def test_live_negatives_requires_live_index(toy_csv):
             num_train_epochs=1, query_max_len=16, passage_max_len=16,
             generator_max_len=32, with_tracking=False, live_negatives_k=2,
         )
+
+
+@pytest.mark.slow
+def test_train_e2e_streamed_hf_7b_lifecycle(toy_csv, tmp_path):
+    """Full fused-QLoRA lifecycle with STREAMED HF weights (the 7B-on-one-
+    chip path, at test scale): HF Llama checkpoint -> tensor-by-tensor
+    int8 packing (load_hf_decoder_packed, no full-precision tree) ->
+    fused train steps -> adapter + reconstructed base saved -> merge-
+    based evaluate_rag consumes both."""
+    transformers = pytest.importorskip("transformers")
+
+    hf_cfg = transformers.LlamaConfig(
+        vocab_size=384, hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, intermediate_size=64, max_position_embeddings=64,
+        tie_word_embeddings=False,
+    )
+    hf_dir = tmp_path / "hf_llama"
+    transformers.LlamaForCausalLM(hf_cfg).save_pretrained(hf_dir, safe_serialization=True)
+
+    out = str(tmp_path / "out")
+    result = train_e2e(
+        toy_csv,
+        "tiny",
+        str(hf_dir),
+        per_device_train_batch_size=2,
+        num_train_epochs=1,
+        output_dir=out,
+        query_max_len=16,
+        passage_max_len=16,
+        generator_max_len=48,
+        with_tracking=False,
+        use_peft="generator",
+        use_bnb="generator",
+        lora_runtime="fused",
+        use_dropout=False,
+    )
+    assert np.isfinite(result["final_loss"])
+    gen_dir = os.path.join(out, "generator")
+    assert os.path.exists(os.path.join(gen_dir, "adapter_params.msgpack"))
+    assert os.path.exists(os.path.join(gen_dir, "params.msgpack"))
+
+    results = evaluate_rag(
+        toy_csv,
+        os.path.join(out, "retriever"),
+        gen_dir,
+        generator_peft_model_path=gen_dir,
+        max_length=16,
+        top_k=4,
+        max_new_tokens=4,
+        test_batch_size=8,
+    )
+    assert results.total_examples == 16
