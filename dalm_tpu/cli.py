@@ -84,6 +84,14 @@ def _common_train_options(fn):
 @click.option("--retriever-is-autoregressive", is_flag=True, default=False)
 @click.option("--retriever-tokenizer", default="byte", show_default=True)
 @click.option("--generator-tokenizer", default="byte", show_default=True)
+@click.option("--lora-runtime", default="merge", type=click.Choice(["merge", "fused"]),
+              show_default=True, help="fused = per-layer QLoRA (7B-scale on one chip)")
+@click.option("--live-index/--no-live-index", default=False, show_default=True,
+              help="continuously re-embed the passage index during training")
+@click.option("--live-negatives-k", default=0, show_default=True,
+              help=">0: top-k hard negatives from the live index each step")
+@click.option("--export-peft", is_flag=True, default=False,
+              help="also write a torch-PEFT adapter next to the native one")
 def train_rag_e2e_cmd(dataset_path, retriever_name_or_path, generator_name_or_path, **kwargs):
     """Train a retriever and generator jointly (RAG-e2e)."""
     from dalm_tpu.train.rag_e2e import train_e2e
@@ -106,6 +114,8 @@ def train_rag_e2e_cmd(dataset_path, retriever_name_or_path, generator_name_or_pa
 @click.option("--use-bnb/--no-use-bnb", default=False, show_default=True)
 @click.option("--is-autoregressive", is_flag=True, default=False)
 @click.option("--tokenizer", default="byte", show_default=True)
+@click.option("--export-peft", is_flag=True, default=False,
+              help="also write a torch-PEFT adapter next to the native one")
 def train_retriever_only_cmd(retriever_name_or_path, dataset_path, **kwargs):
     """Contrastive fine-tuning of a retriever (in-batch negatives)."""
     from dalm_tpu.train.retriever_only import train_retriever

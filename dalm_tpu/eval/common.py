@@ -82,6 +82,10 @@ def embed_dataset(
     out = np.zeros((n, embed_dim), np.float32)
     ids_all = np.asarray(dataset[ids_column], np.int32)
     mask_all = np.asarray(dataset[mask_column], np.int32)
+    # One-deep software pipeline: dispatch batch i+1 before reading back
+    # batch i, so the D2H copy overlaps device compute (dispatch is
+    # async; the np.asarray is the sync point).
+    pending = None  # (start, real, device_embs)
     for start in range(0, n, batch_size):
         end = min(start + batch_size, n)
         ids = ids_all[start:end]
@@ -91,8 +95,14 @@ def embed_dataset(
             pad = batch_size - real
             ids = np.concatenate([ids, np.repeat(ids[-1:], pad, axis=0)])
             mask = np.concatenate([mask, np.repeat(mask[-1:], pad, axis=0)])
-        embs = np.asarray(embed_fn(ids, mask), np.float32)
-        out[start:end] = embs[:real]
+        dev = embed_fn(ids, mask)
+        if pending is not None:
+            p_start, p_real, p_dev = pending
+            out[p_start : p_start + p_real] = np.asarray(p_dev, np.float32)[:p_real]
+        pending = (start, real, dev)
+    if pending is not None:
+        p_start, p_real, p_dev = pending
+        out[p_start : p_start + p_real] = np.asarray(p_dev, np.float32)[:p_real]
     return out
 
 

@@ -74,7 +74,9 @@ def make_corpus(n_passages: int, seed: int = 0, vocab_size: int = 240, kws_per_d
         q_idx = rng.permutation(kw_idx)[:3]
         syns = [synonyms[j] for j in q_idx]
         query = f"what {filler[int(rng.integers(len(filler)))]} {syns[0]} {syns[1]} {syns[2]}"
-        answer = keywords[int(q_idx[0])]
+        # multi-keyword answer: more answer-region tokens => more
+        # marginalized-loss gradient reaching the retriever per sample
+        answer = " ".join(keywords[int(j)] for j in q_idx)
         rows.append(
             {"Title": f"doc {i}", "Question": query, "Abstract": passage, "Answer": answer}
         )
@@ -108,6 +110,7 @@ def main():
     ap.add_argument("--warmup", type=int, default=0)
     ap.add_argument("--out", default="experiments/results")
     ap.add_argument("--cpu-mesh", action="store_true", help="force 8-device CPU mesh")
+    ap.add_argument("--seeds", type=int, default=1, help="training seeds to average over")
     args = ap.parse_args()
 
     if args.cpu_mesh:
@@ -169,28 +172,35 @@ def main():
     t0 = time.time()
     eval_dir(base_dir, "base (random init)")
 
-    # Run A: retriever-only contrastive.
-    ro_out = os.path.join(args.out, "retriever_only")
-    train_retriever(
-        base_dir, train_ds,
-        per_device_train_batch_size=args.batch, num_train_epochs=args.epochs,
-        learning_rate=args.lr, query_max_len=args.query_len,
-        passage_max_len=args.passage_len, output_dir=ro_out,
-        with_tracking=False, use_dropout=False, num_warmup_steps=args.warmup,
-    )
-    eval_dir(os.path.join(ro_out, 'retriever'), 'retriever-only')
+    ro_recalls, e2e_recalls = [], []
+    for seed in range(42, 42 + args.seeds):
+        # Run A: retriever-only contrastive.
+        ro_out = os.path.join(args.out, f"retriever_only_s{seed}")
+        train_retriever(
+            base_dir, train_ds, seed=seed,
+            per_device_train_batch_size=args.batch, num_train_epochs=args.epochs,
+            learning_rate=args.lr, query_max_len=args.query_len,
+            passage_max_len=args.passage_len, output_dir=ro_out,
+            with_tracking=False, use_dropout=False, num_warmup_steps=args.warmup,
+        )
+        ev = eval_dir(os.path.join(ro_out, "retriever"), f"retriever-only[s{seed}]")
+        ro_recalls.append(ev.recall)
 
-    # Run B: RAG-e2e joint (same retriever init/hparams + generator).
-    e2e_out = os.path.join(args.out, "rag_e2e")
-    train_e2e(
-        train_ds, base_dir, args.generator,
-        per_device_train_batch_size=args.batch, num_train_epochs=args.epochs,
-        learning_rate=args.lr, query_max_len=args.query_len,
-        passage_max_len=args.passage_len, generator_max_len=args.gen_len,
-        output_dir=e2e_out, with_tracking=False, use_dropout=False,
-        num_warmup_steps=args.warmup,
-    )
-    eval_dir(os.path.join(e2e_out, "retriever"), "rag-e2e")
+        # Run B: RAG-e2e joint (same retriever init/hparams + generator).
+        e2e_out = os.path.join(args.out, f"rag_e2e_s{seed}")
+        train_e2e(
+            train_ds, base_dir, args.generator, seed=seed,
+            per_device_train_batch_size=args.batch, num_train_epochs=args.epochs,
+            learning_rate=args.lr, query_max_len=args.query_len,
+            passage_max_len=args.passage_len, generator_max_len=args.gen_len,
+            output_dir=e2e_out, with_tracking=False, use_dropout=False,
+            num_warmup_steps=args.warmup,
+        )
+        ev = eval_dir(os.path.join(e2e_out, "retriever"), f"rag-e2e[s{seed}]")
+        e2e_recalls.append(ev.recall)
+
+    results["retriever-only"] = {"recall@10_mean": float(np.mean(ro_recalls)), "per_seed": ro_recalls}
+    results["rag-e2e"] = {"recall@10_mean": float(np.mean(e2e_recalls)), "per_seed": e2e_recalls}
 
     results["config"] = {k: v for k, v in vars(args).items()}
     results["wall_clock_s"] = round(time.time() - t0, 1)
@@ -200,8 +210,8 @@ def main():
     print(json.dumps(results, indent=2))
 
     base = results["base (random init)"]["recall@10"]
-    ro = results["retriever-only"]["recall@10"]
-    e2e = results["rag-e2e"]["recall@10"]
+    ro = results["retriever-only"]["recall@10_mean"]
+    e2e = results["rag-e2e"]["recall@10_mean"]
     ok = e2e > ro >= base or (e2e > base and e2e > ro)
     print(f"directional effect (rag-e2e > retriever-only): {'YES' if e2e > ro else 'NO'}")
     return 0 if ok else 1
