@@ -50,9 +50,13 @@ class ShardedDenseIndex:
     embedding matrix — the hook the async re-embedding pipeline uses.
     """
 
-    def __init__(self, mesh: Mesh, embeddings: jax.Array, num_real: int, kernel: str = "xla"):
+    def __init__(
+        self, mesh: Mesh, embeddings: jax.Array, num_real: int, kernel: str = "xla",
+        scales: jax.Array | None = None,
+    ):
         self.mesh = mesh
-        self.embeddings = embeddings  # (N_pad, D), row-sharded
+        self.embeddings = embeddings  # (N_pad, D), row-sharded; int8 when scales given
+        self.scales = scales  # (N_pad, 1) f32 per-row dequant scales (int8 mode)
         self.num_real = num_real
         self.kernel = kernel
         self._search_fns: dict = {}
@@ -69,39 +73,71 @@ class ShardedDenseIndex:
         embeddings: np.ndarray | jax.Array,
         dtype=jnp.float32,
         kernel: str = "xla",
+        quantize: bool = False,
     ) -> "ShardedDenseIndex":
+        """``quantize=True``: store rows as symmetric int8 + per-row f32
+        scale — 2× the corpus per HBM byte and half the scan DMA, at the
+        cost of int8 score resolution (top-k is exact w.r.t. the
+        quantized index). Not compatible with the async refresher (which
+        updates full-precision rows in place)."""
         n, d = embeddings.shape
         shards = cls.num_shards(mesh)
         # Pad rows so every shard holds the same (8·lane-aligned) tile count.
         per_shard = max(8, math.ceil(n / shards))
         n_pad = per_shard * shards
+        embeddings = np.asarray(embeddings)
         if n_pad != n:
-            pad = np.zeros((n_pad - n, d), dtype=np.asarray(embeddings).dtype)
-            embeddings = np.concatenate([np.asarray(embeddings), pad], axis=0)
+            pad = np.zeros((n_pad - n, d), dtype=embeddings.dtype)
+            embeddings = np.concatenate([embeddings, pad], axis=0)
         sharding = NamedSharding(mesh, P(INDEX_AXES, None))
+        if quantize:
+            e = np.asarray(embeddings, np.float32)
+            absmax = np.max(np.abs(e), axis=1, keepdims=True)
+            scale = np.where(absmax > 0, absmax / 127.0, 1.0).astype(np.float32)
+            q8 = np.clip(np.round(e / scale), -127, 127).astype(np.int8)
+            device_embs = jax.device_put(jnp.asarray(q8), sharding)
+            device_scales = jax.device_put(jnp.asarray(scale), sharding)
+            return cls(mesh, device_embs, num_real=n, kernel=kernel, scales=device_scales)
         device_embs = jax.device_put(jnp.asarray(embeddings, dtype), sharding)
         return cls(mesh, device_embs, num_real=n, kernel=kernel)
 
     def refresh(self, embeddings: np.ndarray | jax.Array) -> None:
-        """Swap in re-embedded passages (same shape) without re-padding."""
+        """Swap in re-embedded passages (same shape) without re-padding.
+        int8 indexes are re-quantized on the way in."""
         n, d = embeddings.shape
+        sharding = NamedSharding(self.mesh, P(INDEX_AXES, None))
+        if self.scales is not None:
+            e = np.asarray(jax.device_get(embeddings), np.float32)
+            if n == self.num_real and self.embeddings.shape[0] != n:
+                e = np.concatenate(
+                    [e, np.zeros((self.embeddings.shape[0] - n, d), np.float32)], axis=0
+                )
+            absmax = np.max(np.abs(e), axis=1, keepdims=True)
+            scale = np.where(absmax > 0, absmax / 127.0, 1.0).astype(np.float32)
+            q8 = np.clip(np.round(e / scale), -127, 127).astype(np.int8)
+            self.embeddings = jax.device_put(jnp.asarray(q8), sharding)
+            self.scales = jax.device_put(jnp.asarray(scale), sharding)
+            return
         if n == self.num_real and self.embeddings.shape[0] != n:
             pad = self.embeddings.shape[0] - n
             embeddings = jnp.concatenate(
                 [jnp.asarray(embeddings), jnp.zeros((pad, d), self.embeddings.dtype)], axis=0
             )
-        sharding = NamedSharding(self.mesh, P(INDEX_AXES, None))
         self.embeddings = jax.device_put(jnp.asarray(embeddings, self.embeddings.dtype), sharding)
 
     # ---- search ------------------------------------------------------------
     def search(self, queries: np.ndarray | jax.Array, k: int) -> tuple[np.ndarray, np.ndarray]:
         """Global exact top-k: returns (scores, ids), both (Q, k) on host."""
         fn = self._get_search_fn(k)
+        q_dtype = jnp.bfloat16 if self.scales is not None else self.embeddings.dtype
         q = jax.device_put(
-            jnp.asarray(queries, self.embeddings.dtype),
+            jnp.asarray(queries, q_dtype),
             NamedSharding(self.mesh, P(None, None)),
         )
-        scores, ids = fn(q, self.embeddings)
+        if self.scales is not None:
+            scores, ids = fn(q, self.embeddings, self.scales)
+        else:
+            scores, ids = fn(q, self.embeddings)
         return np.asarray(scores), np.asarray(ids)
 
     def _get_search_fn(self, k: int):
@@ -116,8 +152,9 @@ class ShardedDenseIndex:
         shards = self.num_shards(mesh)
         per_shard = n_pad // shards
         use_pallas = self.kernel == "pallas"
+        int8_mode = self.scales is not None
 
-        def local_topk(q, emb_shard):
+        def local_topk(q, emb_shard, scale_shard=None):
             """Per-device: (Q, D) x (rows, D) → top-k local (scores, ids)."""
             shard_idx = jax.lax.axis_index(INDEX_AXES)
             row_offset = shard_idx * per_shard
@@ -125,13 +162,21 @@ class ShardedDenseIndex:
                 from dalm_tpu.kernels.topk import fused_dot_topk
 
                 local_valid = jnp.clip(num_real - row_offset, 0, per_shard)
-                s, i = fused_dot_topk(q, emb_shard, min(k, per_shard), num_valid=local_valid)
+                s, i = fused_dot_topk(
+                    q, emb_shard, min(k, per_shard), num_valid=local_valid,
+                    scales=scale_shard,
+                )
             else:
+                e = emb_shard
+                if int8_mode:
+                    e = e.astype(q.dtype)
                 scores = jax.lax.dot_general(
-                    q, emb_shard,
+                    q, e,
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
+                if int8_mode:
+                    scores = scores * scale_shard.reshape(1, per_shard)
                 # Mask padded rows (global id >= num_real) to -inf.
                 global_ids = row_offset + jnp.arange(per_shard)
                 scores = jnp.where(global_ids[None, :] < num_real, scores, -jnp.inf)
@@ -149,10 +194,13 @@ class ShardedDenseIndex:
             final_ids = jnp.take_along_axis(all_i, gi, axis=1)
             return gs, final_ids
 
+        in_specs = [P(None, None), P(INDEX_AXES, None)]
+        if int8_mode:
+            in_specs.append(P(INDEX_AXES, None))
         mapped = jax.shard_map(
             local_topk,
             mesh=mesh,
-            in_specs=(P(None, None), P(INDEX_AXES, None)),
+            in_specs=tuple(in_specs),
             out_specs=(P(None, None), P(None, None)),
             check_vma=False,
         )

@@ -85,6 +85,54 @@ def _topk_kernel(valid_ref, q_ref, e_ref, out_s_ref, out_i_ref, best_s, best_i, 
         out_i_ref[:] = jnp.where(best_i[:] == BIG_ID, 0, best_i[:])
 
 
+
+
+def _topk_kernel_q8(
+    valid_ref, q_ref, e_ref, scale_ref, out_s_ref, out_i_ref, best_s, best_i, *, k: int, block_rows: int
+):
+    """int8-storage variant: dequantize the row block in VMEM (bf16) and
+    apply the per-row scale to the score columns after the matmul —
+    halves the index's HBM footprint and DMA traffic."""
+    j = pl.program_id(0)
+    num_valid = valid_ref[0]
+
+    @pl.when(j == 0)
+    def _init():
+        best_s[:] = jnp.full_like(best_s, NEG_INF)
+        best_i[:] = jnp.full_like(best_i, BIG_ID)
+
+    e = e_ref[:].astype(jnp.bfloat16)
+    scores = jax.lax.dot_general(
+        q_ref[:], e,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (Q, B_N)
+    scores = scores * scale_ref[:].reshape(1, block_rows)
+
+    nq = scores.shape[0]
+    col_ids = j * block_rows + jax.lax.broadcasted_iota(jnp.int32, (nq, block_rows), 1)
+    scores = jnp.where(col_ids < num_valid, scores, NEG_INF)
+
+    comb_s = jnp.concatenate([best_s[:], scores], axis=1)
+    comb_i = jnp.concatenate([best_i[:], col_ids], axis=1)
+    new_s = []
+    new_i = []
+    for _ in range(k):
+        m = jnp.max(comb_s, axis=1, keepdims=True)
+        at_max = comb_s == m
+        sel_id = jnp.min(jnp.where(at_max, comb_i, BIG_ID), axis=1, keepdims=True)
+        new_s.append(m)
+        new_i.append(sel_id)
+        comb_s = jnp.where(comb_i == sel_id, NEG_INF, comb_s)
+    best_s[:] = jnp.concatenate(new_s, axis=1)
+    best_i[:] = jnp.concatenate(new_i, axis=1)
+
+    @pl.when(j == pl.num_programs(0) - 1)
+    def _write():
+        out_s_ref[:] = best_s[:]
+        out_i_ref[:] = jnp.where(best_i[:] == BIG_ID, 0, best_i[:])
+
+
 @functools.partial(jax.jit, static_argnames=("k", "block_rows", "interpret"))
 def fused_dot_topk(
     queries: jax.Array,
@@ -93,6 +141,7 @@ def fused_dot_topk(
     num_valid=None,
     block_rows: int = 4096,
     interpret: bool = False,
+    scales: jax.Array | None = None,
 ):
     """Exact top-k inner-product search over one shard.
 
@@ -102,6 +151,8 @@ def fused_dot_topk(
         for best pipelining (padded rows excluded via ``num_valid``).
       k: winners per query.
       num_valid: scalar int — rows beyond this score -inf (padding).
+      scales: (rows, 1) f32 per-row dequantization scales; when given,
+        ``embeddings`` is int8 storage (2× HBM capacity, half the DMA).
     Returns (scores (Q, k) f32, local row ids (Q, k) i32).
     """
     nq, d = queries.shape
@@ -112,16 +163,26 @@ def fused_dot_topk(
         num_valid = rows
     num_valid = jnp.asarray(num_valid, jnp.int32).reshape((1,))
 
-    kernel = functools.partial(_topk_kernel, k=k, block_rows=block_rows)
+    int8_mode = scales is not None
+    in_specs = [
+        pl.BlockSpec((nq, d), lambda j, *_: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_rows, d), lambda j, *_: (j, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = [num_valid, queries, embeddings]
+    if int8_mode:
+        kernel = functools.partial(_topk_kernel_q8, k=k, block_rows=block_rows)
+        in_specs.append(
+            pl.BlockSpec((block_rows, 1), lambda j, *_: (j, 0), memory_space=pltpu.VMEM)
+        )
+        operands.append(scales)
+    else:
+        kernel = functools.partial(_topk_kernel, k=k, block_rows=block_rows)
     out_s, out_i = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(grid,),
-            in_specs=[
-                pl.BlockSpec((nq, d), lambda j, *_: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((block_rows, d), lambda j, *_: (j, 0), memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=[
                 pl.BlockSpec((nq, k), lambda j, *_: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((nq, k), lambda j, *_: (0, 0), memory_space=pltpu.VMEM),
@@ -142,5 +203,5 @@ def fused_dot_topk(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(num_valid, queries, embeddings)
+    )(*operands)
     return out_s, out_i

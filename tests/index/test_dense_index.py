@@ -73,3 +73,52 @@ def test_search_single_device_mesh():
     o_scores, o_ids = _oracle(queries, embs, 5)
     np.testing.assert_allclose(scores, o_scores, rtol=1e-5)
     np.testing.assert_array_equal(ids, o_ids)
+
+
+def test_int8_index_matches_dequantized_oracle(mesh):
+    """quantize=True: top-k is exact w.r.t. the QUANTIZED index (oracle =
+    brute force on the dequantized rows), and close to the fp oracle on
+    normalized embeddings."""
+    rng = np.random.default_rng(7)
+    embs = rng.normal(size=(500, 64)).astype(np.float32)
+    embs /= np.linalg.norm(embs, axis=1, keepdims=True)
+    queries = rng.normal(size=(9, 64)).astype(np.float32)
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+
+    index = ShardedDenseIndex.build(mesh, embs, quantize=True)
+    assert index.embeddings.dtype == np.int8
+    assert index.scales is not None
+    scores, ids = index.search(queries, 10)
+
+    # dequantized oracle
+    absmax = np.max(np.abs(embs), axis=1, keepdims=True)
+    scale = np.where(absmax > 0, absmax / 127.0, 1.0)
+    deq = np.clip(np.round(embs / scale), -127, 127) * scale
+    # bf16 queries in the search path: quantize the comparison inputs too
+    import ml_dtypes
+
+    q16 = queries.astype(ml_dtypes.bfloat16).astype(np.float32)
+    d16 = np.clip(np.round(embs / scale), -127, 127).astype(ml_dtypes.bfloat16).astype(np.float32) * scale
+    o_scores, o_ids = _oracle(q16, d16, 10)
+    # same winners up to int8/bf16-resolution ties: require ≥9/10 overlap/row
+    overlap = np.array([
+        len(set(ids[r]) & set(o_ids[r])) for r in range(len(queries))
+    ])
+    assert (overlap >= 9).all(), overlap
+    np.testing.assert_allclose(np.sort(scores, axis=1), np.sort(o_scores, axis=1), rtol=0.05, atol=0.02)
+
+    # and close to the full-precision oracle (normalized rows → tiny error)
+    f_scores, f_ids = _oracle(queries, embs, 10)
+    hit1 = (ids[:, 0] == f_ids[:, 0]).mean()
+    assert hit1 >= 0.8
+
+
+def test_int8_refresh_requantizes(mesh):
+    rng = np.random.default_rng(8)
+    embs = rng.normal(size=(100, 32)).astype(np.float32)
+    index = ShardedDenseIndex.build(mesh, embs, quantize=True)
+    new = rng.normal(size=(100, 32)).astype(np.float32)
+    index.refresh(new)
+    assert index.embeddings.dtype == np.int8
+    scores, ids = index.search(new[:4], 1)
+    assert (ids[:, 0] == np.arange(4)).all()  # self-retrieval on new rows
