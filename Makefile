@@ -23,6 +23,9 @@ bench:
 bench-index:
 	python bench_index.py
 
+bench-serve:
+	python bench_serve.py
+
 clean:
 	$(MAKE) -C dalm_tpu/native clean
 	find . -name __pycache__ -type d -exec rm -rf {} +

@@ -83,14 +83,20 @@ def batch_sharding(mesh: Mesh, ndim: int = 2) -> NamedSharding:
 
 
 def put_batch(batch: Mapping[str, Any], mesh: Mesh, dtype=None) -> dict:
-    """Device-put a dict of host arrays with the batch axis over ``data``."""
+    """Device-put a dict of host arrays with the batch axis over ``data``.
+
+    One ``device_put`` call for the whole pytree: on latency-bound
+    transports (tunneled PJRT) per-column puts cost a round trip each.
+    """
     import numpy as np
 
-    out = {}
+    arrays = {}
+    shardings = {}
     for k, v in batch.items():
         arr = np.asarray(v, dtype if dtype is not None else None)
-        out[k] = jax.device_put(arr, batch_sharding(mesh, arr.ndim))
-    return out
+        arrays[k] = arr
+        shardings[k] = batch_sharding(mesh, arr.ndim)
+    return jax.device_put(arrays, shardings)
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
