@@ -50,3 +50,32 @@ def test_matches_lax_topk_property():
         s, _ = fused_dot_topk(jnp.asarray(queries), jnp.asarray(embs), k, block_rows=128, interpret=True)
         ref_s, _ = jax.lax.top_k(jnp.asarray(queries @ embs.T), k)
         np.testing.assert_allclose(np.asarray(s), np.asarray(ref_s), rtol=1e-5)
+
+
+def test_int8_variant_matches_dequantized_oracle():
+    """scales operand: kernel scores must equal brute force on the
+    dequantized rows (bf16 matmul resolution)."""
+    import ml_dtypes
+
+    rng = np.random.default_rng(5)
+    rows, D, Q, K = 512, 128, 8, 10
+    embs = rng.normal(size=(rows, D)).astype(np.float32)
+    embs /= np.linalg.norm(embs, axis=1, keepdims=True)
+    queries = rng.normal(size=(Q, D)).astype(np.float32)
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+
+    absmax = np.max(np.abs(embs), axis=1, keepdims=True)
+    scale = np.where(absmax > 0, absmax / 127.0, 1.0).astype(np.float32)
+    q8 = np.clip(np.round(embs / scale), -127, 127).astype(np.int8)
+
+    s, i = fused_dot_topk(
+        jnp.asarray(queries, jnp.bfloat16), jnp.asarray(q8), K,
+        num_valid=400, block_rows=128, interpret=True,
+        scales=jnp.asarray(scale),
+    )
+    # oracle on dequantized (bf16-resolution) rows
+    deq = (q8.astype(ml_dtypes.bfloat16).astype(np.float32)) * scale
+    q16 = queries.astype(ml_dtypes.bfloat16).astype(np.float32)
+    o_scores, o_ids = _oracle(q16, deq[:400], K)
+    np.testing.assert_array_equal(np.asarray(i), o_ids)
+    np.testing.assert_allclose(np.asarray(s), o_scores, rtol=2e-2, atol=1e-3)
