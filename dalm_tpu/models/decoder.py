@@ -42,11 +42,14 @@ class DecoderConfig:
     rms_norm_eps: float = 1e-5
     tie_embeddings: bool = False
     remat: bool = False  # jax.checkpoint each layer (FLOPs for HBM)
-    # "einsum" (XLA-fused, any shape) or "flash" (Pallas TPU blockwise
+    # "einsum" (XLA-fused, any shape), "flash" (Pallas TPU blockwise
     # kernel — used for full-sequence causal attention when the sequence
     # is long and block-aligned, e.g. SFT packing at seq 2560; falls back
-    # to einsum for short/unaligned shapes and cached decode).
+    # to einsum for short/unaligned shapes and cached decode), or "ring"
+    # (context parallelism: the sequence axis is sharded over mesh axis
+    # ``ring_axis``; run under shard_map — kernels/ring_attention.py).
     attention_impl: str = "einsum"
+    ring_axis: str = "model"
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -156,6 +159,19 @@ class DecoderAttention(nn.Module):
             rep = nh // kvh
             k = jnp.repeat(k, rep, axis=2)
             v = jnp.repeat(v, rep, axis=2)
+
+        if cfg.attention_impl == "ring" and kv_cache is None:
+            # Context parallelism: this call is one sequence chunk on one
+            # device of the ring (must run under shard_map with
+            # ``cfg.ring_axis`` bound; caller supplies GLOBAL positions so
+            # RoPE is chunk-offset correct). Padding is not supported —
+            # the CP path is for packed fixed-length SFT blocks.
+            from dalm_tpu.kernels.ring_attention import ring_attention
+
+            ctx = ring_attention(q, k, v, axis_name=cfg.ring_axis, causal=True)
+            ctx = ctx.reshape(B, S, nh * hd).astype(cfg.dtype)
+            out = _proj(cfg.hidden_size, "o_proj", cfg, ("heads", "embed"))(ctx)
+            return out, new_cache
 
         use_flash = (
             cfg.attention_impl == "flash"

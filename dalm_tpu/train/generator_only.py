@@ -90,6 +90,7 @@ def train_generator(
     seed: int = 42,
     max_train_blocks: Optional[int] = None,
     export_peft: bool = False,
+    context_parallel: bool = False,  # seq over mesh `model` axis (ring attention)
 ) -> dict:
     args = {
         k: v for k, v in locals().items()
@@ -120,7 +121,23 @@ def train_generator(
                 "kernel is disabled and long sequences may exhaust HBM; "
                 "prefer e.g. 2560 over the reference's 2600", seq_length,
             )
+    cp_size = mesh.shape.get("model", 1) if context_parallel else 1
+    if context_parallel:
+        # Context parallelism: packed sequence axis over the mesh `model`
+        # axis, ring attention over ICI (train/context_parallel.py).
+        if "attention_impl" not in field_names:
+            raise ValueError("context_parallel requires a Llama-family decoder config")
+        if not packing:
+            raise ValueError("context_parallel requires packing=True (no padding path)")
+        if seq_length % max(cp_size, 1):
+            raise ValueError(f"seq_length {seq_length} must divide by model-axis size {cp_size}")
     model = build_decoder(cfg)
+    # The ring variant only traces under shard_map (axis must be bound):
+    # init and saved artifacts use the plain config, training the ring one.
+    cp_model = (
+        build_decoder(dataclasses.replace(cfg, attention_impl="ring"))
+        if context_parallel else None
+    )
 
     train_data, valid_data = create_datasets(
         dataset_name, split=split, validation_split=validation_split,
@@ -204,15 +221,35 @@ def train_generator(
 
         return lora_mod.merge_lora(base, params, lora_spec, None)
 
-    def loss_fn(params, base, batch, step_rng):
-        logits = model.apply(
-            {"params": effective(params, base)},
-            batch["input_ids"],
-            batch["attention_mask"],
-            neftune_alpha=float(neftune_noise_alpha),
-            noise_rng=step_rng,
-        )
-        return causal_lm_loss(logits, batch["input_ids"], batch["attention_mask"])
+    if context_parallel:
+        from dalm_tpu.train.context_parallel import build_cp_loss
+
+        cp_loss = build_cp_loss(cp_model, mesh, axis_name="model", data_axis="data")
+
+        def loss_fn(params, base, batch, step_rng):
+            return cp_loss(
+                effective(params, base), batch["input_ids"],
+                noise_rng=step_rng, neftune_alpha=float(neftune_noise_alpha),
+            )
+
+        def eval_loss_fn(params, base, batch):
+            return cp_loss(effective(params, base), batch["input_ids"])
+    else:
+        def loss_fn(params, base, batch, step_rng):
+            logits = model.apply(
+                {"params": effective(params, base)},
+                batch["input_ids"],
+                batch["attention_mask"],
+                neftune_alpha=float(neftune_noise_alpha),
+                noise_rng=step_rng,
+            )
+            return causal_lm_loss(logits, batch["input_ids"], batch["attention_mask"])
+
+        def eval_loss_fn(params, base, batch):
+            logits = model.apply(
+                {"params": effective(params, base)}, batch["input_ids"], batch["attention_mask"]
+            )
+            return causal_lm_loss(logits, batch["input_ids"], batch["attention_mask"])
 
     from functools import partial
 
@@ -223,10 +260,21 @@ def train_generator(
 
     @jax.jit
     def eval_step(params, base, batch):
-        logits = model.apply(
-            {"params": effective(params, base)}, batch["input_ids"], batch["attention_mask"]
-        )
-        return causal_lm_loss(logits, batch["input_ids"], batch["attention_mask"])
+        return eval_loss_fn(params, base, batch)
+
+    if context_parallel:
+        from jax.sharding import NamedSharding, PartitionSpec as PS
+
+        from dalm_tpu.core.mesh import DATA_AXIS, MODEL_AXIS
+
+        _cp_sharding = NamedSharding(mesh, PS(DATA_AXIS, MODEL_AXIS))
+
+        def _put(d):
+            arrays = {k: np.asarray(v, np.int32) for k, v in d.items()}
+            return jax.device_put(arrays, {k: _cp_sharding for k in arrays})
+    else:
+        def _put(d):
+            return put_batch(d, mesh, np.int32)
 
     def run_validation(params):
         if len(valid_blocks) == 0:
@@ -234,9 +282,8 @@ def train_generator(
         losses = []
         ebs = per_device_eval_batch_size * mesh.shape["data"]
         for s in range(0, len(valid_blocks) - ebs + 1, ebs):
-            batch = put_batch(
-                {"input_ids": valid_blocks[s : s + ebs], "attention_mask": valid_masks[s : s + ebs]},
-                mesh, np.int32,
+            batch = _put(
+                {"input_ids": valid_blocks[s : s + ebs], "attention_mask": valid_masks[s : s + ebs]}
             )
             losses.append(float(eval_step(params, base_params, batch)))
         return float(np.mean(losses)) if losses else float("nan")
@@ -262,10 +309,7 @@ def train_generator(
                 idx = idx[: (len(idx) // shards) * shards]
                 if len(idx) == 0:
                     continue
-            batch = put_batch(
-                {"input_ids": train_blocks[idx], "attention_mask": train_masks[idx]},
-                mesh, np.int32,
-            )
+            batch = _put({"input_ids": train_blocks[idx], "attention_mask": train_masks[idx]})
             step_rng = jax.random.fold_in(noise_rng, completed)
             state, loss = train_step(state, base_params, batch, step_rng)
             last = loss

@@ -82,3 +82,71 @@ def test_sft_unpacked_padding(messages_dataset, tmp_path):
     )
     assert np.isfinite(result["final_loss"])
     assert result["steps"] > 0
+
+
+@pytest.mark.slow
+def test_sft_context_parallel(messages_dataset, tmp_path):
+    """context_parallel=True: packed sequence axis sharded over the mesh
+    `model` axis with ring attention; loss must track the plain trainer's
+    (same data/seed, identical objective by construction)."""
+    from dalm_tpu.core.mesh import MeshConfig, make_mesh
+    from dalm_tpu.train.generator_only import train_generator
+
+    mesh = make_mesh(MeshConfig(data=2, model=4))
+    result = train_generator(
+        "tiny",
+        messages_dataset,
+        local_dataset=True,
+        output_dir=str(tmp_path / "cp_out"),
+        num_train_epochs=2,
+        seq_length=64,
+        per_device_train_batch_size=2,
+        eval_steps=0,
+        logging_steps=2,
+        validation_split=0.2,
+        lora_r=4,
+        lora_alpha=8,
+        use_peft=True,
+        gradient_checkpointing=False,
+        mesh=mesh,
+        context_parallel=True,
+        neftune_noise_alpha=0,
+    )
+    assert np.isfinite(result["final_loss"])
+    assert np.isfinite(result["eval_loss"])
+
+    # same run without CP on a plain data mesh → same ballpark loss
+    mesh2 = make_mesh(MeshConfig(data=8, model=1))
+    ref = train_generator(
+        "tiny",
+        messages_dataset,
+        local_dataset=True,
+        output_dir=str(tmp_path / "ref_out"),
+        num_train_epochs=2,
+        seq_length=64,
+        per_device_train_batch_size=1,
+        eval_steps=0,
+        logging_steps=2,
+        validation_split=0.2,
+        lora_r=4,
+        lora_alpha=8,
+        use_peft=True,
+        gradient_checkpointing=False,
+        mesh=mesh2,
+        neftune_noise_alpha=0,
+    )
+    assert abs(result["eval_loss"] - ref["eval_loss"]) < 0.5
+
+
+@pytest.mark.slow
+def test_sft_context_parallel_rejects_padding(messages_dataset, tmp_path):
+    from dalm_tpu.core.mesh import MeshConfig, make_mesh
+    from dalm_tpu.train.generator_only import train_generator
+
+    mesh = make_mesh(MeshConfig(data=2, model=4))
+    with pytest.raises(ValueError, match="packing"):
+        train_generator(
+            "tiny", messages_dataset, local_dataset=True,
+            output_dir=str(tmp_path / "x"), seq_length=64, packing=False,
+            mesh=mesh, context_parallel=True,
+        )
