@@ -90,6 +90,8 @@ def _common_train_options(fn):
               help="continuously re-embed the passage index during training")
 @click.option("--live-negatives-k", default=0, show_default=True,
               help=">0: top-k hard negatives from the live index each step")
+@click.option("--marginalize-k", default=0, show_default=True,
+              help=">0: TRUE top-k RAG marginalization over gold+retrieved (k x generator cost)")
 @click.option("--export-peft", is_flag=True, default=False,
               help="also write a torch-PEFT adapter next to the native one")
 def train_rag_e2e_cmd(dataset_path, retriever_name_or_path, generator_name_or_path, **kwargs):

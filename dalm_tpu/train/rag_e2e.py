@@ -119,6 +119,7 @@ def train_e2e(
     live_index: bool = False,
     index_refresh_slice: int = 256,
     live_negatives_k: int = 0,  # >0: top-k hard negatives from the live index
+    marginalize_k: int = 0,  # >0: TRUE top-k RAG marginalization (k× generator cost)
     lora_runtime: str = "merge",  # "merge" (<=1B) | "fused" (QLoRA, 7B-scale)
     export_peft: bool = False,  # also write torch-PEFT adapter_model.bin
     profile_dir: Optional[str] = None,
@@ -385,6 +386,52 @@ def train_e2e(
         extra, _ = jax.lax.top_k(scores, k)
         return extra
 
+    marg_meta: dict = {}  # filled by the marginalize_k setup below
+
+    def _marginal_gen_loss(q_emb, batch, frozen, index_embs, embed_fn, gen_fn):
+        """TRUE top-k marginalization (losses/marginal_topk.py): gold +
+        (k-1) retrieved candidates; fresh retriever scores; generator runs
+        per candidate on inputs assembled on device."""
+        from dalm_tpu.losses.marginal_topk import (
+            answer_loglik, assemble_generator_inputs, topk_marginal_loss,
+        )
+
+        marg = frozen["marg"]
+        qf = q_emb.astype(jnp.float32)
+        pos = batch["positive_index"]
+        k_extra = min(int(marginalize_k) - 1, max(num_real_passages - 1, 0))
+        if k_extra > 0:
+            # stale-index scores for SELECTION only (gradient-free)
+            sel_scores = jnp.matmul(qf, index_embs.T.astype(jnp.float32))
+            n_idx = index_embs.shape[0]
+            cols = jnp.arange(n_idx)[None, :]
+            neg_inf = jnp.finfo(jnp.float32).min
+            sel_scores = jnp.where(cols >= num_real_passages, neg_inf, sel_scores)
+            sel_scores = jnp.where(cols == pos[:, None], neg_inf, sel_scores)
+            _, sel = jax.lax.top_k(sel_scores, k_extra)
+            cand = jnp.concatenate([pos[:, None], sel], axis=1)  # (B, K)
+        else:
+            cand = pos[:, None]
+        B, K = cand.shape
+
+        # fresh candidate scores (gradients flow through both towers)
+        flat = cand.reshape(-1)
+        z = embed_fn(marg["retr_p_ids"][flat], marg["retr_p_mask"][flat])
+        z = z.reshape(B, K, -1).astype(jnp.float32)
+        s = jnp.einsum("bd,bkd->bk", qf, z) * float(logit_scale)
+
+        ids, attn, boundary = assemble_generator_inputs(
+            batch["marg_q_ids"], batch["marg_q_len"],
+            marg["gen_p_ids"][cand], marg["gen_p_len"][cand],
+            batch["marg_a_ids"], batch["marg_a_len"],
+            pad_id=marg_meta["pad_id"],
+        )
+        L = ids.shape[2]
+        logits = gen_fn(ids.reshape(B * K, L), attn.reshape(B * K, L))
+        logits = logits.reshape(B, K, L, -1)
+        ll, n = answer_loglik(logits, ids, attn, boundary, marg_meta["marker_len"])
+        return topk_marginal_loss(s, ll, n)
+
     def loss_fn(train_params, frozen, batch, step_rng, index_embs=None):
         if fused and lora_specs:
             r_vars = (
@@ -406,18 +453,28 @@ def train_e2e(
                 q_emb.astype(jnp.float32), p_emb.astype(jnp.float32), float(logit_scale),
                 local_negatives_block=block, extra_negative_logits=extra,
             )
-            logits = rag.logits_with(
+            gen_vars = (
                 _sub_variables(train_params, frozen, "generator") if "generator" in lora_specs
-                else {"params": train_params["generator"]},
-                batch["generator_input_input_ids"], batch["generator_input_attention_mask"],
+                else {"params": train_params["generator"]}
             )
-            gen_loss = marginalized_nll_loss(
-                logits,
-                batch["generator_input_input_ids"],
-                batch["generator_input_attention_mask"],
-                sim,
-                batch["query_passage_input_len"],
-            )
+            if marginalize_k:
+                gen_loss = _marginal_gen_loss(
+                    q_emb, batch, frozen, index_embs,
+                    embed_fn=lambda i, m: rag.embed_with(r_vars, i, m),
+                    gen_fn=lambda i, m: rag.logits_with(gen_vars, i, m),
+                )
+            else:
+                logits = rag.logits_with(
+                    gen_vars,
+                    batch["generator_input_input_ids"], batch["generator_input_attention_mask"],
+                )
+                gen_loss = marginalized_nll_loss(
+                    logits,
+                    batch["generator_input_input_ids"],
+                    batch["generator_input_attention_mask"],
+                    sim,
+                    batch["query_passage_input_len"],
+                )
             total = retriever_loss + gen_loss
             return total, (retriever_loss, gen_loss)
 
@@ -440,16 +497,23 @@ def train_e2e(
             q_emb.astype(jnp.float32), p_emb.astype(jnp.float32), float(logit_scale),
             local_negatives_block=block, extra_negative_logits=extra,
         )
-        logits = rag.generate_logits(
-            params, batch["generator_input_input_ids"], batch["generator_input_attention_mask"]
-        )
-        gen_loss = marginalized_nll_loss(
-            logits,
-            batch["generator_input_input_ids"],
-            batch["generator_input_attention_mask"],
-            sim,
-            batch["query_passage_input_len"],
-        )
+        if marginalize_k:
+            gen_loss = _marginal_gen_loss(
+                q_emb, batch, frozen, index_embs,
+                embed_fn=lambda i, m: rag.embed(params, i, m, deterministic=True),
+                gen_fn=lambda i, m: rag.generate_logits(params, i, m),
+            )
+        else:
+            logits = rag.generate_logits(
+                params, batch["generator_input_input_ids"], batch["generator_input_attention_mask"]
+            )
+            gen_loss = marginalized_nll_loss(
+                logits,
+                batch["generator_input_input_ids"],
+                batch["generator_input_attention_mask"],
+                sim,
+                batch["query_passage_input_len"],
+            )
         total = retriever_loss + gen_loss
         return total, (retriever_loss, gen_loss)
 
@@ -477,6 +541,8 @@ def train_e2e(
     # (the reference's acknowledged TODO, `train_rage2e.py:461-462`).
     if live_negatives_k and not live_index:
         raise ValueError("live_negatives_k > 0 requires live_index=True")
+    if marginalize_k and not live_index:
+        raise ValueError("marginalize_k > 0 requires live_index=True")
     refresher = None
     num_real_passages = 0
     if live_index:
@@ -496,10 +562,54 @@ def train_e2e(
         positive_index = rank[np.asarray(inverse).reshape(-1)]
         p_ids, p_mask = p_ids[sorted_idx], p_mask[sorted_idx]
         num_real_passages = len(p_ids)
-        if live_negatives_k:
+        if live_negatives_k or marginalize_k:
             if "positive_index" in processed.column_names:
                 processed = processed.remove_columns(["positive_index"])
             processed = processed.add_column("positive_index", positive_index.tolist())
+
+        if marginalize_k:
+            # Tokenized SEGMENTS for on-device prompt assembly
+            # (losses/marginal_topk.py). Splitting the combined causal text
+            # "#query# {q'} #passage# {p'} #answer# {a}" (q'/p' pre-marked,
+            # preprocess.py doubled-marker parity) at string boundaries —
+            # byte tokenizer: segment-token concat == joint tokenization.
+            lq_cap = query_max_len + 16
+            lp_cap = passage_max_len + 16
+            la_cap = max(32, generator_max_len - query_max_len - passage_max_len)
+            q_marked = [f"#query# {q}" for q in dataset[query_column_name]]
+            p_marked = [f"#passage# {p}" for p in dataset[passage_column_name]]
+            seg_q = [f"#query# {m}" for m in q_marked]
+            seg_a = [f" #answer# {a}" for a in dataset[answer_column_name]]
+            seg_p_unique = [f" #passage# {p_marked[i]}" for i in sorted_idx]
+
+            tq = g_tok(seg_q, padding="max_length", max_length=lq_cap, truncation=True)
+            ta = g_tok(seg_a, padding="max_length", max_length=la_cap, truncation=True)
+            tp = g_tok(seg_p_unique, padding="max_length", max_length=lp_cap, truncation=True)
+            for col, val in (
+                ("marg_q_ids", tq["input_ids"]),
+                ("marg_q_len", [int(sum(m)) for m in tq["attention_mask"]]),
+                ("marg_a_ids", ta["input_ids"]),
+                ("marg_a_len", [int(sum(m)) for m in ta["attention_mask"]]),
+            ):
+                if col in processed.column_names:
+                    processed = processed.remove_columns([col])
+                processed = processed.add_column(col, val)
+
+            marg_meta["marker_len"] = len(
+                g_tok([" #answer#"], padding=False)["input_ids"][0]
+            )
+            marg_meta["pad_id"] = int(getattr(g_tok, "pad_token_id", 0) or 0)
+            frozen_trees["marg"] = jax.device_put(
+                {
+                    "retr_p_ids": jnp.asarray(p_ids),
+                    "retr_p_mask": jnp.asarray(p_mask),
+                    "gen_p_ids": jnp.asarray(np.asarray(tp["input_ids"], np.int32)),
+                    "gen_p_len": jnp.asarray(
+                        np.asarray([int(sum(m)) for m in tp["attention_mask"]], np.int32)
+                    ),
+                },
+                replicated(mesh),
+            )
 
         @jax.jit
         def _index_embed(train_params, frozen, ids, mask):
@@ -552,7 +662,11 @@ def train_e2e(
             start_steps = completed_steps
             logger.info("resumed from %s (epoch %d, step %d)", path, start_epoch, completed_steps)
 
-    batch_columns = BATCH_COLUMNS + (("positive_index",) if live_negatives_k else ())
+    batch_columns = BATCH_COLUMNS + (
+        ("positive_index",) if (live_negatives_k or marginalize_k) else ()
+    ) + (
+        ("marg_q_ids", "marg_q_len", "marg_a_ids", "marg_a_len") if marginalize_k else ()
+    )
     np_rng = np.random.default_rng(seed)
     checkpoint_every = int(checkpointing_steps) if str(checkpointing_steps).isdigit() else None
     # Losses stay on device between logging points — a per-step float()
@@ -581,7 +695,9 @@ def train_e2e(
                 dropout_rng, int(start_steps * gradient_accumulation_steps + micro_steps)
             )
             profiler.maybe_start(completed_steps)
-            index_arg = refresher.index.embeddings if live_negatives_k else None
+            index_arg = (
+                refresher.index.embeddings if (live_negatives_k or marginalize_k) else None
+            )
             state, loss, r_loss, g_loss = train_step(
                 state, frozen_trees, batch, step_rng, index_arg
             )

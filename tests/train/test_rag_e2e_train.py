@@ -182,3 +182,39 @@ def test_train_e2e_streamed_hf_7b_lifecycle(toy_csv, tmp_path):
         test_batch_size=8,
     )
     assert results.total_examples == 16
+
+
+@pytest.mark.slow
+def test_train_e2e_true_topk_marginalization(toy_csv, tmp_path):
+    """marginalize_k: the generator loss becomes the TRUE RAG-sequence
+    marginal over gold + retrieved candidates (k x generator cost), with
+    prompts assembled on device from tokenized segments."""
+    result = train_e2e(
+        toy_csv,
+        "tiny",
+        "tiny",
+        per_device_train_batch_size=2,
+        num_train_epochs=2,
+        output_dir=None,
+        query_max_len=16,
+        passage_max_len=24,
+        generator_max_len=64,
+        with_tracking=False,
+        use_dropout=False,
+        live_index=True,
+        index_refresh_slice=8,
+        marginalize_k=2,
+    )
+    assert np.isfinite(result["final_loss"])
+    assert np.isfinite(result["final_generator_loss"])
+    assert result["steps"] >= 2
+
+
+@pytest.mark.slow
+def test_marginalize_requires_live_index(toy_csv):
+    with pytest.raises(ValueError, match="live_index"):
+        train_e2e(
+            toy_csv, "tiny", "tiny", per_device_train_batch_size=2,
+            num_train_epochs=1, query_max_len=16, passage_max_len=16,
+            generator_max_len=32, with_tracking=False, marginalize_k=2,
+        )
