@@ -37,8 +37,12 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _topk_kernel(valid_ref, q_ref, e_ref, out_s_ref, out_i_ref, best_s, best_i, *, k: int, block_rows: int):
-    j = pl.program_id(0)
+def _fold_and_finalize(j, scores, valid_ref, out_s_ref, out_i_ref, best_s, best_i, *, k, block_rows):
+    """Shared running-top-k body: init scratch on the first block, fold the
+    block's scores with k iterative masked-max passes, write outputs on the
+    last block. (A per-block threshold gate was tried and reverted: with
+    hundreds of queries ganged per scan, some query always has a new
+    winner, so the branch never skips and only adds predication overhead.)"""
     num_valid = valid_ref[0]
 
     @pl.when(j == 0)
@@ -46,21 +50,10 @@ def _topk_kernel(valid_ref, q_ref, e_ref, out_s_ref, out_i_ref, best_s, best_i, 
         best_s[:] = jnp.full_like(best_s, NEG_INF)
         best_i[:] = jnp.full_like(best_i, BIG_ID)
 
-    # (Q, D) x (D, B_N) on the MXU, fp32 accumulation.
-    scores = jax.lax.dot_general(
-        q_ref[:], e_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (Q, B_N)
-
     nq = scores.shape[0]
     col_ids = j * block_rows + jax.lax.broadcasted_iota(jnp.int32, (nq, block_rows), 1)
     scores = jnp.where(col_ids < num_valid, scores, NEG_INF)
 
-    # Fold the block into the running best: k iterative masked-max passes.
-    # (A per-block threshold gate was tried and reverted: with hundreds of
-    # queries ganged per scan, some query always has a new winner, so the
-    # branch never skips and only adds predication overhead.)
     comb_s = jnp.concatenate([best_s[:], scores], axis=1)  # (Q, k + B_N)
     comb_i = jnp.concatenate([best_i[:], col_ids], axis=1)
 
@@ -85,6 +78,15 @@ def _topk_kernel(valid_ref, q_ref, e_ref, out_s_ref, out_i_ref, best_s, best_i, 
         out_i_ref[:] = jnp.where(best_i[:] == BIG_ID, 0, best_i[:])
 
 
+def _topk_kernel(valid_ref, q_ref, e_ref, out_s_ref, out_i_ref, best_s, best_i, *, k: int, block_rows: int):
+    j = pl.program_id(0)
+    # (Q, D) x (D, B_N) on the MXU, fp32 accumulation.
+    scores = jax.lax.dot_general(
+        q_ref[:], e_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (Q, B_N)
+    _fold_and_finalize(j, scores, valid_ref, out_s_ref, out_i_ref, best_s, best_i, k=k, block_rows=block_rows)
 
 
 def _topk_kernel_q8(
@@ -94,43 +96,13 @@ def _topk_kernel_q8(
     apply the per-row scale to the score columns after the matmul —
     halves the index's HBM footprint and DMA traffic."""
     j = pl.program_id(0)
-    num_valid = valid_ref[0]
-
-    @pl.when(j == 0)
-    def _init():
-        best_s[:] = jnp.full_like(best_s, NEG_INF)
-        best_i[:] = jnp.full_like(best_i, BIG_ID)
-
-    e = e_ref[:].astype(jnp.bfloat16)
     scores = jax.lax.dot_general(
-        q_ref[:], e,
+        q_ref[:], e_ref[:].astype(jnp.bfloat16),
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (Q, B_N)
     scores = scores * scale_ref[:].reshape(1, block_rows)
-
-    nq = scores.shape[0]
-    col_ids = j * block_rows + jax.lax.broadcasted_iota(jnp.int32, (nq, block_rows), 1)
-    scores = jnp.where(col_ids < num_valid, scores, NEG_INF)
-
-    comb_s = jnp.concatenate([best_s[:], scores], axis=1)
-    comb_i = jnp.concatenate([best_i[:], col_ids], axis=1)
-    new_s = []
-    new_i = []
-    for _ in range(k):
-        m = jnp.max(comb_s, axis=1, keepdims=True)
-        at_max = comb_s == m
-        sel_id = jnp.min(jnp.where(at_max, comb_i, BIG_ID), axis=1, keepdims=True)
-        new_s.append(m)
-        new_i.append(sel_id)
-        comb_s = jnp.where(comb_i == sel_id, NEG_INF, comb_s)
-    best_s[:] = jnp.concatenate(new_s, axis=1)
-    best_i[:] = jnp.concatenate(new_i, axis=1)
-
-    @pl.when(j == pl.num_programs(0) - 1)
-    def _write():
-        out_s_ref[:] = best_s[:]
-        out_i_ref[:] = jnp.where(best_i[:] == BIG_ID, 0, best_i[:])
+    _fold_and_finalize(j, scores, valid_ref, out_s_ref, out_i_ref, best_s, best_i, k=k, block_rows=block_rows)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "block_rows", "interpret"))

@@ -20,6 +20,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from jax.sharding import Mesh, PartitionSpec as P
 
@@ -43,10 +44,14 @@ def build_cp_loss(model, mesh: Mesh, axis_name: str = "model", data_axis: Option
         rng = None
         if noise_rng is not None:
             rng = jax.random.fold_in(noise_rng, chunk)
+        # NEFTune scales noise by alpha/sqrt(S·H) with the LOCAL chunk
+        # length; divide alpha by sqrt(P) so the effective per-token noise
+        # matches the unsharded objective's alpha/sqrt(S_global·H).
+        local_alpha = neftune_alpha / float(np.sqrt(num_chunks))
         logits = model.apply(
             {"params": params}, ids, jnp.ones_like(ids),
             positions=jnp.broadcast_to(pos, ids.shape),
-            neftune_alpha=neftune_alpha, noise_rng=rng,
+            neftune_alpha=local_alpha, noise_rng=rng,
         )
         # Next-token labels: shift left; the last label of each chunk is
         # the FIRST token of the next chunk (device i receives from i+1).

@@ -322,10 +322,12 @@ def train_generator(
                 val = run_validation(state.params)
                 tracker.log({"eval/loss": val}, step=completed)
                 logger.info("step %d eval loss %.4f", completed, val)
+                timer.mark(completed)  # exclude validation from throughput windows
         # save per epoch (reference save_strategy="epoch")
         if output_dir:
             _save(output_dir, cfg, state, base_params, lora_spec, tok, tokenizer, use_peft,
                   export_peft=export_peft, base_name=model_name)
+            timer.mark(completed)  # exclude the save from throughput windows
 
     if last is not None:
         final_loss = float(jax.device_get(last))

@@ -199,7 +199,7 @@ def train_e2e(
     # (or overflows) generator_max_len have an EMPTY answer region — the
     # marginalized loss then contributes no retriever gradient for them.
     qpl = np.asarray(processed["query_passage_input_len"])
-    n_empty = int((qpl >= generator_max_len - 1).sum())
+    n_empty = int((qpl >= generator_max_len).sum())
     if n_empty:
         logger.warning(
             "%d/%d rows have no answer tokens inside generator_max_len=%d "
@@ -368,20 +368,27 @@ def train_e2e(
             "lora": train_params[sub],
         }
 
-    def _hard_negative_logits(q_emb, index_embs, positive_index, num_real):
-        """Top-k live-index scores per query, excluding each query's own
-        positive and the index's shape-padding rows. Stale passage
-        embeddings — the gradient flows through the query side only."""
+    def _masked_index_scores(q_emb, index_embs, positive_index, num_real, scale=1.0):
+        """(B, N_index) query-vs-index scores with each query's own positive
+        and the index's shape-padding rows masked to -inf. Stale index
+        embeddings — selection-grade scores, gradient via the query side."""
         qf = q_emb.astype(jnp.float32)
         scores = jnp.matmul(
             qf, index_embs.T.astype(jnp.float32),
             precision=jax.lax.Precision.HIGHEST,
-        ) * float(logit_scale)
+        ) * float(scale)
         n_idx = index_embs.shape[0]
         neg_inf = jnp.finfo(jnp.float32).min
         cols = jnp.arange(n_idx)[None, :]
         scores = jnp.where(cols >= num_real, neg_inf, scores)  # padding rows
         scores = jnp.where(cols == positive_index[:, None], neg_inf, scores)
+        return scores
+
+    def _hard_negative_logits(q_emb, index_embs, positive_index, num_real):
+        """Top-k live-index scores per query (hard negatives)."""
+        scores = _masked_index_scores(
+            q_emb, index_embs, positive_index, num_real, scale=float(logit_scale)
+        )
         k = min(int(live_negatives_k), max(int(num_real) - 1, 1))
         extra, _ = jax.lax.top_k(scores, k)
         return extra
@@ -402,12 +409,9 @@ def train_e2e(
         k_extra = min(int(marginalize_k) - 1, max(num_real_passages - 1, 0))
         if k_extra > 0:
             # stale-index scores for SELECTION only (gradient-free)
-            sel_scores = jnp.matmul(qf, index_embs.T.astype(jnp.float32))
-            n_idx = index_embs.shape[0]
-            cols = jnp.arange(n_idx)[None, :]
-            neg_inf = jnp.finfo(jnp.float32).min
-            sel_scores = jnp.where(cols >= num_real_passages, neg_inf, sel_scores)
-            sel_scores = jnp.where(cols == pos[:, None], neg_inf, sel_scores)
+            sel_scores = jax.lax.stop_gradient(
+                _masked_index_scores(q_emb, index_embs, pos, num_real_passages)
+            )
             _, sel = jax.lax.top_k(sel_scores, k_extra)
             cand = jnp.concatenate([pos[:, None], sel], axis=1)  # (B, K)
         else:
@@ -447,7 +451,7 @@ def train_e2e(
             block = per_device_train_batch_size if (local_negatives and mesh.shape["data"] > 1) else None
             extra = (
                 _hard_negative_logits(q_emb, index_embs, batch["positive_index"], num_real_passages)
-                if index_embs is not None else None
+                if (index_embs is not None and live_negatives_k) else None
             )
             retriever_loss, sim = contrastive_loss(
                 q_emb.astype(jnp.float32), p_emb.astype(jnp.float32), float(logit_scale),
@@ -491,7 +495,7 @@ def train_e2e(
         block = per_device_train_batch_size if (local_negatives and mesh.shape["data"] > 1) else None
         extra = (
             _hard_negative_logits(q_emb, index_embs, batch["positive_index"], num_real_passages)
-            if index_embs is not None else None
+            if (index_embs is not None and live_negatives_k) else None
         )
         retriever_loss, sim = contrastive_loss(
             q_emb.astype(jnp.float32), p_emb.astype(jnp.float32), float(logit_scale),
@@ -726,6 +730,7 @@ def train_e2e(
             if stepped and checkpoint_every and completed_steps % checkpoint_every == 0 and output_dir:
                 ckpt.save_state(output_dir, f"step_{completed_steps}", state)
                 ckpt.prune_checkpoints(output_dir, keep_last=3)
+                timer.mark(completed_steps)  # exclude ckpt I/O from throughput windows
             if completed_steps >= max_train_steps:
                 break
         skip_batches = 0

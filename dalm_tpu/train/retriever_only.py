@@ -291,6 +291,7 @@ def train_retriever(
             if stepped and checkpoint_every and completed_steps % checkpoint_every == 0 and output_dir:
                 ckpt.save_state(output_dir, f"step_{completed_steps}", state)
                 ckpt.prune_checkpoints(output_dir, keep_last=3)
+                timer.mark(completed_steps)  # exclude ckpt I/O from throughput windows
             if completed_steps >= max_train_steps:
                 break
         skip_batches = 0

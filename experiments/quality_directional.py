@@ -111,6 +111,8 @@ def main():
     ap.add_argument("--out", default="experiments/results")
     ap.add_argument("--cpu-mesh", action="store_true", help="force 8-device CPU mesh")
     ap.add_argument("--seeds", type=int, default=1, help="training seeds to average over")
+    ap.add_argument("--marginalize-k", type=int, default=0,
+                    help="also run a rag-e2e arm with TRUE top-k marginalization")
     args = ap.parse_args()
 
     if args.cpu_mesh:
@@ -172,7 +174,7 @@ def main():
     t0 = time.time()
     eval_dir(base_dir, "base (random init)")
 
-    ro_recalls, e2e_recalls = [], []
+    ro_recalls, e2e_recalls, marg_recalls = [], [], []
     for seed in range(42, 42 + args.seeds):
         # Run A: retriever-only contrastive.
         ro_out = os.path.join(args.out, f"retriever_only_s{seed}")
@@ -199,8 +201,26 @@ def main():
         ev = eval_dir(os.path.join(e2e_out, "retriever"), f"rag-e2e[s{seed}]")
         e2e_recalls.append(ev.recall)
 
+        if args.marginalize_k:
+            marg_out = os.path.join(args.out, f"rag_e2e_marg_s{seed}")
+            train_e2e(
+                train_ds, base_dir, args.generator, seed=seed,
+                per_device_train_batch_size=args.batch, num_train_epochs=args.epochs,
+                learning_rate=args.lr, query_max_len=args.query_len,
+                passage_max_len=args.passage_len, generator_max_len=args.gen_len,
+                output_dir=marg_out, with_tracking=False, use_dropout=False,
+                num_warmup_steps=args.warmup,
+                live_index=True, marginalize_k=args.marginalize_k,
+            )
+            ev = eval_dir(os.path.join(marg_out, "retriever"), f"rag-e2e-marg{args.marginalize_k}[s{seed}]")
+            marg_recalls.append(ev.recall)
+
     results["retriever-only"] = {"recall@10_mean": float(np.mean(ro_recalls)), "per_seed": ro_recalls}
     results["rag-e2e"] = {"recall@10_mean": float(np.mean(e2e_recalls)), "per_seed": e2e_recalls}
+    if marg_recalls:
+        results[f"rag-e2e-marg{args.marginalize_k}"] = {
+            "recall@10_mean": float(np.mean(marg_recalls)), "per_seed": marg_recalls,
+        }
 
     results["config"] = {k: v for k, v in vars(args).items()}
     results["wall_clock_s"] = round(time.time() - t0, 1)
