@@ -73,7 +73,7 @@ def evaluate_rag(
     generator_tokenizer: str = "byte",
     mesh=None,
     max_new_tokens: int = 64,
-    index_kernel: str = "xla",
+    index_kernel: str = "auto",  # pallas on TPU, xla elsewhere
     threshold: float = 0.0,  # hnswlib-parity score cutoff (`eval/utils.py:52`)
 ) -> EvalResults:
     if mesh is None:

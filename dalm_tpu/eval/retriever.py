@@ -97,7 +97,7 @@ def evaluate_retriever(
     tokenizer: str = "byte",
     mesh=None,
     query_batch_size: Optional[int] = None,
-    index_kernel: str = "xla",
+    index_kernel: str = "auto",  # pallas on TPU, xla elsewhere
     threshold: float = 0.0,
 ) -> EvalResults:
     """Twin of `evaluate_retriever` (`eval_retriever_only.py:105-178`)."""

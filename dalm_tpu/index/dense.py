@@ -51,13 +51,15 @@ class ShardedDenseIndex:
     """
 
     def __init__(
-        self, mesh: Mesh, embeddings: jax.Array, num_real: int, kernel: str = "xla",
+        self, mesh: Mesh, embeddings: jax.Array, num_real: int, kernel: str = "auto",
         scales: jax.Array | None = None,
     ):
         self.mesh = mesh
         self.embeddings = embeddings  # (N_pad, D), row-sharded; int8 when scales given
         self.scales = scales  # (N_pad, 1) f32 per-row dequant scales (int8 mode)
         self.num_real = num_real
+        if kernel == "auto":  # Pallas on TPU, XLA elsewhere
+            kernel = "pallas" if jax.default_backend() == "tpu" else "xla"
         self.kernel = kernel
         self._search_fns: dict = {}
 
@@ -72,7 +74,7 @@ class ShardedDenseIndex:
         mesh: Mesh,
         embeddings: np.ndarray | jax.Array,
         dtype=jnp.float32,
-        kernel: str = "xla",
+        kernel: str = "auto",
         quantize: bool = False,
     ) -> "ShardedDenseIndex":
         """``quantize=True``: store rows as symmetric int8 + per-row f32

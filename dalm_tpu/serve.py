@@ -60,7 +60,7 @@ class RagPipeline:
         max_prompt_len: int = 256,
         max_new_tokens: int = 64,
         embed_batch: int = 64,
-        index_kernel: str = "xla",
+        index_kernel: str = "auto",  # pallas on TPU, xla elsewhere
     ):
         self.mesh = mesh or make_mesh(MeshConfig())
         self.retriever = retriever_model
