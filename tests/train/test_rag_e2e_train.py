@@ -218,3 +218,57 @@ def test_marginalize_requires_live_index(toy_csv):
             num_train_epochs=1, query_max_len=16, passage_max_len=16,
             generator_max_len=32, with_tracking=False, marginalize_k=2,
         )
+
+
+@pytest.mark.slow
+def test_train_e2e_resume_from_checkpoint(toy_csv, tmp_path):
+    """Orbax resume: a run killed after epoch 0 continues from the
+    epoch checkpoint with the step counter intact (reference
+    skip_first_batches semantics, train_rage2e.py:389-427)."""
+    out = str(tmp_path / "resume_out")
+    first = train_e2e(
+        toy_csv, "tiny", "tiny",
+        per_device_train_batch_size=2, num_train_epochs=1,
+        output_dir=out, query_max_len=16, passage_max_len=16,
+        generator_max_len=32, with_tracking=False, use_dropout=False,
+        checkpointing_steps="epoch",
+    )
+    assert os.path.isdir(os.path.join(out, "epoch_0"))
+    steps_first = first["steps"]
+
+    resumed = train_e2e(
+        toy_csv, "tiny", "tiny",
+        per_device_train_batch_size=2, num_train_epochs=2,
+        output_dir=out, query_max_len=16, passage_max_len=16,
+        generator_max_len=32, with_tracking=False, use_dropout=False,
+        checkpointing_steps="epoch",
+        resume_from_checkpoint=os.path.join(out, "epoch_0"),
+    )
+    # epoch 0 was skipped: total steps == 2 epochs' worth, and the
+    # resumed run only executed the second epoch
+    assert resumed["steps"] == 2 * steps_first
+    assert np.isfinite(resumed["final_loss"])
+
+
+@pytest.mark.slow
+def test_train_retriever_resume_from_step(toy_csv, tmp_path):
+    from dalm_tpu.train.retriever_only import train_retriever
+
+    out = str(tmp_path / "ro_resume")
+    first = train_retriever(
+        "tiny", toy_csv, per_device_train_batch_size=2, num_train_epochs=1,
+        output_dir=out, query_max_len=16, passage_max_len=16,
+        with_tracking=False, use_dropout=False, checkpointing_steps=1,
+    )
+    step_dirs = [d for d in os.listdir(out) if d.startswith("step_")]
+    assert step_dirs
+    latest = sorted(step_dirs, key=lambda d: int(d.split("_")[1]))[-1]
+
+    resumed = train_retriever(
+        "tiny", toy_csv, per_device_train_batch_size=2, num_train_epochs=2,
+        output_dir=out, query_max_len=16, passage_max_len=16,
+        with_tracking=False, use_dropout=False,
+        resume_from_checkpoint=os.path.join(out, latest),
+    )
+    assert resumed["steps"] == 2 * first["steps"]
+    assert np.isfinite(resumed["final_loss"])
