@@ -94,6 +94,9 @@ def _common_train_options(fn):
               help=">0: TRUE top-k RAG marginalization over gold+retrieved (k x generator cost)")
 @click.option("--export-peft", is_flag=True, default=False,
               help="also write a torch-PEFT adapter next to the native one")
+@click.option("--int8-compute", default="none", type=click.Choice(["none", "fwd", "all"]),
+              show_default=True,
+              help="run the fused frozen int8 base on the MXU int8 path (all = backward too)")
 def train_rag_e2e_cmd(dataset_path, retriever_name_or_path, generator_name_or_path, **kwargs):
     """Train a retriever and generator jointly (RAG-e2e)."""
     from dalm_tpu.train.rag_e2e import train_e2e

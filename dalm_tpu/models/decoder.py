@@ -50,6 +50,9 @@ class DecoderConfig:
     # ``ring_axis``; run under shard_map — kernels/ring_attention.py).
     attention_impl: str = "einsum"
     ring_axis: str = "model"
+    # int8 MXU compute for packed frozen kernels ("none"|"fwd"|"all") —
+    # see kernels/int8_matmul.py; no effect without int8 quant storage.
+    int8_compute: str = "none"
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -123,7 +126,7 @@ def _proj(features, name, cfg, kernel_axes):
 
     return FlexLinear(
         features, name=name, use_bias=False, dtype=cfg.dtype, param_dtype=cfg.param_dtype,
-        kernel_axes=kernel_axes,
+        kernel_axes=kernel_axes, int8_compute=cfg.int8_compute,
     )
 
 
@@ -151,8 +154,15 @@ class DecoderAttention(nn.Module):
 
         new_cache = None
         if kv_cache is not None:
-            k = jax.lax.dynamic_update_slice(kv_cache["k"], k.astype(kv_cache["k"].dtype), (0, cache_index, 0, 0))
-            v = jax.lax.dynamic_update_slice(kv_cache["v"], v.astype(kv_cache["v"].dtype), (0, cache_index, 0, 0))
+            if getattr(cache_index, "ndim", 0) == 1:
+                # Per-slot write positions (continuous batching): each
+                # batch row writes its chunk at its own cache offset.
+                upd = jax.vmap(lambda c, u, i: jax.lax.dynamic_update_slice(c, u, (i, 0, 0)))
+                k = upd(kv_cache["k"], k.astype(kv_cache["k"].dtype), cache_index)
+                v = upd(kv_cache["v"], v.astype(kv_cache["v"].dtype), cache_index)
+            else:
+                k = jax.lax.dynamic_update_slice(kv_cache["k"], k.astype(kv_cache["k"].dtype), (0, cache_index, 0, 0))
+                v = jax.lax.dynamic_update_slice(kv_cache["v"], v.astype(kv_cache["v"].dtype), (0, cache_index, 0, 0))
             new_cache = {"k": k, "v": v}
 
         if kvh != nh:
@@ -258,7 +268,8 @@ class Decoder(nn.Module):
         B, S = input_ids.shape
         if positions is None:
             if kv_cache is not None:
-                positions = jnp.full((B, S), cache_index, dtype=jnp.int32) + jnp.arange(S)[None, :]
+                base = jnp.asarray(cache_index, jnp.int32).reshape(-1, 1)  # scalar or (B,)
+                positions = jnp.broadcast_to(base, (B, 1)) + jnp.arange(S)[None, :]
             elif attention_mask is not None:
                 # Left-padding-safe positions: cumsum over the mask.
                 positions = jnp.clip(jnp.cumsum(attention_mask, axis=1) - 1, min=0)
@@ -293,7 +304,8 @@ class Decoder(nn.Module):
             # slot index). ``attention_mask`` marks valid slots.
             key_len = kv_cache["layer_0"]["k"].shape[1]
             key_slot = jnp.arange(key_len)[None, None, None, :]
-            q_slot = (cache_index + jnp.arange(S))[None, None, :, None]
+            base = jnp.asarray(cache_index, jnp.int32).reshape(-1, 1)  # scalar or (B,)
+            q_slot = (base + jnp.arange(S)[None, :])[:, None, :, None]
             mask = key_slot <= q_slot
             if attention_mask is not None:
                 mask = mask & (attention_mask[:, None, None, :] > 0)

@@ -40,6 +40,9 @@ class EncoderConfig:
     attention_dropout: float = 0.1
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    # int8 MXU compute for packed frozen kernels ("none"|"fwd"|"all") —
+    # see kernels/int8_matmul.py; no effect without int8 quant storage.
+    int8_compute: str = "none"
 
     @property
     def head_dim(self) -> int:
@@ -83,6 +86,7 @@ def _dense(features, name, cfg, kernel_axes, bias_axes):
         param_dtype=cfg.param_dtype,
         kernel_axes=kernel_axes,
         bias_axes=bias_axes,
+        int8_compute=cfg.int8_compute,
     )
 
 

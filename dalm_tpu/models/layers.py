@@ -34,11 +34,23 @@ class FlexLinear(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
     kernel_axes: Tuple = ("embed", "mlp")
     bias_axes: Tuple = ("mlp",)
+    # "none" (dequant to bf16, default) | "fwd" | "all": run the frozen
+    # int8 base matmul on the MXU int8 path (kernels/int8_matmul.py),
+    # with "all" also quantizing the backward dx matmul. Only takes
+    # effect when the layer actually has int8 `quant` storage.
+    int8_compute: str = "none"
 
     @nn.compact
     def __call__(self, x):
         quantized = self.has_variable("quant", "q")
-        if quantized:
+        kernel = None
+        if quantized and self.int8_compute != "none":
+            from dalm_tpu.kernels.int8_matmul import int8_matmul
+
+            q = self.get_variable("quant", "q")
+            scale = self.get_variable("quant", "scale")
+            y = int8_matmul(x, q, scale, self.int8_compute == "all")
+        elif quantized:
             q = self.get_variable("quant", "q")
             scale = self.get_variable("quant", "scale")
             kernel = (q.astype(jnp.float32) * scale.astype(jnp.float32)).astype(self.dtype)
@@ -53,7 +65,8 @@ class FlexLinear(nn.Module):
                 self.param_dtype,
             ).astype(self.dtype)
 
-        y = x @ kernel
+        if kernel is not None:
+            y = x @ kernel
 
         if self.has_variable("lora", "a"):
             a = self.get_variable("lora", "a").astype(self.dtype)

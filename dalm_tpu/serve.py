@@ -74,6 +74,7 @@ class RagPipeline:
         self.max_passage_len = max_passage_len
         self.max_prompt_len = max_prompt_len
         self.embed_batch = embed_batch
+        self._max_new_tokens = max_new_tokens
 
         self._embed = build_embed_fn(self.retriever, self.r_params)
         self._generate = build_greedy_generate(
@@ -165,6 +166,57 @@ class RagPipeline:
                 RagAnswer(
                     query=q,
                     answer=answer,
+                    passages=[self.passages[int(j)] for j in ids[i]],
+                    scores=[float(s) for s in scores[i]],
+                )
+            )
+        return results
+
+    def answer_continuous(
+        self,
+        queries: Sequence[str],
+        top_k: int = 4,
+        num_slots: int = 32,
+        max_new_tokens: Optional[int] = None,
+        decode_chunk: int = 8,
+    ) -> List[RagAnswer]:
+        """`answer` with continuous batching: a fixed pool of decode
+        slots; slots whose answers hit EOS are immediately recycled to
+        waiting queries, so short answers never pay for long ones.
+        Use when ``len(queries)`` exceeds a comfortable lockstep batch
+        or answer lengths are ragged (models/decode_engine.py)."""
+        from dalm_tpu.models.decode_engine import DecodeEngine
+
+        max_new = max_new_tokens or self._max_new_tokens
+        key = (num_slots, max_new, decode_chunk)
+        if getattr(self, "_engine_key", None) != key:
+            self._engine = DecodeEngine(
+                self.generator, self.g_params,
+                num_slots=num_slots, max_prompt_len=self.max_prompt_len,
+                max_new_tokens=max_new,
+                eos_token_id=self.g_tok.eos_token_id,
+                pad_token_id=self.g_tok.pad_token_id or 0,
+                decode_chunk=decode_chunk,
+            )
+            self._engine_key = key
+
+        scores, ids = self.retrieve(queries, top_k)
+        prompts = [
+            f"#query# {q} #passage# {self.passages[int(ids[i, 0])]} #answer# "
+            for i, q in enumerate(queries)
+        ]
+        toks = self.g_tok(prompts, padding="max_length", max_length=self.max_prompt_len, truncation=True)
+        token_lists = self._engine.generate(
+            np.asarray(toks["input_ids"], np.int32),
+            np.asarray(toks["attention_mask"], np.int32),
+        )
+        results = []
+        for i, q in enumerate(queries):
+            text = self.g_tok.decode(token_lists[i], skip_special_tokens=True)
+            results.append(
+                RagAnswer(
+                    query=q,
+                    answer=text.split("#answer#")[0].strip(),
                     passages=[self.passages[int(j)] for j in ids[i]],
                     scores=[float(s) for s in scores[i]],
                 )

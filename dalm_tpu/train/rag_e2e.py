@@ -121,6 +121,7 @@ def train_e2e(
     live_negatives_k: int = 0,  # >0: top-k hard negatives from the live index
     marginalize_k: int = 0,  # >0: TRUE top-k RAG marginalization (k× generator cost)
     lora_runtime: str = "merge",  # "merge" (<=1B) | "fused" (QLoRA, 7B-scale)
+    int8_compute: str = "none",  # "fwd"|"all": int8 MXU matmuls for the fused frozen base
     export_peft: bool = False,  # also write torch-PEFT adapter_model.bin
     profile_dir: Optional[str] = None,
     profile_start_step: int = 10,
@@ -180,6 +181,15 @@ def train_e2e(
         g_params = None
     else:
         g_cfg, g_params = resolve_decoder(generator_name_or_path, dtype=compute_dtype, vocab_size=vocab_g)
+
+    if int8_compute != "none":
+        # W8A8 MXU compute for whichever submodels end up with int8
+        # `quant` storage (kernels/int8_matmul.py); layers without it
+        # ignore the flag, so setting it on both configs is safe.
+        import dataclasses as _dc
+
+        r_cfg = _dc.replace(r_cfg, int8_compute=int8_compute)
+        g_cfg = _dc.replace(g_cfg, int8_compute=int8_compute)
 
     rag = RagE2EModel(r_cfg, g_cfg, retriever_is_autoregressive=retriever_is_autoregressive)
 

@@ -1,0 +1,162 @@
+"""Continuous-batching decode engine (models/decode_engine.py).
+
+The invariant that matters: with per-slot cache indices, slot recycling,
+and chunked decode, every prompt's greedy output must be IDENTICAL to
+the lockstep `build_greedy_generate` path — admission order, slot
+reuse, and chunk boundaries must not leak into the tokens.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dalm_tpu.core.mesh import unbox
+from dalm_tpu.models.decode_engine import DecodeEngine
+from dalm_tpu.models.decoder import Decoder, DecoderConfig
+from dalm_tpu.models.generate import build_greedy_generate
+
+P = 16  # static prompt length (left-padded)
+
+
+@pytest.fixture(scope="module")
+def decoder_and_params():
+    cfg = DecoderConfig.tiny(vocab_size=128)
+    decoder = Decoder(cfg)
+    params = unbox(
+        decoder.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, P), jnp.int32), jnp.ones((1, P), jnp.int32)
+        )["params"]
+    )
+    return decoder, params
+
+
+def _prompts(n, rng_seed=0):
+    """Left-padded (n, P) prompts of varying real length."""
+    rng = np.random.default_rng(rng_seed)
+    ids = np.zeros((n, P), np.int32)
+    mask = np.zeros((n, P), np.int32)
+    for i in range(n):
+        real = int(rng.integers(3, P))
+        ids[i, P - real :] = rng.integers(5, 120, size=real)
+        mask[i, P - real :] = 1
+    return ids, mask
+
+
+def _lockstep(decoder, params, ids, mask, max_new, eos=None):
+    gen = build_greedy_generate(decoder, max_new, eos_token_id=eos, pad_token_id=0)
+    return np.asarray(gen(params, jnp.asarray(ids), jnp.asarray(mask)))
+
+
+def _trim(row, eos, max_new):
+    out = []
+    for t in row:
+        if eos is not None and t == eos:
+            break
+        out.append(int(t))
+        if len(out) >= max_new:
+            break
+    return out
+
+
+@pytest.mark.parametrize("num_slots,n_req", [(4, 4), (2, 7), (3, 8)])
+def test_matches_lockstep_greedy(decoder_and_params, num_slots, n_req):
+    """More requests than slots: recycling still reproduces lockstep."""
+    decoder, params = decoder_and_params
+    ids, mask = _prompts(n_req, rng_seed=n_req)
+    max_new = 6
+    expected = _lockstep(decoder, params, ids, mask, max_new)
+
+    eng = DecodeEngine(
+        decoder, params, num_slots=num_slots, max_prompt_len=P,
+        max_new_tokens=max_new, eos_token_id=None, pad_token_id=0, decode_chunk=3,
+    )
+    got = eng.generate(ids, mask)
+    for i in range(n_req):
+        assert got[i] == [int(t) for t in expected[i]], f"request {i} diverged"
+
+
+def test_eos_recycles_slots(decoder_and_params):
+    """EOS mid-stream: output matches lockstep's post-hoc EOS trim, and
+    freed slots service the queue (engine finishes all N > slots)."""
+    decoder, params = decoder_and_params
+    ids, mask = _prompts(9, rng_seed=42)
+    max_new = 8
+    # pick an EOS id that actually occurs in some lockstep output so the
+    # early-stop path is exercised, not vacuous
+    ref_free = _lockstep(decoder, params, ids, mask, max_new)
+    vals, counts = np.unique(ref_free[:, 1:], return_counts=True)
+    eos = int(vals[np.argmax(counts)])
+
+    eng = DecodeEngine(
+        decoder, params, num_slots=2, max_prompt_len=P,
+        max_new_tokens=max_new, eos_token_id=eos, pad_token_id=0, decode_chunk=4,
+    )
+    got = eng.generate(ids, mask)
+    hit_eos = 0
+    for i in range(9):
+        want = _trim(ref_free[i], eos, max_new)
+        assert got[i] == want, f"request {i} diverged"
+        if len(want) < max_new:
+            hit_eos += 1
+    assert hit_eos > 0  # the trait under test actually occurred
+
+
+def test_max_new_one(decoder_and_params):
+    decoder, params = decoder_and_params
+    ids, mask = _prompts(3, rng_seed=7)
+    expected = _lockstep(decoder, params, ids, mask, 1)
+    eng = DecodeEngine(
+        decoder, params, num_slots=2, max_prompt_len=P,
+        max_new_tokens=1, eos_token_id=None, pad_token_id=0,
+    )
+    got = eng.generate(ids, mask)
+    for i in range(3):
+        assert got[i] == [int(expected[i, 0])]
+
+
+def test_engine_reusable_across_calls(decoder_and_params):
+    """A second generate() on the same engine (dirty caches) is correct."""
+    decoder, params = decoder_and_params
+    eng = DecodeEngine(
+        decoder, params, num_slots=3, max_prompt_len=P,
+        max_new_tokens=5, eos_token_id=None, pad_token_id=0, decode_chunk=2,
+    )
+    for seed in (1, 2):
+        ids, mask = _prompts(5, rng_seed=seed)
+        expected = _lockstep(decoder, params, ids, mask, 5)
+        got = eng.generate(ids, mask)
+        for i in range(5):
+            assert got[i] == [int(t) for t in expected[i]]
+
+
+def test_per_request_budgets(decoder_and_params):
+    """Each request stops at its own budget and its tokens are the
+    lockstep prefix of that length; zero-budget requests return []."""
+    decoder, params = decoder_and_params
+    ids, mask = _prompts(6, rng_seed=11)
+    expected = _lockstep(decoder, params, ids, mask, 8)
+    budgets = [8, 3, 0, 5, 1, 8]
+    eng = DecodeEngine(
+        decoder, params, num_slots=2, max_prompt_len=P,
+        max_new_tokens=8, eos_token_id=None, pad_token_id=0, decode_chunk=4,
+    )
+    got = eng.generate(ids, mask, budgets=budgets)
+    for i, b in enumerate(budgets):
+        assert got[i] == [int(t) for t in expected[i][:b]], f"request {i}"
+
+
+@pytest.mark.slow
+def test_answer_continuous_matches_answer():
+    from dalm_tpu.serve import RagPipeline
+
+    passages = [f"passage about topic {i} with unique content {i}" for i in range(10)]
+    pipe = RagPipeline.from_pretrained(
+        "tiny", "tiny", passages,
+        max_passage_len=32, max_prompt_len=64, max_new_tokens=4, embed_batch=8,
+    )
+    queries = [f"what is topic {i}" for i in range(6)]
+    lockstep = pipe.answer(queries, top_k=2)
+    cont = pipe.answer_continuous(queries, top_k=2, num_slots=2, decode_chunk=2)
+    assert [a.answer for a in cont] == [a.answer for a in lockstep]
+    assert [a.passages for a in cont] == [a.passages for a in lockstep]

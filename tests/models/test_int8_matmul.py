@@ -1,0 +1,139 @@
+"""W8A8 int8 MXU matmul (kernels/int8_matmul.py).
+
+Checks: forward accuracy vs the exact dequantized matmul, STE gradient
+semantics (dx == dy @ W^T, no grads into frozen storage), the FlexLinear
+`int8_compute` wiring, and an end-to-end fused-QLoRA train step with
+int8 compute on the CPU mesh.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dalm_tpu.kernels.int8_matmul import int8_matmul, rowquant
+from dalm_tpu.models.quant import quantize_tensor
+
+
+def _make(key, m, k, n):
+    kx, kw = jax.random.split(jax.random.PRNGKey(key))
+    x = jax.random.normal(kx, (m, k), jnp.float32)
+    w = jax.random.normal(kw, (k, n), jnp.float32) * 0.05
+    qt = quantize_tensor(w)
+    return x, w, qt["__int8__"], qt["scale"]
+
+
+def test_rowquant_roundtrip():
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 256), jnp.float32)
+    q, s = rowquant(x)
+    assert q.dtype == jnp.int8 and s.shape == (4, 1)
+    rel = jnp.abs(q.astype(jnp.float32) * s - x).max() / jnp.abs(x).max()
+    assert float(rel) < 1.0 / 127  # one quantization step
+
+
+def test_rowquant_zero_row_safe():
+    x = jnp.zeros((2, 64), jnp.float32)
+    q, s = rowquant(x)
+    assert not np.any(np.isnan(np.asarray(s)))
+    assert np.all(np.asarray(q) == 0)
+
+
+@pytest.mark.parametrize("bwd_int8", [False, True])
+def test_forward_matches_dequant(bwd_int8):
+    x, w, q, scale = _make(1, 8, 128, 64)
+    exact = x @ (q.astype(jnp.float32) * scale)
+    got = int8_matmul(x, q, scale, bwd_int8)
+    # Activation quantization adds ~1/127 relative error per element;
+    # accumulated over K=128 the row-level error stays well under 2%.
+    denom = float(jnp.abs(exact).max())
+    assert float(jnp.abs(got - exact).max()) / denom < 0.02
+
+
+def test_forward_3d_batch():
+    x, w, q, scale = _make(2, 4, 128, 32)
+    x3 = x.reshape(2, 2, 128)
+    got = int8_matmul(x3, q, scale, False)
+    flat = int8_matmul(x, q, scale, False)
+    assert got.shape == (2, 2, 32)
+    np.testing.assert_allclose(np.asarray(got).reshape(4, 32), np.asarray(flat), rtol=1e-6)
+
+
+@pytest.mark.parametrize("bwd_int8", [False, True])
+def test_gradient_is_straight_through(bwd_int8):
+    x, w, q, scale = _make(3, 8, 128, 64)
+    wd = q.astype(jnp.float32) * scale
+
+    def f(x):
+        return jnp.sum(jnp.sin(int8_matmul(x, q, scale, bwd_int8)))
+
+    def f_ref(x):
+        return jnp.sum(jnp.sin(x @ wd))
+
+    gx = jax.grad(f)(x)
+    gref = jax.grad(f_ref)(x)
+    # cotangent dy differs slightly (cos of slightly different y) and the
+    # int8 backward adds its own quantization — bound loosely but tightly
+    # enough to catch a wrong contraction or missing scale fold.
+    denom = float(jnp.abs(gref).max())
+    tol = 0.06 if bwd_int8 else 0.03
+    assert float(jnp.abs(gx - gref).max()) / denom < tol
+
+
+def test_no_grad_into_frozen_storage():
+    x, w, q, scale = _make(4, 4, 128, 32)
+
+    def f(scale):
+        return jnp.sum(int8_matmul(x, q, scale, False))
+
+    g = jax.grad(f)(scale)
+    assert float(jnp.abs(g).max()) == 0.0
+
+
+def test_flexlinear_int8_compute_path():
+    from dalm_tpu.models.layers import FlexLinear
+
+    x = jax.random.normal(jax.random.PRNGKey(5), (4, 128), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(6), (128, 64), jnp.float32) * 0.05
+    qt = quantize_tensor(w)
+    quant = {"q": qt["__int8__"], "scale": qt["scale"]}
+
+    ref = FlexLinear(64, int8_compute="none").apply({"params": {}, "quant": quant}, x)
+    got = FlexLinear(64, int8_compute="fwd").apply({"params": {}, "quant": quant}, x)
+    denom = float(jnp.abs(ref).max())
+    assert float(jnp.abs(got - ref).max()) / denom < 0.02
+
+    # lora factors still apply on top of the int8 base path
+    lora = {
+        "a": jax.random.normal(jax.random.PRNGKey(7), (128, 4), jnp.float32) * 0.1,
+        "b": jax.random.normal(jax.random.PRNGKey(8), (4, 64), jnp.float32) * 0.1,
+    }
+    with_lora = FlexLinear(64, int8_compute="fwd").apply(
+        {"params": {}, "quant": quant, "lora": lora}, x
+    )
+    delta = (x @ lora["a"]) @ lora["b"]
+    np.testing.assert_allclose(
+        np.asarray(with_lora - got), np.asarray(delta), rtol=1e-4, atol=1e-5
+    )
+
+
+@pytest.mark.parametrize("mode", ["fwd", "all"])
+def test_train_e2e_fused_int8_compute(tmp_path, toy_csv, mode):
+    """Full fused-QLoRA rag-e2e training with int8 MXU compute: loss falls."""
+    from dalm_tpu.train.rag_e2e import train_e2e
+
+    out = train_e2e(
+        toy_csv,
+        "tiny",
+        "tiny",
+        query_max_len=16, passage_max_len=24, generator_max_len=48,
+        per_device_train_batch_size=2,
+        num_train_epochs=2,
+        use_peft="both", use_bnb="both",
+        lora_runtime="fused",
+        int8_compute=mode,
+        with_tracking=False,
+        output_dir=str(tmp_path / "out"),
+        use_dropout=False,
+    )
+    assert np.isfinite(out["final_loss"])
+    assert out["steps"] >= 2
