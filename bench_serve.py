@@ -99,10 +99,21 @@ def main() -> None:
     p_ids = np.asarray(prompts_tok["input_ids"], np.int32)
     p_mask = np.asarray(prompts_tok["attention_mask"], np.int32)
 
-    # lockstep cost for a ragged workload == full-batch decode at max_new
-    t0 = time.perf_counter()
-    _ = pipe._generate(pipe.g_params, p_ids, p_mask)
-    lockstep_dt = time.perf_counter() - t0
+    # Lockstep baseline at the SAME device capacity (64-wide batches —
+    # slot count is HBM-bounded in real serving): the queue of 256
+    # requests is 4 sequential full-length batch-64 decodes. (A single
+    # batch-256 lockstep decode would presume 4× the cache capacity.)
+    from dalm_tpu.models.generate import build_greedy_generate
+
+    gen64 = build_greedy_generate(generator, 64, eos_token_id=None, pad_token_id=0)
+    _ = np.asarray(gen64(g_params, p_ids[:64], p_mask[:64]))  # warm
+    lockstep_best = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for s in range(0, len(queries), 64):
+            out_lockstep = np.asarray(gen64(g_params, p_ids[s : s + 64], p_mask[s : s + 64]))
+        lockstep_best = min(lockstep_best, time.perf_counter() - t0)
+    lockstep_dt = lockstep_best
 
     from dalm_tpu.models.decode_engine import DecodeEngine
 
@@ -110,20 +121,31 @@ def main() -> None:
         generator, g_params, num_slots=64, max_prompt_len=pipe.max_prompt_len,
         max_new_tokens=64, eos_token_id=None, pad_token_id=0, decode_chunk=8,
     )
-    _ = eng.generate(p_ids[:64], p_mask[:64], budgets=budgets[:64])  # warm/compile
-    t0 = time.perf_counter()
-    outs = eng.generate(p_ids, p_mask, budgets=budgets)
-    cont_dt = time.perf_counter() - t0
+    _ = eng.generate_fused(p_ids, p_mask, budgets=budgets)  # warm/compile
+    best = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        outs = eng.generate_fused(p_ids, p_mask, budgets=budgets)
+        best = min(best, time.perf_counter() - t0)
+    cont_dt = best
     assert all(len(o) == b for o, b in zip(outs, budgets))
+
+    # host-loop variant (streaming-arrivals API) for comparison
+    _ = eng.generate(p_ids[:64], p_mask[:64], budgets=budgets[:64])
+    t0 = time.perf_counter()
+    outs_host = eng.generate(p_ids, p_mask, budgets=budgets)
+    host_dt = time.perf_counter() - t0
+    assert all(len(o) == b for o, b in zip(outs_host, budgets))
     print(
         json.dumps(
             {
-                "metric": "rag_serve_continuous_batching_answers_per_sec_per_chip[ragged-budgets-4..64,64-slots,256-requests]",
+                "metric": "rag_serve_continuous_batching_answers_per_sec_per_chip[fused-on-device-schedule,ragged-budgets-4..64,64-slots,256-requests]",
                 "value": round(len(queries) / cont_dt / jax.device_count(), 2),
                 "unit": "answers/sec/chip",
                 "vs_baseline": None,
-                "lockstep_answers_per_sec": round(len(queries) / lockstep_dt / jax.device_count(), 2),
-                "speedup_vs_lockstep": round(lockstep_dt / cont_dt, 3),
+                "lockstep_64wide_answers_per_sec": round(len(queries) / lockstep_dt / jax.device_count(), 2),
+                "speedup_vs_lockstep_at_equal_capacity": round(lockstep_dt / cont_dt, 3),
+                "host_loop_answers_per_sec": round(len(queries) / host_dt / jax.device_count(), 2),
             }
         )
     )

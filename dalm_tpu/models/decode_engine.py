@@ -9,8 +9,8 @@ finished slots are recycled to pending requests mid-flight, so
 short answers stop paying for long ones and the MXU stays busy at any
 request-length mix.
 
-Static-shape design (everything jit-compiled exactly twice — one
-prefill program, one decode-chunk program):
+Static-shape, dispatch-lean design (critical on tunneled transports,
+where every host→device round trip costs milliseconds):
 
 - prompts are LEFT-padded to a fixed ``max_prompt_len`` P, so after
   prefill every slot's write head starts at cache position P;
@@ -18,9 +18,15 @@ prefill program, one decode-chunk program):
   vmaps its cache writes) advance independently as slots are admitted
   at different times;
 - decode runs in chunks of ``decode_chunk`` tokens per dispatch
-  (``lax.scan``); the host reads the chunk back, harvests finished
-  slots (EOS or budget), and admits pending requests into freed slots
-  via batch-1 prefill + a cache row insert;
+  (``lax.scan``); the host reads the chunk back once, harvests finished
+  slots (EOS or budget), and admits pending requests into freed slots;
+- admission is BATCHED: all newly freed slots fill in ONE dispatch — a
+  prefill over the admitted prompts (padded to the next power of two,
+  so at most log2(num_slots)+1 programs ever compile) whose cache rows
+  and slot state scatter into the pool via `.at[slots].set(mode="drop")`
+  inside the same program. Per scheduling round the engine costs one
+  admit dispatch + one decode dispatch + two small readbacks,
+  independent of how many requests were admitted or finished;
 - a freed slot's stale K/V needs no cleanup: the causal slot mask
   (``key_slot <= q_slot``) hides every position at or beyond the new
   request's write head, and each decode step overwrites its own slot
@@ -54,9 +60,15 @@ class DecodeEngine:
         eos_token_id: Optional[int] = None,
         pad_token_id: int = 0,
         decode_chunk: int = 8,
+        extra_collections: Optional[dict] = None,
     ):
+        """``extra_collections``: additional flax variable collections,
+        e.g. ``{"quant": ..., "lora": ...}`` for a packed int8 generator
+        (decode is HBM-bound, so int8 weight storage ≈ 2× tokens/sec —
+        the dequant fuses into each matmul)."""
         self.decoder = decoder
         self.params = params
+        self.extra = extra_collections or {}
         self.num_slots = num_slots
         self.P = max_prompt_len
         self.max_new = max_new_tokens
@@ -67,38 +79,46 @@ class DecodeEngine:
 
         B, P, L = num_slots, self.P, self.L
 
-        def prefill(params, ids, mask):
-            """(1, P) prompt -> (first_tok (1,), real_len (1,), cache rows)."""
-            cache = decoder.init_kv_cache(1, L)
+        def admit_step(variables, state, ids, mask, slot_ids, valid):
+            """Prefill (m, P) prompts and scatter them into ``slot_ids``.
+
+            Invalid rows (padding up to the compiled batch size) carry
+            slot_id == num_slots and drop out of every scatter.
+            """
+            cache, tok, pos, write_pos, slot_mask = state
+            m = ids.shape[0]
+            row_cache = decoder.init_kv_cache(m, L)
             positions = jnp.clip(jnp.cumsum(mask, axis=1) - 1, min=0)
-            slot_mask = jnp.concatenate(
-                [mask, jnp.ones((1, L - P), mask.dtype)], axis=1
+            row_slot_mask = jnp.concatenate(
+                [mask, jnp.ones((m, L - P), mask.dtype)], axis=1
             )
-            logits, cache = decoder.apply(
-                {"params": params}, ids, slot_mask,
-                positions=positions, kv_cache=cache, cache_index=0,
+            logits, row_cache = decoder.apply(
+                variables, ids, row_slot_mask,
+                positions=positions, kv_cache=row_cache, cache_index=0,
             )
-            return jnp.argmax(logits[:, -1, :], axis=-1), mask.sum(axis=1), cache
+            first_tok = jnp.argmax(logits[:, -1, :], axis=-1)  # (m,)
+            safe = jnp.where(valid, slot_ids, B)  # B = out of bounds -> drop
+            cache = jax.tree.map(
+                lambda big, rows: big.at[safe].set(rows.astype(big.dtype), mode="drop"),
+                cache, row_cache,
+            )
+            tok = tok.at[safe].set(first_tok, mode="drop")
+            pos = pos.at[safe].set(mask.sum(axis=1), mode="drop")
+            write_pos = write_pos.at[safe].set(P, mode="drop")
+            slot_mask = slot_mask.at[safe].set(row_slot_mask, mode="drop")
+            return (cache, tok, pos, write_pos, slot_mask), first_tok
 
-        def insert(big_cache, row_cache, slot):
-            """Write a prefilled (1, L, ...) cache into batch row ``slot``."""
-            return jax.tree.map(
-                lambda big, row: jax.lax.dynamic_update_slice(
-                    big, row.astype(big.dtype), (slot, 0, 0, 0)
-                ),
-                big_cache, row_cache,
-            )
-
-        def decode_chunk(params, cache, tok, pos, write_pos, slot_mask, active):
+        def decode_chunk_fn(variables, state, active):
             """Advance every slot ``self.chunk`` tokens; inactive slots idle
             in place (their writes land on their own stale positions and
             their outputs are discarded host-side)."""
+            cache, tok, pos, write_pos, slot_mask = state
             act = active.astype(jnp.int32)
 
             def step(carry, _):
                 cache, tok, pos, write_pos = carry
                 logits, cache = decoder.apply(
-                    {"params": params}, tok[:, None], slot_mask,
+                    variables, tok[:, None], slot_mask,
                     positions=pos[:, None], kv_cache=cache, cache_index=write_pos,
                 )
                 nxt = jnp.argmax(logits[:, 0, :], axis=-1)
@@ -108,17 +128,150 @@ class DecodeEngine:
             (cache, tok, pos, write_pos), toks = jax.lax.scan(
                 step, (cache, tok, pos, write_pos), None, length=self.chunk
             )
-            return cache, tok, pos, write_pos, jnp.moveaxis(toks, 0, 1)  # (B, chunk)
+            state = (cache, tok, pos, write_pos, slot_mask)
+            return state, jnp.moveaxis(toks, 0, 1)  # (B, chunk)
 
-        self._prefill = jax.jit(prefill)
-        self._insert = jax.jit(insert)
-        self._decode = jax.jit(decode_chunk)
+        def fused_schedule(variables, input_ids, attention_mask, caps):
+            """The ENTIRE continuous-batching schedule as one XLA program.
 
-        self.cache = decoder.init_kv_cache(B, L)
-        self.tok = jnp.zeros((B,), jnp.int32)
-        self.pos = jnp.zeros((B,), jnp.int32)
-        self.write_pos = jnp.full((B,), P, jnp.int32)
-        self.slot_mask = jnp.zeros((B, L), jnp.int32)
+            A ``lax.while_loop`` decodes one token per active slot per
+            iteration, detects EOS/budget on device, frees slots, and —
+            when at least ``min(num_slots // 2, remaining)`` slots are
+            free — admits the next wave of pending prompts through a
+            ``lax.cond`` prefill branch (full pool width; busy slots
+            scatter-drop). Zero host round trips: on transports where a
+            readback costs milliseconds (this box's tunnel: ~150 ms),
+            per-chunk host scheduling pays one RTT per round, which
+            dominates end-to-end time — here the host blocks exactly
+            once, on the final (out_tokens, out_lens) readback.
+
+            caps: (N,) int32 per-request new-token budgets, all ≥ 1.
+            Returns out (N, max_new) int32 and out_len (N,) int32.
+            """
+            N = input_ids.shape[0]
+            MN = self.max_new
+            has_eos = eos_token_id is not None
+            eos = eos_token_id if has_eos else -1
+
+            state0 = dict(
+                cache=decoder.init_kv_cache(B, L),
+                tok=jnp.zeros((B,), jnp.int32),
+                pos=jnp.zeros((B,), jnp.int32),
+                write_pos=jnp.full((B,), P, jnp.int32),
+                slot_mask=jnp.zeros((B, L), jnp.int32),
+                slot_req=jnp.full((B,), -1, jnp.int32),
+                gen_count=jnp.zeros((B,), jnp.int32),
+                next_req=jnp.asarray(0, jnp.int32),
+                out=jnp.full((N, MN), pad_token_id, jnp.int32),
+                out_len=jnp.zeros((N,), jnp.int32),
+            )
+
+            def admit_branch(s):
+                free = s["slot_req"] < 0
+                rank = jnp.cumsum(free.astype(jnp.int32)) - 1  # rank among free slots
+                req_idx = s["next_req"] + rank
+                take = free & (req_idx < N)
+                safe_req = jnp.clip(req_idx, 0, N - 1)
+                ids = input_ids[safe_req]
+                mask = jnp.where(take[:, None], attention_mask[safe_req], 0)
+                mask = mask.at[:, -1].max(1)  # untaken rows: one valid token
+                row_cache = decoder.init_kv_cache(B, L)
+                positions = jnp.clip(jnp.cumsum(mask, axis=1) - 1, min=0)
+                row_slot_mask = jnp.concatenate(
+                    [mask, jnp.ones((B, L - P), mask.dtype)], axis=1
+                )
+                logits, row_cache = decoder.apply(
+                    variables, ids, row_slot_mask,
+                    positions=positions, kv_cache=row_cache, cache_index=0,
+                )
+                first = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+                sel4 = take[:, None, None, None]
+                cache = jax.tree.map(
+                    lambda big, rows: jnp.where(sel4, rows.astype(big.dtype), big),
+                    s["cache"], row_cache,
+                )
+                cap_take = caps[safe_req]
+                first_eos = (first == eos) & has_eos
+                fin0 = take & (first_eos | (cap_take <= 1))
+                write0 = take & ~first_eos
+                out = s["out"].at[jnp.where(write0, safe_req, N), 0].set(
+                    first, mode="drop"
+                )
+                out_len = s["out_len"].at[jnp.where(fin0, safe_req, N)].set(
+                    jnp.where(first_eos, 0, jnp.minimum(cap_take, 1)), mode="drop"
+                )
+                return dict(
+                    cache=cache,
+                    tok=jnp.where(take, first, s["tok"]),
+                    pos=jnp.where(take, mask.sum(axis=1), s["pos"]),
+                    write_pos=jnp.where(take, P, s["write_pos"]),
+                    slot_mask=jnp.where(take[:, None], row_slot_mask, s["slot_mask"]),
+                    slot_req=jnp.where(fin0, -1, jnp.where(take, safe_req, s["slot_req"])),
+                    gen_count=jnp.where(take, 1, s["gen_count"]),
+                    next_req=s["next_req"] + take.sum(dtype=jnp.int32),
+                    out=out,
+                    out_len=out_len,
+                )
+
+            def cond(s):
+                return ((s["slot_req"] >= 0).any()) | (s["next_req"] < N)
+
+            def body(s):
+                free_count = (s["slot_req"] < 0).sum(dtype=jnp.int32)
+                remaining = N - s["next_req"]
+                threshold = jnp.minimum(max(B // 2, 1), remaining)
+                do_admit = (remaining > 0) & (free_count >= threshold)
+                s = jax.lax.cond(do_admit, admit_branch, lambda x: x, s)
+
+                active = s["slot_req"] >= 0
+                act = active.astype(jnp.int32)
+                logits, cache = decoder.apply(
+                    variables, s["tok"][:, None], s["slot_mask"],
+                    positions=s["pos"][:, None], kv_cache=s["cache"],
+                    cache_index=s["write_pos"],
+                )
+                nxt = jnp.argmax(logits[:, 0, :], axis=-1).astype(jnp.int32)
+                eos_hit = (nxt == eos) & active & has_eos
+                safe_req = jnp.clip(s["slot_req"], 0, N - 1)
+                cap_slot = caps[safe_req]
+                g0 = s["gen_count"]
+                write = active & ~eos_hit
+                out = s["out"].at[
+                    jnp.where(write, safe_req, N), jnp.where(write, g0, 0)
+                ].set(nxt, mode="drop")
+                g1 = g0 + act
+                finished = active & (eos_hit | (g1 >= cap_slot))
+                out_len = s["out_len"].at[jnp.where(finished, safe_req, N)].set(
+                    jnp.where(eos_hit, g0, g1), mode="drop"
+                )
+                return dict(
+                    cache=cache,
+                    tok=jnp.where(active, nxt, s["tok"]),
+                    pos=s["pos"] + act,
+                    write_pos=s["write_pos"] + act,
+                    slot_mask=s["slot_mask"],
+                    slot_req=jnp.where(finished, -1, s["slot_req"]),
+                    gen_count=g1,
+                    next_req=s["next_req"],
+                    out=out,
+                    out_len=out_len,
+                )
+
+            final = jax.lax.while_loop(cond, body, state0)
+            return final["out"], final["out_len"]
+
+        self._admit_jit = jax.jit(admit_step)
+        self._decode = jax.jit(decode_chunk_fn)
+        self._fused = jax.jit(fused_schedule)
+
+        self._vars = {"params": params, **self.extra}
+        self.state = (
+            decoder.init_kv_cache(B, L),
+            jnp.zeros((B,), jnp.int32),       # tok
+            jnp.zeros((B,), jnp.int32),       # pos
+            jnp.full((B,), P, jnp.int32),     # write_pos
+            jnp.zeros((B, L), jnp.int32),     # slot_mask
+        )
 
     # ---- host-side scheduling -------------------------------------------
     def generate(
@@ -144,8 +297,13 @@ class DecodeEngine:
             if budgets is None
             else np.minimum(np.asarray(budgets, np.int64), self.max_new)
         )
-        pending = deque(range(N))
         results: List[Optional[List[int]]] = [None] * N
+        pending = deque()
+        for req in range(N):
+            if caps[req] <= 0:
+                results[req] = []  # zero-budget: resolved host-side
+            else:
+                pending.append(req)
         slot_req = np.full(self.num_slots, -1, np.int64)  # -1 = free
         slot_toks: List[List[int]] = [[] for _ in range(self.num_slots)]
 
@@ -155,52 +313,138 @@ class DecodeEngine:
             slot_toks[slot] = []
 
         def admit():
-            while pending:
-                free = np.flatnonzero(slot_req == -1)
-                if len(free) == 0:
-                    return
-                slot = int(free[0])
-                req = pending.popleft()
-                ids = jnp.asarray(input_ids[req : req + 1], jnp.int32)
-                mask = jnp.asarray(attention_mask[req : req + 1], jnp.int32)
-                first_tok, real_len, row_cache = self._prefill(self.params, ids, mask)
-                self.cache = self._insert(self.cache, row_cache, int(slot))
-                self.tok = self.tok.at[slot].set(first_tok[0])
-                self.pos = self.pos.at[slot].set(real_len[0])
-                self.write_pos = self.write_pos.at[slot].set(self.P)
-                full_mask = np.concatenate(
-                    [np.asarray(mask[0]), np.ones(self.L - self.P, np.int32)]
-                )
-                self.slot_mask = self.slot_mask.at[slot].set(jnp.asarray(full_mask))
-                slot_req[slot] = req
-                first = int(first_tok[0])
-                if caps[req] <= 0 or (self.eos is not None and first == self.eos):
+            """Fill every free slot from the queue in ONE device dispatch.
+
+            Returns an unsettled admission record — the first tokens stay
+            a device future; reading them here would drain the dispatch
+            pipeline (one full transport round trip per scheduling round,
+            which dominated end-to-end time when measured)."""
+            free = np.flatnonzero(slot_req == -1)
+            m = min(len(free), len(pending))
+            if m == 0:
+                return None
+            reqs = [pending.popleft() for _ in range(m)]
+            slots = free[:m]
+            # One fixed admission width ⇒ exactly ONE compiled admit
+            # program. Invalid rows scatter-drop, and the wasted prefill
+            # FLOPs are far cheaper than a mid-run compile (each jit
+            # compile over a tunneled transport costs seconds).
+            m_pad = self.num_slots
+            ids = np.zeros((m_pad, self.P), np.int32)
+            mask = np.zeros((m_pad, self.P), np.int32)
+            mask[:, -1] = 1  # padding rows: one valid token (finite fwd)
+            slot_ids = np.full((m_pad,), self.num_slots, np.int32)
+            valid = np.zeros((m_pad,), bool)
+            ids[:m] = input_ids[reqs]
+            mask[:m] = attention_mask[reqs]
+            slot_ids[:m] = slots
+            valid[:m] = True
+            self.state, first_tok = self._admit_jit(
+                self._vars, self.state,
+                jnp.asarray(ids), jnp.asarray(mask),
+                jnp.asarray(slot_ids), jnp.asarray(valid),
+            )
+            for req, slot in zip(reqs, slots):
+                slot_req[slot] = req  # active from the next dispatch on
+            return (reqs, slots, first_tok)
+
+        def settle(admission):
+            """Bank the first tokens of a prior admission (future is ready
+            by now — at least one decode dispatch sits behind it)."""
+            if admission is None:
+                return
+            reqs, slots, first_tok = admission
+            first_tok = np.asarray(first_tok)
+            for j, (req, slot) in enumerate(zip(reqs, slots)):
+                first = int(first_tok[j])
+                if self.eos is not None and first == self.eos:
                     finish(slot)
                 else:
                     slot_toks[slot].append(first)
                     if len(slot_toks[slot]) >= caps[req]:
                         finish(slot)
 
-        while True:
-            admit()  # re-run after every harvest: instant finishes (EOS
-            # on the first token, max_new==1) free their slot inside
-            # admit itself, so pending work may remain with no slot active
-            if not (slot_req >= 0).any():
-                break
-            active = jnp.asarray(slot_req >= 0)
-            self.cache, self.tok, self.pos, self.write_pos, chunk = self._decode(
-                self.params, self.cache, self.tok, self.pos, self.write_pos,
-                self.slot_mask, active,
-            )
-            chunk = np.asarray(chunk)  # (B, chunk) — the per-chunk host sync
-            for slot in np.flatnonzero(slot_req >= 0):
+        def harvest(chunk, snapshot):
+            """Apply one read-back chunk against the slot→request mapping
+            live at its dispatch. Stale tokens (request finished or slot
+            re-assigned since) are skipped. Ordering invariant: any slot
+            active at dispatch had its admission enqueued BEFORE this
+            decode, so the chunk holds real continuations of the settled
+            first token — never tokens from an unprefilled slot."""
+            chunk = np.asarray(chunk)  # the per-chunk host sync
+            for slot in np.flatnonzero(snapshot >= 0):
+                req = snapshot[slot]
+                if results[req] is not None or slot_req[slot] != req:
+                    continue  # finished or slot re-assigned since dispatch
                 for t in chunk[slot]:
                     t = int(t)
                     if self.eos is not None and t == self.eos:
                         finish(slot)
                         break
                     slot_toks[slot].append(t)
-                    if len(slot_toks[slot]) >= caps[slot_req[slot]]:
+                    if len(slot_toks[slot]) >= caps[req]:
                         finish(slot)
                         break
+
+        # Fully async scheduling rounds: every device interaction in a
+        # round (decode dispatch, admission dispatch) is enqueued before
+        # any readback of the previous round blocks, so the device queue
+        # never drains on a host round trip. A slot freed in round r
+        # idles through the already-dispatched round r+1 and re-fills at
+        # r+2 — bounded waste (≤ decode_chunk tokens per recycle), vs an
+        # RTT stall per round measured to dominate otherwise.
+        in_flight = None  # (chunk_future, slot_req snapshot at dispatch)
+        unsettled = admit()
+        while True:
+            if (slot_req >= 0).any():
+                snapshot = slot_req.copy()
+                active = jnp.asarray(snapshot >= 0)
+                self.state, chunk = self._decode(self._vars, self.state, active)
+                next_flight = (chunk, snapshot)
+            else:
+                next_flight = None
+            settle(unsettled)
+            if in_flight is not None:
+                harvest(*in_flight)
+            unsettled = admit()
+            in_flight = next_flight
+            if in_flight is None and unsettled is None and not pending and not (slot_req >= 0).any():
+                break
         return results  # type: ignore[return-value]
+
+    def generate_fused(
+        self,
+        input_ids: np.ndarray,
+        attention_mask: np.ndarray,
+        budgets: Optional[Sequence[int]] = None,
+    ) -> List[List[int]]:
+        """`generate` with the schedule fully fused on device (one
+        dispatch, one readback — see ``fused_schedule``). Use for
+        offline/batch workloads where all prompts are known upfront; the
+        host-loop `generate` remains for streaming arrivals. Compiles
+        once per distinct request-count N.
+        """
+        N = input_ids.shape[0]
+        assert input_ids.shape[1] == self.P, (
+            f"prompts must be left-padded to max_prompt_len={self.P}"
+        )
+        caps = (
+            np.full(N, self.max_new, np.int64)
+            if budgets is None
+            else np.minimum(np.asarray(budgets, np.int64), self.max_new)
+        )
+        live = np.flatnonzero(caps > 0)
+        results: List[List[int]] = [[] for _ in range(N)]
+        if len(live) == 0:
+            return results
+        out, out_len = self._fused(
+            self._vars,
+            jnp.asarray(input_ids[live], jnp.int32),
+            jnp.asarray(attention_mask[live], jnp.int32),
+            jnp.asarray(caps[live], jnp.int32),
+        )
+        out = np.asarray(out)  # the single host sync
+        out_len = np.asarray(out_len)
+        for j, req in enumerate(live):
+            results[req] = [int(t) for t in out[j, : out_len[j]]]
+        return results

@@ -32,14 +32,20 @@ def build_greedy_generate(
     max_new_tokens: int,
     eos_token_id: Optional[int] = None,
     pad_token_id: int = 0,
+    extra_collections: Optional[dict] = None,
 ):
     """Returns jitted ``fn(params, input_ids, attention_mask) -> (B, T_new)``.
 
     ``input_ids``/``attention_mask``: left-padded (B, P) prompts.
+    ``extra_collections``: additional flax variable collections (e.g.
+    ``{"quant": ...}`` for an int8-packed generator — decode is
+    HBM-bound, so int8 weight storage ≈ 2× tokens/sec).
     """
+    extra = extra_collections or {}
 
     @jax.jit
-    def generate(params, input_ids, attention_mask):
+    def _generate(params, extra, input_ids, attention_mask):
+        variables = {"params": params, **extra}
         B, P = input_ids.shape
         total_len = P + max_new_tokens
         cache = decoder.init_kv_cache(B, total_len)
@@ -56,7 +62,7 @@ def build_greedy_generate(
         )
 
         logits, cache = decoder.apply(
-            {"params": params},
+            variables,
             input_ids,
             slot_mask,
             positions=prompt_positions,
@@ -68,7 +74,7 @@ def build_greedy_generate(
         def step(carry, t):
             cache, tok, pos = carry
             step_logits, cache = decoder.apply(
-                {"params": params},
+                variables,
                 tok[:, None],
                 slot_mask,
                 positions=pos[:, None],
@@ -91,5 +97,8 @@ def build_greedy_generate(
             after_eos = (jnp.cumsum(is_eos, axis=1) - is_eos) > 0
             toks = jnp.where(after_eos, pad_token_id, toks)
         return toks
+
+    def generate(params, input_ids, attention_mask):
+        return _generate(params, extra, input_ids, attention_mask)
 
     return generate

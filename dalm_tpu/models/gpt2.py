@@ -78,8 +78,19 @@ class GPT2Attention(nn.Module):
 
         new_cache = None
         if kv_cache is not None:
-            k = jax.lax.dynamic_update_slice(kv_cache["k"], k.astype(kv_cache["k"].dtype), (0, cache_index, 0, 0))
-            v = jax.lax.dynamic_update_slice(kv_cache["v"], v.astype(kv_cache["v"].dtype), (0, cache_index, 0, 0))
+            if getattr(cache_index, "ndim", 0) == 1:
+                # Per-slot write positions (continuous batching; decode
+                # steps only) — one-hot select, see models/decoder.py for
+                # why not a vmapped dynamic_update_slice.
+                assert S == 1, "vector cache_index supports single-token decode steps only"
+                oh = (
+                    jnp.arange(kv_cache["k"].shape[1])[None, :] == cache_index[:, None]
+                )[:, :, None, None]
+                k = jnp.where(oh, k.astype(kv_cache["k"].dtype), kv_cache["k"])
+                v = jnp.where(oh, v.astype(kv_cache["v"].dtype), kv_cache["v"])
+            else:
+                k = jax.lax.dynamic_update_slice(kv_cache["k"], k.astype(kv_cache["k"].dtype), (0, cache_index, 0, 0))
+                v = jax.lax.dynamic_update_slice(kv_cache["v"], v.astype(kv_cache["v"].dtype), (0, cache_index, 0, 0))
             new_cache = {"k": k, "v": v}
 
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(hd).astype(cfg.dtype)
@@ -135,7 +146,8 @@ class GPT2Decoder(nn.Module):
         B, S = input_ids.shape
         if positions is None:
             if kv_cache is not None:
-                positions = jnp.full((B, S), cache_index, jnp.int32) + jnp.arange(S)[None, :]
+                base = jnp.asarray(cache_index, jnp.int32).reshape(-1, 1)  # scalar or (B,)
+                positions = jnp.broadcast_to(base, (B, 1)) + jnp.arange(S)[None, :]
             elif attention_mask is not None:
                 positions = jnp.clip(jnp.cumsum(attention_mask, axis=1) - 1, min=0)
             else:
@@ -161,7 +173,8 @@ class GPT2Decoder(nn.Module):
         if kv_cache is not None:
             key_len = kv_cache["layer_0"]["k"].shape[1]
             key_slot = jnp.arange(key_len)[None, None, None, :]
-            q_slot = (cache_index + jnp.arange(S))[None, None, :, None]
+            base = jnp.asarray(cache_index, jnp.int32).reshape(-1, 1)  # scalar or (B,)
+            q_slot = (base + jnp.arange(S)[None, :])[:, None, :, None]
             mask = key_slot <= q_slot
             if attention_mask is not None:
                 mask = mask & (attention_mask[:, None, None, :] > 0)

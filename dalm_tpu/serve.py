@@ -61,7 +61,13 @@ class RagPipeline:
         max_new_tokens: int = 64,
         embed_batch: int = 64,
         index_kernel: str = "auto",  # pallas on TPU, xla elsewhere
+        quantize_generator: bool = False,
     ):
+        """``quantize_generator``: pack the generator's big kernels into
+        int8 `quant` storage (models/qlora.py). Decode is HBM-bandwidth
+        bound, so halving weight bytes ≈ 2× decode throughput and 2×
+        models per chip; dequant fuses into each matmul (weight-only —
+        activations stay in compute dtype)."""
         self.mesh = mesh or make_mesh(MeshConfig())
         self.retriever = retriever_model
         self.r_params = retriever_params
@@ -76,11 +82,19 @@ class RagPipeline:
         self.embed_batch = embed_batch
         self._max_new_tokens = max_new_tokens
 
+        self._g_extra: dict = {}
+        if quantize_generator:
+            from dalm_tpu.models.qlora import pack_qlora_frozen
+
+            self.g_params, g_quant = pack_qlora_frozen(self.g_params, quantize=True)
+            self._g_extra = {"quant": g_quant}
+
         self._embed = build_embed_fn(self.retriever, self.r_params)
         self._generate = build_greedy_generate(
             self.generator, max_new_tokens,
             eos_token_id=self.g_tok.eos_token_id,
             pad_token_id=self.g_tok.pad_token_id or 0,
+            extra_collections=self._g_extra,
         )
         embs = self._embed_texts([f"#passage# {p}" for p in self.passages], max_passage_len)
         self.index = ShardedDenseIndex.build(self.mesh, embs, kernel=index_kernel)
@@ -197,6 +211,7 @@ class RagPipeline:
                 eos_token_id=self.g_tok.eos_token_id,
                 pad_token_id=self.g_tok.pad_token_id or 0,
                 decode_chunk=decode_chunk,
+                extra_collections=self._g_extra,
             )
             self._engine_key = key
 
@@ -206,7 +221,10 @@ class RagPipeline:
             for i, q in enumerate(queries)
         ]
         toks = self.g_tok(prompts, padding="max_length", max_length=self.max_prompt_len, truncation=True)
-        token_lists = self._engine.generate(
+        # All queries are known upfront here, so the fully-fused on-device
+        # schedule applies (one dispatch, one readback); the host-loop
+        # `DecodeEngine.generate` remains for streaming arrivals.
+        token_lists = self._engine.generate_fused(
             np.asarray(toks["input_ids"], np.int32),
             np.asarray(toks["attention_mask"], np.int32),
         )

@@ -113,6 +113,10 @@ def main():
     ap.add_argument("--seeds", type=int, default=1, help="training seeds to average over")
     ap.add_argument("--marginalize-k", type=int, default=0,
                     help="also run a rag-e2e arm with TRUE top-k marginalization")
+    ap.add_argument("--fused-compare", action="store_true",
+                    help="A/B the fused-QLoRA runtime's compute dtype: rag-e2e with "
+                    "bf16-dequant vs W8A8 int8 MXU compute (int8_compute='all'), "
+                    "identical LoRA training otherwise — isolates the int8 quality effect")
     args = ap.parse_args()
 
     if args.cpu_mesh:
@@ -175,6 +179,7 @@ def main():
     eval_dir(base_dir, "base (random init)")
 
     ro_recalls, e2e_recalls, marg_recalls = [], [], []
+    fused_bf16_recalls, fused_int8_recalls = [], []
     for seed in range(42, 42 + args.seeds):
         # Run A: retriever-only contrastive.
         ro_out = os.path.join(args.out, f"retriever_only_s{seed}")
@@ -215,11 +220,45 @@ def main():
             ev = eval_dir(os.path.join(marg_out, "retriever"), f"rag-e2e-marg{args.marginalize_k}[s{seed}]")
             marg_recalls.append(ev.recall)
 
+        if args.fused_compare:
+            # Same fused-QLoRA LoRA training twice, only the frozen-base
+            # matmul precision differs (bf16 dequant vs W8A8 int8 MXU).
+            for tag, mode, bucket in (
+                ("fused-bf16", "none", fused_bf16_recalls),
+                ("fused-int8all", "all", fused_int8_recalls),
+            ):
+                f_out = os.path.join(args.out, f"{tag}_s{seed}")
+                train_e2e(
+                    train_ds, base_dir, args.generator, seed=seed,
+                    per_device_train_batch_size=args.batch, num_train_epochs=args.epochs,
+                    learning_rate=args.lr, query_max_len=args.query_len,
+                    passage_max_len=args.passage_len, generator_max_len=args.gen_len,
+                    output_dir=f_out, with_tracking=False, use_dropout=False,
+                    num_warmup_steps=args.warmup,
+                    use_peft="both", use_bnb="both", lora_runtime="fused",
+                    int8_compute=mode,
+                )
+                ev = evaluate_retriever(
+                    test_ds, os.path.join(f_out, "retriever"),
+                    retriever_peft_model_path=os.path.join(f_out, "retriever"),
+                    **common_eval,
+                )
+                results[f"{tag}[s{seed}]"] = {"recall@10": ev.recall, "hit_rate@10": ev.hit_rate}
+                print(f"[{tag}[s{seed}]] recall@10={ev.recall:.4f}")
+                bucket.append(ev.recall)
+
     results["retriever-only"] = {"recall@10_mean": float(np.mean(ro_recalls)), "per_seed": ro_recalls}
     results["rag-e2e"] = {"recall@10_mean": float(np.mean(e2e_recalls)), "per_seed": e2e_recalls}
     if marg_recalls:
         results[f"rag-e2e-marg{args.marginalize_k}"] = {
             "recall@10_mean": float(np.mean(marg_recalls)), "per_seed": marg_recalls,
+        }
+    if fused_bf16_recalls:
+        results["fused-bf16"] = {
+            "recall@10_mean": float(np.mean(fused_bf16_recalls)), "per_seed": fused_bf16_recalls,
+        }
+        results["fused-int8all"] = {
+            "recall@10_mean": float(np.mean(fused_int8_recalls)), "per_seed": fused_int8_recalls,
         }
 
     results["config"] = {k: v for k, v in vars(args).items()}

@@ -50,6 +50,8 @@ def _lockstep(decoder, params, ids, mask, max_new, eos=None):
 
 def _trim(row, eos, max_new):
     out = []
+    if max_new <= 0:
+        return out
     for t in row:
         if eos is not None and t == eos:
             break
@@ -144,6 +146,106 @@ def test_per_request_budgets(decoder_and_params):
     got = eng.generate(ids, mask, budgets=budgets)
     for i, b in enumerate(budgets):
         assert got[i] == [int(t) for t in expected[i][:b]], f"request {i}"
+
+
+@pytest.mark.parametrize("num_slots,n_req", [(4, 4), (2, 7), (3, 8)])
+def test_fused_matches_lockstep_greedy(decoder_and_params, num_slots, n_req):
+    """The single-program on-device schedule == lockstep greedy."""
+    decoder, params = decoder_and_params
+    ids, mask = _prompts(n_req, rng_seed=100 + n_req)
+    max_new = 6
+    expected = _lockstep(decoder, params, ids, mask, max_new)
+    eng = DecodeEngine(
+        decoder, params, num_slots=num_slots, max_prompt_len=P,
+        max_new_tokens=max_new, eos_token_id=None, pad_token_id=0,
+    )
+    got = eng.generate_fused(ids, mask)
+    for i in range(n_req):
+        assert got[i] == [int(t) for t in expected[i]], f"request {i} diverged"
+
+
+def test_fused_eos_and_budgets(decoder_and_params):
+    decoder, params = decoder_and_params
+    ids, mask = _prompts(9, rng_seed=142)
+    max_new = 8
+    ref_free = _lockstep(decoder, params, ids, mask, max_new)
+    vals, counts = np.unique(ref_free[:, 1:], return_counts=True)
+    eos = int(vals[np.argmax(counts)])
+    budgets = [8, 3, 0, 5, 1, 8, 2, 8, 4]
+    eng = DecodeEngine(
+        decoder, params, num_slots=3, max_prompt_len=P,
+        max_new_tokens=max_new, eos_token_id=eos, pad_token_id=0,
+    )
+    got = eng.generate_fused(ids, mask, budgets=budgets)
+    hit_eos = 0
+    for i in range(9):
+        want = _trim(ref_free[i], eos, budgets[i])
+        assert got[i] == want, f"request {i} diverged"
+        if len(want) < budgets[i]:
+            hit_eos += 1
+    assert hit_eos > 0
+
+
+def test_gpt2_family_matches_lockstep():
+    """The GPT-2 decoder family supports per-slot cache indices too."""
+    from dalm_tpu.models.registry import DECODER_PRESETS, build_decoder
+    import dataclasses
+
+    cfg = dataclasses.replace(DECODER_PRESETS["tiny-gpt2"](), vocab_size=128)
+    decoder = build_decoder(cfg)
+    params = unbox(
+        decoder.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, P), jnp.int32), jnp.ones((1, P), jnp.int32)
+        )["params"]
+    )
+    ids, mask = _prompts(5, rng_seed=9)
+    expected = _lockstep(decoder, params, ids, mask, 5)
+    eng = DecodeEngine(
+        decoder, params, num_slots=2, max_prompt_len=P,
+        max_new_tokens=5, eos_token_id=None, pad_token_id=0, decode_chunk=2,
+    )
+    got = eng.generate(ids, mask)
+    for i in range(5):
+        assert got[i] == [int(t) for t in expected[i]]
+
+
+def test_int8_packed_decode_matches_lockstep(decoder_and_params):
+    """Engine with int8 `quant` weight storage == lockstep generate with
+    the same packed collections (the quantized-serving path)."""
+    from dalm_tpu.models.qlora import pack_qlora_frozen
+
+    decoder, params = decoder_and_params
+    residual, quant = pack_qlora_frozen(params, quantize=True, min_size=1)
+    ids, mask = _prompts(5, rng_seed=3)
+    gen = build_greedy_generate(
+        decoder, 5, eos_token_id=None, pad_token_id=0,
+        extra_collections={"quant": quant},
+    )
+    expected = np.asarray(gen(residual, jnp.asarray(ids), jnp.asarray(mask)))
+    eng = DecodeEngine(
+        decoder, residual, num_slots=2, max_prompt_len=P,
+        max_new_tokens=5, eos_token_id=None, pad_token_id=0, decode_chunk=2,
+        extra_collections={"quant": quant},
+    )
+    got = eng.generate(ids, mask)
+    for i in range(5):
+        assert got[i] == [int(t) for t in expected[i]]
+
+
+@pytest.mark.slow
+def test_quantized_pipeline_serves():
+    from dalm_tpu.serve import RagPipeline
+
+    passages = [f"passage about topic {i} with unique content {i}" for i in range(8)]
+    pipe = RagPipeline.from_pretrained(
+        "tiny", "tiny", passages,
+        max_passage_len=32, max_prompt_len=64, max_new_tokens=4, embed_batch=8,
+        quantize_generator=True,
+    )
+    a1 = pipe.answer(["what is topic 3"], top_k=2)
+    a2 = pipe.answer_continuous(["what is topic 3"], top_k=2, num_slots=2)
+    assert a1[0].answer == a2[0].answer
+    assert isinstance(a1[0].answer, str)
 
 
 @pytest.mark.slow
