@@ -241,6 +241,35 @@ class RagPipeline:
             )
         return results
 
+    def stream(
+        self,
+        num_slots: int = 32,
+        max_new_tokens: Optional[int] = None,
+        decode_chunk: int = 8,
+    ) -> "RagStreamSession":
+        """Online serving: a context-managed session whose ``submit(query)``
+        returns immediately with a handle that streams answer tokens as
+        they decode. Requests arriving mid-flight join the slot pool via
+        continuous batching (models/streaming.py)::
+
+            with pipe.stream(num_slots=32) as session:
+                h = session.submit("what is ..?")
+                print(h.answer())        # or: for tok in h.tokens(): ...
+        """
+        from dalm_tpu.models.decode_engine import DecodeEngine
+
+        max_new = max_new_tokens or self._max_new_tokens
+        engine = DecodeEngine(
+            self.generator, self.g_params,
+            num_slots=num_slots, max_prompt_len=self.max_prompt_len,
+            max_new_tokens=max_new,
+            eos_token_id=self.g_tok.eos_token_id,
+            pad_token_id=self.g_tok.pad_token_id or 0,
+            decode_chunk=decode_chunk,
+            extra_collections=self._g_extra,
+        )
+        return RagStreamSession(self, engine)
+
     def refresh(self, new_retriever_params, slice_size: int = 256) -> None:
         """Swap in updated retriever weights and re-embed the corpus
         (incremental; serving continues from the previous snapshot)."""
@@ -256,3 +285,72 @@ class RagPipeline:
         embed_fn = jax.jit(lambda params, i, m: self.retriever.embed(params, i, m))
         refresher = AsyncIndexRefresher(self.index, embed_fn, ids, mask, slice_size=slice_size)
         refresher.refresh_fully(self.r_params)
+
+
+class RagStreamHandle:
+    """One streaming RAG request: retrieval context + a token stream."""
+
+    def __init__(self, query: str, passages: List[str], scores: List[float], handle, tokenizer):
+        self.query = query
+        self.passages = passages
+        self.scores = scores
+        self._handle = handle
+        self._tok = tokenizer
+
+    def tokens(self):
+        """Yield generator token ids as they decode (blocking iterator)."""
+        return self._handle.tokens()
+
+    def answer(self, timeout: Optional[float] = None) -> str:
+        """Block until decode finishes; returns the parsed answer text."""
+        ids = self._handle.result(timeout)
+        text = self._tok.decode(ids, skip_special_tokens=True)
+        return text.split("#answer#")[0].strip()
+
+    def cancel(self) -> None:
+        self._handle.cancel()
+
+    @property
+    def done(self) -> bool:
+        return self._handle.done
+
+
+class RagStreamSession:
+    """Context-managed online RAG serving (see :meth:`RagPipeline.stream`).
+
+    ``submit`` is thread-safe and returns immediately; the scheduler
+    thread owns the decode engine and admits requests mid-flight."""
+
+    def __init__(self, pipe: RagPipeline, engine):
+        from dalm_tpu.models.streaming import StreamingEngine
+
+        self._pipe = pipe
+        self._server = StreamingEngine(engine)
+        self._started = False
+
+    def __enter__(self) -> "RagStreamSession":
+        self._server.start()
+        self._started = True
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self._server.stop(drain=True)
+
+    def submit(self, query: str, top_k: int = 4, budget: Optional[int] = None) -> RagStreamHandle:
+        if not self._started:
+            raise RuntimeError("use `with pipe.stream(...) as session:`")
+        pipe = self._pipe
+        scores, ids = pipe.retrieve([query], top_k)
+        passages = [pipe.passages[int(j)] for j in ids[0]]
+        prompt = f"#query# {query} #passage# {passages[0]} #answer# "
+        toks = pipe.g_tok(
+            [prompt], padding="max_length", max_length=pipe.max_prompt_len, truncation=True
+        )
+        handle = self._server.submit(
+            np.asarray(toks["input_ids"], np.int32),
+            np.asarray(toks["attention_mask"], np.int32),
+            budget=budget,
+        )
+        return RagStreamHandle(
+            query, passages, [float(s) for s in scores[0]], handle, pipe.g_tok
+        )

@@ -1,0 +1,194 @@
+"""Streaming (online) serving over the decode engine (models/streaming.py).
+
+Core invariant: every request's tokens are EXACTLY the lockstep greedy
+output for its prompt — no matter when it arrived, which slot served it,
+or what else was in flight.
+"""
+
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dalm_tpu.core.mesh import unbox
+from dalm_tpu.models.decode_engine import DecodeEngine
+from dalm_tpu.models.generate import build_greedy_generate
+from dalm_tpu.models.decoder import Decoder, DecoderConfig
+from dalm_tpu.models.streaming import StreamingEngine
+
+P = 16
+
+
+@pytest.fixture(scope="module")
+def decoder_and_params():
+    cfg = DecoderConfig.tiny(vocab_size=128)
+    decoder = Decoder(cfg)
+    params = unbox(
+        decoder.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, P), jnp.int32), jnp.ones((1, P), jnp.int32)
+        )["params"]
+    )
+    return decoder, params
+
+
+def _prompts(n, rng_seed=0):
+    rng = np.random.default_rng(rng_seed)
+    ids = np.zeros((n, P), np.int32)
+    mask = np.zeros((n, P), np.int32)
+    for i in range(n):
+        real = int(rng.integers(3, P))
+        ids[i, P - real :] = rng.integers(5, 120, size=real)
+        mask[i, P - real :] = 1
+    return ids, mask
+
+
+def _lockstep(decoder, params, ids, mask, max_new, eos=None):
+    gen = build_greedy_generate(decoder, max_new, eos_token_id=eos, pad_token_id=0)
+    return np.asarray(gen(params, jnp.asarray(ids), jnp.asarray(mask)))
+
+
+def _engine(decoder, params, num_slots=2, max_new=6, eos=None, chunk=3):
+    return DecodeEngine(
+        decoder, params, num_slots=num_slots, max_prompt_len=P,
+        max_new_tokens=max_new, eos_token_id=eos, pad_token_id=0, decode_chunk=chunk,
+    )
+
+
+def test_upfront_submissions_match_lockstep(decoder_and_params):
+    decoder, params = decoder_and_params
+    ids, mask = _prompts(7, rng_seed=1)
+    expected = _lockstep(decoder, params, ids, mask, 6)
+    with StreamingEngine(_engine(decoder, params, num_slots=2)) as srv:
+        handles = [srv.submit(ids[i], mask[i]) for i in range(7)]
+        for i, h in enumerate(handles):
+            assert h.result(timeout=120) == [int(t) for t in expected[i]], f"req {i}"
+
+
+def test_midflight_arrivals_match_lockstep(decoder_and_params):
+    """Requests submitted while earlier ones are decoding still match."""
+    decoder, params = decoder_and_params
+    ids, mask = _prompts(9, rng_seed=2)
+    expected = _lockstep(decoder, params, ids, mask, 8)
+    with StreamingEngine(_engine(decoder, params, num_slots=2, max_new=8)) as srv:
+        first = [srv.submit(ids[i], mask[i]) for i in range(3)]
+        first[0].result(timeout=120)  # wave 1 mid-flight or finishing
+        second = [srv.submit(ids[i], mask[i]) for i in range(3, 9)]
+        for i, h in enumerate(first + second):
+            assert h.result(timeout=120) == [int(t) for t in expected[i]], f"req {i}"
+
+
+def test_token_streaming_is_incremental(decoder_and_params):
+    """tokens() yields the same sequence the future resolves to, and the
+    first token arrives before the request finishes."""
+    decoder, params = decoder_and_params
+    ids, mask = _prompts(1, rng_seed=3)
+    expected = [int(t) for t in _lockstep(decoder, params, ids, mask, 8)[0]]
+    with StreamingEngine(_engine(decoder, params, num_slots=2, max_new=8, chunk=2)) as srv:
+        h = srv.submit(ids[0], mask[0])
+        streamed = []
+        saw_undone = False
+        for tok in h.tokens():
+            streamed.append(tok)
+            if not h.done:
+                saw_undone = True
+        assert streamed == expected
+        assert h.result(timeout=120) == expected
+        assert saw_undone  # tokens flowed before completion
+
+
+def test_eos_and_budgets(decoder_and_params):
+    decoder, params = decoder_and_params
+    ids, mask = _prompts(8, rng_seed=42)
+    max_new = 8
+    ref = _lockstep(decoder, params, ids, mask, max_new)
+    vals, counts = np.unique(ref[:, 1:], return_counts=True)
+    eos = int(vals[np.argmax(counts)])
+    budgets = [8, 3, 0, 5, 1, 8, 2, 8]
+
+    def trim(row, cap):
+        out = []
+        for t in row:
+            if int(t) == eos or len(out) >= cap:
+                break
+            out.append(int(t))
+        return out
+
+    with StreamingEngine(_engine(decoder, params, num_slots=3, max_new=max_new, eos=eos)) as srv:
+        handles = [srv.submit(ids[i], mask[i], budget=budgets[i]) for i in range(8)]
+        hit_eos = 0
+        for i, h in enumerate(handles):
+            want = trim(ref[i], budgets[i])
+            assert h.result(timeout=120) == want, f"req {i}"
+            if len(want) < budgets[i]:
+                hit_eos += 1
+        assert hit_eos > 0
+
+
+def test_stop_rejects_new_submissions(decoder_and_params):
+    decoder, params = decoder_and_params
+    ids, mask = _prompts(1, rng_seed=5)
+    srv = StreamingEngine(_engine(decoder, params)).start()
+    h = srv.submit(ids[0], mask[0])
+    srv.stop(drain=True, timeout=120)
+    assert h.done  # drain finished accepted work
+    with pytest.raises(RuntimeError):
+        srv.submit(ids[0], mask[0])
+
+
+def test_cancel_pending_request(decoder_and_params):
+    """A cancelled not-yet-admitted request resolves without tokens."""
+    decoder, params = decoder_and_params
+    ids, mask = _prompts(4, rng_seed=6)
+    expected = _lockstep(decoder, params, ids, mask, 6)
+    with StreamingEngine(_engine(decoder, params, num_slots=1, max_new=6)) as srv:
+        handles = [srv.submit(ids[i], mask[i]) for i in range(3)]
+        victim = srv.submit(ids[3], mask[3])
+        victim.cancel()
+        got = victim.result(timeout=120)
+        assert got == [] or got == [int(t) for t in expected[3]][: len(got)]
+        for i, h in enumerate(handles):
+            assert h.result(timeout=120) == [int(t) for t in expected[i]], f"req {i}"
+
+
+def test_zero_budget_resolves_immediately(decoder_and_params):
+    decoder, params = decoder_and_params
+    ids, mask = _prompts(1, rng_seed=7)
+    with StreamingEngine(_engine(decoder, params)) as srv:
+        h = srv.submit(ids[0], mask[0], budget=0)
+        assert h.result(timeout=5) == []
+
+
+def test_future_is_asyncio_compatible(decoder_and_params):
+    """The handle's future awaits cleanly under asyncio.wrap_future."""
+    import asyncio
+
+    decoder, params = decoder_and_params
+    ids, mask = _prompts(1, rng_seed=8)
+    expected = [int(t) for t in _lockstep(decoder, params, ids, mask, 4)[0]]
+    with StreamingEngine(_engine(decoder, params, max_new=4)) as srv:
+        h = srv.submit(ids[0], mask[0])
+
+        async def wait():
+            return await asyncio.wrap_future(h.future)
+
+        assert asyncio.run(wait()) == expected
+
+
+@pytest.mark.slow
+def test_rag_stream_session_matches_answer():
+    from dalm_tpu.serve import RagPipeline
+
+    passages = [f"passage about topic {i} with unique content {i}" for i in range(10)]
+    pipe = RagPipeline.from_pretrained(
+        "tiny", "tiny", passages,
+        max_passage_len=32, max_prompt_len=64, max_new_tokens=4, embed_batch=8,
+    )
+    queries = [f"what is topic {i}" for i in range(5)]
+    lockstep = pipe.answer(queries, top_k=2)
+    with pipe.stream(num_slots=2, decode_chunk=2) as session:
+        handles = [session.submit(q, top_k=2) for q in queries]
+        answers = [h.answer(timeout=120) for h in handles]
+        ctx = [h.passages for h in handles]
+    assert answers == [a.answer for a in lockstep]
+    assert ctx == [a.passages for a in lockstep]
