@@ -150,6 +150,46 @@ def main() -> None:
         )
     )
 
+    # ---- streaming online serving (models/streaming.py) ----------------
+    # Open-loop arrivals: requests join the running scheduler at a paced
+    # rate (0.8× the host-loop drain throughput, so the queue stays
+    # bounded) and we report sustained throughput + time-to-first-token
+    # and completion-latency percentiles. NOTE: on this box the
+    # host↔device tunnel RTT (~150 ms/readback) dominates TTFT — on a
+    # production host link both drop by orders of magnitude.
+    from dalm_tpu.models.streaming import StreamingEngine
+
+    rate = 0.8 * len(queries) / host_dt  # requests/sec
+    with StreamingEngine(eng) as srv:
+        t_start = time.perf_counter()
+        handles = []
+        for i in range(len(queries)):
+            handles.append(srv.submit(p_ids[i], p_mask[i], budget=int(budgets[i])))
+            target = t_start + (i + 1) / rate
+            delay = target - time.perf_counter()
+            if delay > 0:
+                time.sleep(delay)
+        for h in handles:
+            h.result(timeout=600)
+        stream_dt = time.perf_counter() - t_start
+    ttft = np.asarray([h.t_first_token - h.t_submit for h in handles])
+    lat = np.asarray([h.t_done - h.t_submit for h in handles])
+    print(
+        json.dumps(
+            {
+                "metric": "rag_serve_streaming_answers_per_sec_per_chip[open-loop-arrivals,64-slots,256-requests,ragged-budgets]",
+                "value": round(len(queries) / stream_dt / jax.device_count(), 2),
+                "unit": "answers/sec/chip",
+                "vs_baseline": None,
+                "arrival_rate_per_sec": round(rate, 1),
+                "ttft_p50_ms": round(float(np.percentile(ttft, 50)) * 1e3, 1),
+                "ttft_p95_ms": round(float(np.percentile(ttft, 95)) * 1e3, 1),
+                "latency_p50_ms": round(float(np.percentile(lat, 50)) * 1e3, 1),
+                "latency_p95_ms": round(float(np.percentile(lat, 95)) * 1e3, 1),
+            }
+        )
+    )
+
 
 if __name__ == "__main__":
     main()

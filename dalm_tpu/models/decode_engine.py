@@ -47,6 +47,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from dalm_tpu.models.decoder import Decoder
+from dalm_tpu.models.sampling import SamplerConfig, resolve, select_token
 
 
 class DecodeEngine:
@@ -61,13 +62,21 @@ class DecodeEngine:
         pad_token_id: int = 0,
         decode_chunk: int = 8,
         extra_collections: Optional[dict] = None,
+        sampler: Optional[SamplerConfig] = None,
     ):
         """``extra_collections``: additional flax variable collections,
         e.g. ``{"quant": ..., "lora": ...}`` for a packed int8 generator
         (decode is HBM-bound, so int8 weight storage ≈ 2× tokens/sec —
-        the dequant fuses into each matmul)."""
+        the dequant fuses into each matmul).
+
+        ``sampler``: temperature/top-k/top-p config (models/sampling.py);
+        None/temperature-0 = greedy. Keys derive from (request index,
+        token index), so outputs are identical across the lockstep,
+        host-loop, and fused schedules for the same seed."""
         self.decoder = decoder
         self.params = params
+        self.samp = resolve(sampler)
+        samp = self.samp
         self.extra = extra_collections or {}
         self.num_slots = num_slots
         self.P = max_prompt_len
@@ -79,7 +88,7 @@ class DecodeEngine:
 
         B, P, L = num_slots, self.P, self.L
 
-        def admit_step(variables, state, ids, mask, slot_ids, valid):
+        def admit_step(variables, state, ids, mask, slot_ids, valid, req_ids):
             """Prefill (m, P) prompts and scatter them into ``slot_ids``.
 
             Invalid rows (padding up to the compiled batch size) carry
@@ -96,7 +105,9 @@ class DecodeEngine:
                 variables, ids, row_slot_mask,
                 positions=positions, kv_cache=row_cache, cache_index=0,
             )
-            first_tok = jnp.argmax(logits[:, -1, :], axis=-1)  # (m,)
+            first_tok = select_token(
+                logits[:, -1, :], samp, req_ids, jnp.zeros_like(req_ids)
+            )  # (m,) — token index 0 of each admitted request
             safe = jnp.where(valid, slot_ids, B)  # B = out of bounds -> drop
             cache = jax.tree.map(
                 lambda big, rows: big.at[safe].set(rows.astype(big.dtype), mode="drop"),
@@ -108,7 +119,7 @@ class DecodeEngine:
             slot_mask = slot_mask.at[safe].set(row_slot_mask, mode="drop")
             return (cache, tok, pos, write_pos, slot_mask), first_tok
 
-        def decode_chunk_fn(variables, state, active):
+        def decode_chunk_fn(variables, state, active, req_ids):
             """Advance every slot ``self.chunk`` tokens; inactive slots idle
             in place (their writes land on their own stale positions and
             their outputs are discarded host-side)."""
@@ -121,7 +132,8 @@ class DecodeEngine:
                     variables, tok[:, None], slot_mask,
                     positions=pos[:, None], kv_cache=cache, cache_index=write_pos,
                 )
-                nxt = jnp.argmax(logits[:, 0, :], axis=-1)
+                # token index of the produced token = emitted count so far
+                nxt = select_token(logits[:, 0, :], samp, req_ids, write_pos - P + 1)
                 nxt = jnp.where(active, nxt, jnp.full_like(nxt, pad_token_id))
                 return (cache, nxt, pos + act, write_pos + act), nxt
 
@@ -131,7 +143,7 @@ class DecodeEngine:
             state = (cache, tok, pos, write_pos, slot_mask)
             return state, jnp.moveaxis(toks, 0, 1)  # (B, chunk)
 
-        def fused_schedule(variables, input_ids, attention_mask, caps):
+        def fused_schedule(variables, input_ids, attention_mask, caps, req_ids):
             """The ENTIRE continuous-batching schedule as one XLA program.
 
             A ``lax.while_loop`` decodes one token per active slot per
@@ -184,7 +196,11 @@ class DecodeEngine:
                     variables, ids, row_slot_mask,
                     positions=positions, kv_cache=row_cache, cache_index=0,
                 )
-                first = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+                # sampling keys use ORIGINAL request ids (zero-budget
+                # requests are compacted out of this program's rows)
+                first = select_token(
+                    logits[:, -1, :], samp, req_ids[safe_req], jnp.zeros_like(safe_req)
+                )
                 sel4 = take[:, None, None, None]
                 cache = jax.tree.map(
                     lambda big, rows: jnp.where(sel4, rows.astype(big.dtype), big),
@@ -230,11 +246,11 @@ class DecodeEngine:
                     positions=s["pos"][:, None], kv_cache=s["cache"],
                     cache_index=s["write_pos"],
                 )
-                nxt = jnp.argmax(logits[:, 0, :], axis=-1).astype(jnp.int32)
-                eos_hit = (nxt == eos) & active & has_eos
                 safe_req = jnp.clip(s["slot_req"], 0, N - 1)
                 cap_slot = caps[safe_req]
                 g0 = s["gen_count"]
+                nxt = select_token(logits[:, 0, :], samp, req_ids[safe_req], g0)
+                eos_hit = (nxt == eos) & active & has_eos
                 write = active & ~eos_hit
                 out = s["out"].at[
                     jnp.where(write, safe_req, N), jnp.where(write, g0, 0)
@@ -335,14 +351,16 @@ class DecodeEngine:
             mask[:, -1] = 1  # padding rows: one valid token (finite fwd)
             slot_ids = np.full((m_pad,), self.num_slots, np.int32)
             valid = np.zeros((m_pad,), bool)
+            req_arr = np.zeros((m_pad,), np.int32)
             ids[:m] = input_ids[reqs]
             mask[:m] = attention_mask[reqs]
             slot_ids[:m] = slots
             valid[:m] = True
+            req_arr[:m] = reqs
             self.state, first_tok = self._admit_jit(
                 self._vars, self.state,
                 jnp.asarray(ids), jnp.asarray(mask),
-                jnp.asarray(slot_ids), jnp.asarray(valid),
+                jnp.asarray(slot_ids), jnp.asarray(valid), jnp.asarray(req_arr),
             )
             for req, slot in zip(reqs, slots):
                 slot_req[slot] = req  # active from the next dispatch on
@@ -399,7 +417,10 @@ class DecodeEngine:
             if (slot_req >= 0).any():
                 snapshot = slot_req.copy()
                 active = jnp.asarray(snapshot >= 0)
-                self.state, chunk = self._decode(self._vars, self.state, active)
+                self.state, chunk = self._decode(
+                    self._vars, self.state, active,
+                    jnp.asarray(np.maximum(snapshot, 0).astype(np.int32)),
+                )
                 next_flight = (chunk, snapshot)
             else:
                 next_flight = None
@@ -442,6 +463,7 @@ class DecodeEngine:
             jnp.asarray(input_ids[live], jnp.int32),
             jnp.asarray(attention_mask[live], jnp.int32),
             jnp.asarray(caps[live], jnp.int32),
+            jnp.asarray(live, jnp.int32),
         )
         out = np.asarray(out)  # the single host sync
         out_len = np.asarray(out_len)

@@ -9,7 +9,10 @@ Replaces the reference's HF ``model.generate`` in RAG eval
 - decode is a ``lax.scan`` of single-token steps over the cache —
   one compiled program regardless of batch content;
 - greedy argmax matches the reference's default generate config (no
-  sampling flags are passed there);
+  sampling flags are passed there); an optional ``sampler``
+  (models/sampling.py) switches to temperature/top-k/top-p sampling
+  keyed per (request row, token index) — the same tokens any of the
+  serving engines would draw for that request;
 - tokens strictly after the first EOS are replaced by pad post-hoc
   (same observable output as early stopping, but with static shapes).
 
@@ -25,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from dalm_tpu.models.decoder import Decoder
+from dalm_tpu.models.sampling import SamplerConfig, resolve, select_token
 
 
 def build_greedy_generate(
@@ -33,6 +37,7 @@ def build_greedy_generate(
     eos_token_id: Optional[int] = None,
     pad_token_id: int = 0,
     extra_collections: Optional[dict] = None,
+    sampler: Optional[SamplerConfig] = None,
 ):
     """Returns jitted ``fn(params, input_ids, attention_mask) -> (B, T_new)``.
 
@@ -42,6 +47,7 @@ def build_greedy_generate(
     HBM-bound, so int8 weight storage ≈ 2× tokens/sec).
     """
     extra = extra_collections or {}
+    cfg = resolve(sampler)
 
     @jax.jit
     def _generate(params, extra, input_ids, attention_mask):
@@ -69,7 +75,8 @@ def build_greedy_generate(
             kv_cache=cache,
             cache_index=0,
         )
-        first_tok = jnp.argmax(logits[:, -1, :], axis=-1)  # (B,)
+        rows = jnp.arange(B, dtype=jnp.int32)  # request index = batch row
+        first_tok = select_token(logits[:, -1, :], cfg, rows, jnp.zeros_like(rows))
 
         def step(carry, t):
             cache, tok, pos = carry
@@ -81,7 +88,9 @@ def build_greedy_generate(
                 kv_cache=cache,
                 cache_index=P + t,
             )
-            new_tok = jnp.argmax(step_logits[:, 0, :], axis=-1)
+            new_tok = select_token(
+                step_logits[:, 0, :], cfg, rows, jnp.full_like(rows, t + 1)
+            )
             return (cache, new_tok, pos + 1), new_tok
 
         if max_new_tokens > 1:

@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 from collections import deque
 from concurrent.futures import Future
 from typing import Iterator, List, Optional
@@ -55,6 +56,10 @@ class StreamHandle:
         self._queue: "queue.SimpleQueue" = queue.SimpleQueue()
         self._tokens: List[int] = []
         self._cancelled = threading.Event()
+        # serving latency metrics, stamped by submit/scheduler (monotonic s)
+        self.t_submit: Optional[float] = None
+        self.t_first_token: Optional[float] = None
+        self.t_done: Optional[float] = None
 
     # ---- consumer side ---------------------------------------------------
     def tokens(self) -> Iterator[int]:
@@ -77,10 +82,13 @@ class StreamHandle:
 
     # ---- scheduler side (single scheduler thread only) --------------------
     def _emit(self, tok: int) -> None:
+        if self.t_first_token is None:
+            self.t_first_token = time.monotonic()
         self._tokens.append(tok)
         self._queue.put(tok)
 
     def _finish(self) -> None:
+        self.t_done = time.monotonic()
         if not self.future.done():
             self.future.set_result(self._tokens)
         self._queue.put(_SENTINEL)
@@ -111,6 +119,7 @@ class StreamingEngine:
         self._idle_poll = idle_poll_s
         self._crashed: Optional[BaseException] = None
         self._live_handles: List[StreamHandle] = []  # scheduler-thread-owned
+        self._n_submitted = 0  # request index source (sampling keys)
 
     # ---- lifecycle ---------------------------------------------------------
     def start(self) -> "StreamingEngine":
@@ -156,6 +165,9 @@ class StreamingEngine:
         assert ids.shape == (P,), f"prompt must be left-padded to max_prompt_len={P}"
         cap = self.engine.max_new if budget is None else min(int(budget), self.engine.max_new)
         handle = StreamHandle(cap)
+        handle.t_submit = time.monotonic()
+        handle.req_index = self._n_submitted  # sampling key identity
+        self._n_submitted += 1
         if cap <= 0:
             handle._finish()
             return handle
@@ -227,16 +239,18 @@ class StreamingEngine:
             mask[:, -1] = 1  # padding rows: one valid token (finite fwd)
             slot_ids = np.full((m_pad,), B, np.int32)
             valid = np.zeros((m_pad,), bool)
+            req_arr = np.zeros((m_pad,), np.int32)
             for j, ((h, r_ids, r_mask), slot) in enumerate(zip(batch, slots)):
                 ids[j] = r_ids
                 mask[j] = r_mask
                 slot_ids[j] = slot
                 valid[j] = True
+                req_arr[j] = h.req_index
                 slot_req[slot] = h
             eng.state, first_tok = eng._admit_jit(
                 eng._vars, eng.state,
                 jnp.asarray(ids), jnp.asarray(mask),
-                jnp.asarray(slot_ids), jnp.asarray(valid),
+                jnp.asarray(slot_ids), jnp.asarray(valid), jnp.asarray(req_arr),
             )
             return ([h for h, _, _ in batch], slots, first_tok)
 
@@ -309,7 +323,10 @@ class StreamingEngine:
             if any(s is not None for s in slot_req):
                 snapshot = list(slot_req)
                 active = jnp.asarray(np.array([s is not None for s in snapshot]))
-                eng.state, chunk = eng._decode(eng._vars, eng.state, active)
+                req_arr = np.asarray(
+                    [h.req_index if h is not None else 0 for h in snapshot], np.int32
+                )
+                eng.state, chunk = eng._decode(eng._vars, eng.state, active, jnp.asarray(req_arr))
                 next_flight = (chunk, snapshot)
             else:
                 next_flight = None

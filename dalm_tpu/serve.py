@@ -62,6 +62,7 @@ class RagPipeline:
         embed_batch: int = 64,
         index_kernel: str = "auto",  # pallas on TPU, xla elsewhere
         quantize_generator: bool = False,
+        sampler=None,  # models.sampling.SamplerConfig; None = greedy
     ):
         """``quantize_generator``: pack the generator's big kernels into
         int8 `quant` storage (models/qlora.py). Decode is HBM-bandwidth
@@ -89,12 +90,16 @@ class RagPipeline:
             self.g_params, g_quant = pack_qlora_frozen(self.g_params, quantize=True)
             self._g_extra = {"quant": g_quant}
 
+        from dalm_tpu.models.sampling import resolve
+
+        self.sampler = resolve(sampler)
         self._embed = build_embed_fn(self.retriever, self.r_params)
         self._generate = build_greedy_generate(
             self.generator, max_new_tokens,
             eos_token_id=self.g_tok.eos_token_id,
             pad_token_id=self.g_tok.pad_token_id or 0,
             extra_collections=self._g_extra,
+            sampler=self.sampler,
         )
         embs = self._embed_texts([f"#passage# {p}" for p in self.passages], max_passage_len)
         self.index = ShardedDenseIndex.build(self.mesh, embs, kernel=index_kernel)
@@ -212,6 +217,7 @@ class RagPipeline:
                 pad_token_id=self.g_tok.pad_token_id or 0,
                 decode_chunk=decode_chunk,
                 extra_collections=self._g_extra,
+                sampler=self.sampler,
             )
             self._engine_key = key
 
@@ -267,6 +273,7 @@ class RagPipeline:
             pad_token_id=self.g_tok.pad_token_id or 0,
             decode_chunk=decode_chunk,
             extra_collections=self._g_extra,
+            sampler=self.sampler,
         )
         return RagStreamSession(self, engine)
 
