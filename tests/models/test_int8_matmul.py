@@ -137,3 +137,35 @@ def test_train_e2e_fused_int8_compute(tmp_path, toy_csv, mode):
     )
     assert np.isfinite(out["final_loss"])
     assert out["steps"] >= 2
+
+
+def test_rowquant_pallas_matches_xla():
+    """The one-pass Pallas quantize (interpret mode) is bit-identical to
+    the two-pass XLA formulation, including zero rows."""
+    import numpy as np
+
+    from dalm_tpu.kernels.int8_matmul import _rowquant_pallas, _rowquant_xla
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(16, 256)), jnp.float32)
+    x = x.at[3].set(0.0)  # zero row -> scale 1
+    q_ref, s_ref = _rowquant_xla(x)
+    q, s = _rowquant_pallas(x, interpret=True)
+    np.testing.assert_array_equal(np.asarray(q), np.asarray(q_ref))
+    np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref))
+
+
+def test_rowquant_dispatch_unaligned_falls_back():
+    """Shapes that don't meet the kernel's alignment still quantize
+    correctly through the XLA path (and 3-D leading dims reshape)."""
+    import numpy as np
+
+    from dalm_tpu.kernels.int8_matmul import rowquant
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(3, 5, 100)), jnp.float32)  # unaligned
+    q, s = rowquant(x)
+    assert q.shape == (3, 5, 100) and s.shape == (3, 5, 1)
+    np.testing.assert_allclose(
+        np.asarray(q) * np.asarray(s), np.asarray(x), atol=float(jnp.max(jnp.abs(x))) / 127 * 0.51
+    )
