@@ -32,6 +32,17 @@ gradient chunk is home — while dq accumulates in place. Per block the
 standard flash recompute applies (``p = exp(s·scale − lse)`` with the
 GLOBAL lse, so probabilities are exact without renormalization).
 
+Causal load balance — ``layout="zigzag"``: with contiguous chunks the
+causal mask gives device ``i`` only ``i+1`` visible blocks, so lockstep
+ring steps idle the early devices and wall-clock stays ~P full blocks
+(≈2× the useful work). The zigzag layout gives each device TWO
+half-chunks — chunk ``d`` and chunk ``2P-1-d`` — so every device
+computes exactly two half-blocks per ring step (three at step 0): total
+``(2P+1)/2`` half-block times ≈ HALF the contiguous wall-clock, exact
+same math. Host-side helpers :func:`zigzag_indices` /
+:func:`zigzag_inverse` produce the sequence permutation; positions and
+labels must follow it (see `train/context_parallel.py`).
+
 Use :func:`ring_attention` inside your own ``shard_map``; the
 :func:`ring_attention_sharded` convenience wraps one around a
 ``(batch, seq, heads, head_dim)`` array sharded over ``axis_name``.
@@ -59,6 +70,31 @@ def _merge(out1, lse1, out2, lse2):
     denom = jnp.maximum(w1 + w2, 1e-30)
     out = (out1 * w1[..., None] + out2 * w2[..., None]) / denom[..., None]
     return out, m + jnp.log(denom)
+
+
+def zigzag_indices(seq_len: int, num_devices: int) -> np.ndarray:
+    """Permutation: global positions in device-major zigzag order.
+
+    ``x[..., zigzag_indices(S, P), ...]`` lays the sequence out so that a
+    contiguous shard over the ring axis gives device ``d`` the
+    concatenation of chunk ``d`` and chunk ``2P-1-d`` (2P chunks of
+    ``S/(2P)``)."""
+    assert seq_len % (2 * num_devices) == 0, (seq_len, num_devices)
+    ch = seq_len // (2 * num_devices)
+    order = []
+    for d in range(num_devices):
+        order.extend(range(d * ch, (d + 1) * ch))
+        hi = 2 * num_devices - 1 - d
+        order.extend(range(hi * ch, (hi + 1) * ch))
+    return np.asarray(order, np.int32)
+
+
+def zigzag_inverse(seq_len: int, num_devices: int) -> np.ndarray:
+    """Inverse permutation: zigzag order back to natural order."""
+    perm = zigzag_indices(seq_len, num_devices)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(seq_len, dtype=np.int32)
+    return inv
 
 
 def _block_fwd_xla(q, k, v, scale, causal):
@@ -145,19 +181,147 @@ def _ring_fwd(q, k, v, axis_name, causal, scale, impl, interpret):
     return out, lse
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
-def _ring_core(q, k, v, axis_name, causal, scale, impl, interpret):
-    out, _ = _ring_fwd(q, k, v, axis_name, causal, scale, impl, interpret)
+def _ring_fwd_zigzag(q, k, v, axis_name, scale, impl, interpret):
+    """Zigzag-layout causal ring forward: per-device (B,H,C,D) is the
+    concat of half-chunks [chunk d | chunk 2P-1-d]. Per ring step every
+    device computes exactly two half-blocks (three at step 0):
+
+      r == 0 (resident pair is my own): (q1·k1 causal), (q2·k1 full),
+        (q2·k2 causal)
+      r > 0 with source s: (q2·k1) always full, plus ONE of
+        (q1·k1 full) if s < d, else (q2·k2 full) — both branches cost
+        the same, so the lockstep ring stays balanced.
+    """
+    num = jax.lax.axis_size(axis_name)
+    d_idx = jax.lax.axis_index(axis_name)
+    b, h, c, dd = q.shape
+    ch = c // 2
+    perm = [(s_, (s_ + 1) % num) for s_ in range(num)]
+    q1, q2 = q[:, :, :ch], q[:, :, ch:]
+
+    def blk(qh, kh, vh, causal_):
+        return _block_fwd(qh, kh, vh, scale, causal_, impl, interpret)
+
+    zero = lambda: (jnp.zeros((b, h, ch, dd), jnp.float32),  # noqa: E731
+                    jnp.full((b, h, ch), NEG_INF, jnp.float32))
+    st1, st2 = zero(), zero()
+    cur_k, cur_v = k, v
+    for r in range(num):
+        k1, v1 = cur_k[:, :, :ch], cur_v[:, :, :ch]
+        k2, v2 = cur_k[:, :, ch:], cur_v[:, :, ch:]
+        if r == 0:
+            st1 = _merge(*st1, *blk(q1, k1, v1, True))
+            st2 = _merge(*st2, *blk(q2, k1, v1, False))
+            st2 = _merge(*st2, *blk(q2, k2, v2, True))
+        else:
+            st2 = _merge(*st2, *blk(q2, k1, v1, False))
+            src = (d_idx - r) % num
+
+            def _low(states, k1=k1, v1=v1):
+                s1, s2 = states
+                return _merge(*s1, *blk(q1, k1, v1, False)), s2
+
+            def _high(states, k2=k2, v2=v2):
+                s1, s2 = states
+                return s1, _merge(*s2, *blk(q2, k2, v2, False))
+
+            st1, st2 = jax.lax.cond(src < d_idx, _low, _high, (st1, st2))
+        if r != num - 1:
+            cur_k = jax.lax.ppermute(cur_k, axis_name, perm)
+            cur_v = jax.lax.ppermute(cur_v, axis_name, perm)
+    out = jnp.concatenate([st1[0], st2[0]], axis=2)
+    lse = jnp.concatenate([st1[1], st2[1]], axis=2)
+    return out, lse
+
+
+def _ring_bwd_zigzag(q, k, v, out, lse, do, axis_name, scale, impl, interpret):
+    """Backward ring pass for the zigzag layout: same block schedule as
+    the forward; dk/dv half-accumulators travel with their k/v halves."""
+    num = jax.lax.axis_size(axis_name)
+    d_idx = jax.lax.axis_index(axis_name)
+    b, h, c, dd = q.shape
+    ch = c // 2
+    perm = [(s_, (s_ + 1) % num) for s_ in range(num)]
+    halves = lambda x: (x[:, :, :ch], x[:, :, ch:])  # noqa: E731
+    q1, q2 = halves(q)
+    do1, do2 = halves(do)
+    out1, out2 = halves(out)
+    lse1, lse2 = lse[:, :, :ch], lse[:, :, ch:]
+
+    def blk(qh, kh, vh, doh, oh, lh, causal_):
+        return _block_bwd(qh, kh, vh, doh, oh, lh, scale, causal_, impl, interpret)
+
+    dq1 = jnp.zeros((b, h, ch, dd), jnp.float32)
+    dq2 = jnp.zeros((b, h, ch, dd), jnp.float32)
+    cur = (k, v, jnp.zeros(k.shape, jnp.float32), jnp.zeros(v.shape, jnp.float32))
+    for r in range(num):
+        cur_k, cur_v, cur_dk, cur_dv = cur
+        k1, k2 = halves(cur_k)
+        v1, v2 = halves(cur_v)
+        dk1, dk2 = halves(cur_dk)
+        dv1, dv2 = halves(cur_dv)
+        if r == 0:
+            bq, bk, bv = blk(q1, k1, v1, do1, out1, lse1, True)
+            dq1, dk1, dv1 = dq1 + bq, dk1 + bk, dv1 + bv
+            bq, bk, bv = blk(q2, k1, v1, do2, out2, lse2, False)
+            dq2, dk1, dv1 = dq2 + bq, dk1 + bk, dv1 + bv
+            bq, bk, bv = blk(q2, k2, v2, do2, out2, lse2, True)
+            dq2, dk2, dv2 = dq2 + bq, dk2 + bk, dv2 + bv
+        else:
+            bq, bk, bv = blk(q2, k1, v1, do2, out2, lse2, False)
+            dq2, dk1, dv1 = dq2 + bq, dk1 + bk, dv1 + bv
+            src = (d_idx - r) % num
+
+            def _low(state, k1=k1, v1=v1):
+                sdq1, sdq2, sdk1, sdv1, sdk2, sdv2 = state
+                bq, bk, bv = blk(q1, k1, v1, do1, out1, lse1, False)
+                return sdq1 + bq, sdq2, sdk1 + bk, sdv1 + bv, sdk2, sdv2
+
+            def _high(state, k2=k2, v2=v2):
+                sdq1, sdq2, sdk1, sdv1, sdk2, sdv2 = state
+                bq, bk, bv = blk(q2, k2, v2, do2, out2, lse2, False)
+                return sdq1, sdq2 + bq, sdk1, sdv1, sdk2 + bk, sdv2 + bv
+
+            dq1, dq2, dk1, dv1, dk2, dv2 = jax.lax.cond(
+                src < d_idx, _low, _high, (dq1, dq2, dk1, dv1, dk2, dv2)
+            )
+        cur = tuple(
+            jax.lax.ppermute(x, axis_name, perm)
+            for x in (
+                cur_k, cur_v,
+                jnp.concatenate([dk1, dk2], axis=2),
+                jnp.concatenate([dv1, dv2], axis=2),
+            )
+        )
+    _, _, dk, dv = cur
+    dq = jnp.concatenate([dq1, dq2], axis=2)
+    return dq, dk, dv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def _ring_core(q, k, v, axis_name, causal, scale, impl, interpret, layout):
+    if layout == "zigzag":
+        out, _ = _ring_fwd_zigzag(q, k, v, axis_name, scale, impl, interpret)
+    else:
+        out, _ = _ring_fwd(q, k, v, axis_name, causal, scale, impl, interpret)
     return out.astype(q.dtype)
 
 
-def _ring_core_fwd(q, k, v, axis_name, causal, scale, impl, interpret):
-    out, lse = _ring_fwd(q, k, v, axis_name, causal, scale, impl, interpret)
+def _ring_core_fwd(q, k, v, axis_name, causal, scale, impl, interpret, layout):
+    if layout == "zigzag":
+        out, lse = _ring_fwd_zigzag(q, k, v, axis_name, scale, impl, interpret)
+    else:
+        out, lse = _ring_fwd(q, k, v, axis_name, causal, scale, impl, interpret)
     return out.astype(q.dtype), (q, k, v, out.astype(q.dtype), lse)
 
 
-def _ring_core_bwd(axis_name, causal, scale, impl, interpret, res, do):
+def _ring_core_bwd(axis_name, causal, scale, impl, interpret, layout, res, do):
     q, k, v, out, lse = res
+    if layout == "zigzag":
+        dq, dk, dv = _ring_bwd_zigzag(
+            q, k, v, out, lse, do, axis_name, scale, impl, interpret
+        )
+        return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
     num_chunks = jax.lax.axis_size(axis_name)
     my_chunk = jax.lax.axis_index(axis_name)
     perm = [(s, (s + 1) % num_chunks) for s in range(num_chunks)]
@@ -205,21 +369,27 @@ def ring_attention(
     scale: float | None = None,
     impl: str = "auto",
     interpret: bool = False,
+    layout: str = "contiguous",
 ) -> jax.Array:
     """Context-parallel attention for one sequence chunk per device.
 
     Must run inside ``shard_map`` (or pmap) with ``axis_name`` bound.
     Shapes (per device): q/k/v (B, S/P, H, Dh); returns (B, S/P, H, Dh)
     in q's dtype. ``impl``: "pallas" (flash kernel blocks), "xla"
-    (dense einsum blocks), or "auto" (pallas on TPU).
+    (dense einsum blocks), or "auto" (pallas on TPU). ``layout``:
+    "contiguous" (chunk d on device d) or "zigzag" (balanced causal
+    work; inputs must be pre-permuted with :func:`zigzag_indices` and
+    ``causal`` must be True).
     """
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if layout == "zigzag":
+        assert causal, "zigzag layout is a causal-balance optimization"
     b, sq, h, d = q.shape
     if scale is None:
         scale = 1.0 / float(np.sqrt(d))
     qt, kt, vt = (x.transpose(0, 2, 1, 3) for x in (q, k, v))
-    out = _ring_core(qt, kt, vt, axis_name, causal, scale, impl, interpret)
+    out = _ring_core(qt, kt, vt, axis_name, causal, scale, impl, interpret, layout)
     return out.transpose(0, 2, 1, 3)
 
 
@@ -232,6 +402,7 @@ def ring_attention_sharded(
     causal: bool = True,
     impl: str = "auto",
     interpret: bool = False,
+    layout: str = "contiguous",
 ) -> jax.Array:
     """Convenience: shard (B, S, H, Dh) over ``axis_name`` and run the ring.
 
@@ -242,7 +413,8 @@ def ring_attention_sharded(
 
     ring = jax.shard_map(
         functools.partial(
-            ring_attention, axis_name=axis_name, causal=causal, impl=impl, interpret=interpret
+            ring_attention, axis_name=axis_name, causal=causal, impl=impl,
+            interpret=interpret, layout=layout,
         ),
         mesh=mesh,
         in_specs=(spec, spec, spec),

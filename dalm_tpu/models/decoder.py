@@ -50,6 +50,7 @@ class DecoderConfig:
     # ``ring_axis``; run under shard_map — kernels/ring_attention.py).
     attention_impl: str = "einsum"
     ring_axis: str = "model"
+    ring_layout: str = "contiguous"  # or "zigzag" (balanced causal CP)
     # int8 MXU compute for packed frozen kernels ("none"|"fwd"|"all") —
     # see kernels/int8_matmul.py; no effect without int8 quant storage.
     int8_compute: str = "none"
@@ -185,7 +186,10 @@ class DecoderAttention(nn.Module):
             # the CP path is for packed fixed-length SFT blocks.
             from dalm_tpu.kernels.ring_attention import ring_attention
 
-            ctx = ring_attention(q, k, v, axis_name=cfg.ring_axis, causal=True)
+            ctx = ring_attention(
+                q, k, v, axis_name=cfg.ring_axis, causal=True,
+                layout=cfg.ring_layout,
+            )
             ctx = ctx.reshape(B, S, nh * hd).astype(cfg.dtype)
             out = _proj(cfg.hidden_size, "o_proj", cfg, ("heads", "embed"))(ctx)
             return out, new_cache

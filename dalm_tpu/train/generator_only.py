@@ -91,6 +91,7 @@ def train_generator(
     max_train_blocks: Optional[int] = None,
     export_peft: bool = False,
     context_parallel: bool = False,  # seq over mesh `model` axis (ring attention)
+    cp_layout: str = "contiguous",  # "zigzag" balances causal ring work (~2× at scale)
 ) -> dict:
     args = {
         k: v for k, v in locals().items()
@@ -131,11 +132,15 @@ def train_generator(
             raise ValueError("context_parallel requires packing=True (no padding path)")
         if seq_length % max(cp_size, 1):
             raise ValueError(f"seq_length {seq_length} must divide by model-axis size {cp_size}")
+        if cp_layout == "zigzag" and seq_length % max(2 * cp_size, 1):
+            raise ValueError(
+                f"cp_layout='zigzag' needs seq_length divisible by 2*cp ({2 * cp_size})"
+            )
     model = build_decoder(cfg)
     # The ring variant only traces under shard_map (axis must be bound):
     # init and saved artifacts use the plain config, training the ring one.
     cp_model = (
-        build_decoder(dataclasses.replace(cfg, attention_impl="ring"))
+        build_decoder(dataclasses.replace(cfg, attention_impl="ring", ring_layout=cp_layout))
         if context_parallel else None
     )
 
@@ -224,7 +229,9 @@ def train_generator(
     if context_parallel:
         from dalm_tpu.train.context_parallel import build_cp_loss
 
-        cp_loss = build_cp_loss(cp_model, mesh, axis_name="model", data_axis="data")
+        cp_loss = build_cp_loss(
+            cp_model, mesh, axis_name="model", data_axis="data", layout=cp_layout
+        )
 
         def loss_fn(params, base, batch, step_rng):
             return cp_loss(
@@ -268,9 +275,16 @@ def train_generator(
         from dalm_tpu.core.mesh import DATA_AXIS, MODEL_AXIS
 
         _cp_sharding = NamedSharding(mesh, PS(DATA_AXIS, MODEL_AXIS))
+        _cp_perm = None
+        if cp_layout == "zigzag":
+            from dalm_tpu.kernels.ring_attention import zigzag_indices
+
+            _cp_perm = zigzag_indices(seq_length, cp_size)
 
         def _put(d):
             arrays = {k: np.asarray(v, np.int32) for k, v in d.items()}
+            if _cp_perm is not None:
+                arrays = {k: v[:, _cp_perm] for k, v in arrays.items()}
             return jax.device_put(arrays, {k: _cp_sharding for k in arrays})
     else:
         def _put(d):

@@ -101,3 +101,37 @@ def test_cp_grads_match_full(mesh, setup):
     flat_b = jax.tree_util.tree_leaves(g_cp)
     for a, b in zip(flat_a, flat_b):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-4, rtol=2e-3)
+
+
+def test_cp_zigzag_loss_and_grads_match_full(mesh, setup):
+    """layout="zigzag" (balanced causal ring): tokens permuted by
+    zigzag_indices, positions and boundary labels follow the layout —
+    loss AND grads equal the unsharded objective."""
+    import dataclasses
+
+    cfg, ring_cfg, params, ids = setup
+    from dalm_tpu.kernels.ring_attention import zigzag_indices
+    from dalm_tpu.losses.causal import causal_lm_loss
+    from dalm_tpu.train.context_parallel import build_cp_loss
+
+    model = Decoder(cfg)
+
+    def full_loss(p):
+        logits = model.apply({"params": p}, jnp.asarray(ids), jnp.ones_like(jnp.asarray(ids)))
+        return causal_lm_loss(logits, jnp.asarray(ids))
+
+    expected = float(full_loss(params))
+    g_full = jax.grad(full_loss)(params)
+
+    zz_cfg = dataclasses.replace(ring_cfg, ring_layout="zigzag")
+    cp_loss = build_cp_loss(Decoder(zz_cfg), mesh, axis_name="model", layout="zigzag")
+    perm = zigzag_indices(ids.shape[1], 8)
+    ids_z = jax.device_put(
+        jnp.asarray(ids[:, perm]), NamedSharding(mesh, P(None, "model"))
+    )
+    got = float(jax.jit(cp_loss)(params, ids_z))
+    assert abs(got - expected) < 3e-5
+
+    g_cp = jax.jit(jax.grad(lambda p: cp_loss(p, ids_z)))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_full), jax.tree_util.tree_leaves(g_cp)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-4, rtol=2e-3)

@@ -150,3 +150,33 @@ def test_sft_context_parallel_rejects_padding(messages_dataset, tmp_path):
             output_dir=str(tmp_path / "x"), seq_length=64, packing=False,
             mesh=mesh, context_parallel=True,
         )
+
+
+@pytest.mark.slow
+def test_sft_context_parallel_zigzag(messages_dataset, tmp_path):
+    """cp_layout="zigzag" (balanced causal ring): the trainer permutes
+    each packed block into zigzag order and the eval loss must MATCH the
+    contiguous-CP run exactly — same objective, different device layout."""
+    from dalm_tpu.core.mesh import MeshConfig, make_mesh
+    from dalm_tpu.train.generator_only import train_generator
+
+    common = dict(
+        local_dataset=True, num_train_epochs=2, seq_length=64,
+        per_device_train_batch_size=2, eval_steps=0, logging_steps=2,
+        validation_split=0.2, lora_r=4, lora_alpha=8, use_peft=True,
+        gradient_checkpointing=False, context_parallel=True,
+        neftune_noise_alpha=0,
+    )
+    zz = train_generator(
+        "tiny", messages_dataset, output_dir=str(tmp_path / "zz_out"),
+        mesh=make_mesh(MeshConfig(data=2, model=4)), cp_layout="zigzag", **common,
+    )
+    ref = train_generator(
+        "tiny", messages_dataset, output_dir=str(tmp_path / "ref_out"),
+        mesh=make_mesh(MeshConfig(data=2, model=4)), **common,
+    )
+    assert np.isfinite(zz["final_loss"])
+    # identical objective; small drift allowed (fp reassociation differs
+    # across layouts, so 2 epochs of training diverge in the last digits)
+    assert abs(zz["eval_loss"] - ref["eval_loss"]) < 2e-2
+    assert abs(zz["final_loss"] - ref["final_loss"]) < 5e-2
