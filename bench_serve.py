@@ -20,14 +20,18 @@ import numpy as np
 
 
 def bench_7b_decode() -> None:
-    """7B-shape int8 decode throughput on one 16 GB chip.
+    """7B/8B-class int8 decode throughput on one 16 GB chip.
 
     The generator inits DIRECTLY into packed int8 storage
     (`qlora.init_packed_on_device` — no full-precision tree ever exists),
-    then the continuous-batching engine decodes a full slot pool.
-    Decode is HBM-bandwidth bound: every token reads the ~6.7 GB int8
-    weight set, so tokens/sec/chip ≈ slots / (bytes / BW) — int8 halves
-    bytes/token vs bf16, i.e. ~2× serving throughput and 2× models/chip.
+    then the continuous-batching engine decodes a full slot pool with
+    W8A8 int8 MXU matmuls (`int8_compute="fwd"` — avoids materializing a
+    bf16 dequantized weight set, measured +18%). Decode is HBM-bandwidth
+    bound: every step reads the int8 weights (~7 GB) plus the KV cache,
+    so tokens/sec scales with slot count until the cache fills HBM —
+    llama2-7b (MHA) caps at 32 slots, llama3-8b (GQA, 4× smaller cache)
+    fits more. bf16 weights would not even fit beside the cache: int8 is
+    the enabler, not just a speedup.
     """
     import logging
 
@@ -41,43 +45,48 @@ def bench_7b_decode() -> None:
     from dalm_tpu.models.decoder import Decoder, DecoderConfig
     import dataclasses
 
-    cfg = dataclasses.replace(DecoderConfig.llama2_7b(), dtype=jnp.bfloat16)
-    generator = Decoder(cfg)
-    P, MAX_NEW, SLOTS = 64, 128, 16
-    ids16 = jnp.zeros((1, 16), jnp.int32)
-    residual, quant, lora = qlora_mod.init_packed_on_device(
-        generator, jax.random.PRNGKey(0), (ids16, jnp.ones_like(ids16)),
-        spec=lora_mod.LoraSpec.for_causal_lm(), quantize=True,
-    )
-    eng = DecodeEngine(
-        generator, residual, num_slots=SLOTS, max_prompt_len=P,
-        max_new_tokens=MAX_NEW, eos_token_id=None, pad_token_id=0,
-        extra_collections={"quant": quant, "lora": lora},
-    )
-    rng = np.random.default_rng(0)
-    N = 2 * SLOTS
-    p_ids = rng.integers(5, 31000, size=(N, P)).astype(np.int32)
-    p_mask = np.ones((N, P), np.int32)
-    _ = eng.generate_fused(p_ids[:N], p_mask[:N])  # warm/compile
-    t0 = time.perf_counter()
-    outs = eng.generate_fused(p_ids, p_mask)
-    dt = time.perf_counter() - t0
-    total_tokens = sum(len(o) for o in outs)
-    assert total_tokens == N * MAX_NEW
-    per_chip = total_tokens / dt / jax.device_count()
-    print(
-        json.dumps(
-            {
-                "metric": "decode_tokens_per_sec_per_chip[llama2-7B-shape,int8-weights,16-slots,continuous-batching,1xv5e-16GB]",
-                "value": round(per_chip, 1),
-                "unit": "tokens/sec/chip",
-                "vs_baseline": None,
-                "ms_per_token_per_slot": round(dt / (total_tokens / SLOTS) * 1e3, 2),
-                "requests": N,
-                "new_tokens_each": MAX_NEW,
-            }
+    P, MAX_NEW = 64, 128
+    for preset, base_cfg, slots in (
+        ("llama2-7B", DecoderConfig.llama2_7b(), 32),
+        ("llama3-8B-gqa", DecoderConfig.llama3_8b(), 96),
+    ):
+        cfg = dataclasses.replace(base_cfg, dtype=jnp.bfloat16, int8_compute="fwd")
+        generator = Decoder(cfg)
+        ids16 = jnp.zeros((1, 16), jnp.int32)
+        residual, quant, lora = qlora_mod.init_packed_on_device(
+            generator, jax.random.PRNGKey(0), (ids16, jnp.ones_like(ids16)),
+            spec=lora_mod.LoraSpec.for_causal_lm(), quantize=True,
         )
-    )
+        eng = DecodeEngine(
+            generator, residual, num_slots=slots, max_prompt_len=P,
+            max_new_tokens=MAX_NEW, eos_token_id=None, pad_token_id=0,
+            extra_collections={"quant": quant, "lora": lora},
+        )
+        rng = np.random.default_rng(0)
+        N = 2 * slots
+        p_ids = rng.integers(5, min(31000, cfg.vocab_size - 1), size=(N, P)).astype(np.int32)
+        p_mask = np.ones((N, P), np.int32)
+        _ = eng.generate_fused(p_ids[:N], p_mask[:N])  # warm/compile
+        t0 = time.perf_counter()
+        outs = eng.generate_fused(p_ids, p_mask)
+        dt = time.perf_counter() - t0
+        total_tokens = sum(len(o) for o in outs)
+        assert total_tokens == N * MAX_NEW
+        per_chip = total_tokens / dt / jax.device_count()
+        print(
+            json.dumps(
+                {
+                    "metric": f"decode_tokens_per_sec_per_chip[{preset}-shape,int8-w8a8,{slots}-slots,continuous-batching,1xv5e-16GB]",
+                    "value": round(per_chip, 1),
+                    "unit": "tokens/sec/chip",
+                    "vs_baseline": None,
+                    "ms_per_step": round(dt / (total_tokens / slots) * 1e3, 2),
+                    "requests": N,
+                    "new_tokens_each": MAX_NEW,
+                }
+            )
+        )
+        del eng, residual, quant, lora
 
 
 def _corpus(n, rng):

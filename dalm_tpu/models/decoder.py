@@ -83,6 +83,17 @@ class DecoderConfig:
             remat=True, param_dtype=jnp.bfloat16,
         )
 
+    @staticmethod
+    def llama3_8b() -> "DecoderConfig":
+        # GQA (8 kv heads): the KV cache is 4× smaller than llama2-7b's
+        # MHA — at serving time that is 4× the decode slots per HBM byte.
+        return DecoderConfig(
+            vocab_size=128256, hidden_size=4096, num_layers=32, num_heads=32,
+            num_kv_heads=8, intermediate_size=14336,
+            max_position_embeddings=8192, rope_theta=500000.0,
+            remat=True, param_dtype=jnp.bfloat16,
+        )
+
 
 def rotate_half(x: jax.Array) -> jax.Array:
     x1, x2 = jnp.split(x, 2, axis=-1)
@@ -173,7 +184,12 @@ class DecoderAttention(nn.Module):
                 v = jax.lax.dynamic_update_slice(kv_cache["v"], v.astype(kv_cache["v"].dtype), (0, cache_index, 0, 0))
             new_cache = {"k": k, "v": v}
 
-        if kvh != nh:
+        if kvh != nh and (cfg.attention_impl in ("ring", "flash")) and kv_cache is None:
+            # The ring/flash kernels take equal head counts; repeat K/V for
+            # the (amortized) full-sequence paths only. The einsum/decode
+            # path below uses grouped attention WITHOUT materializing the
+            # repeat — at decode time repeat would multiply the KV-cache
+            # HBM traffic by the group size, erasing GQA's serving win.
             rep = nh // kvh
             k = jnp.repeat(k, rep, axis=2)
             v = jnp.repeat(v, rep, axis=2)
@@ -216,6 +232,18 @@ class DecoderAttention(nn.Module):
                 causal=True,
                 scale=1.0 / float(hd) ** 0.5,
             ).reshape(B, S, nh * hd).astype(cfg.dtype)
+        elif kvh != nh:
+            # Grouped-query attention, no K/V repeat: query head g·kvh+j
+            # reads kv head j directly. (Head grouping matches
+            # jnp.repeat(axis=2): consecutive query heads share a kv head.)
+            rep = nh // kvh
+            qg = q.reshape(B, S, kvh, rep, hd)
+            scores = jnp.einsum("bqhgd,bkhd->bhgqk", qg, k) / jnp.sqrt(hd).astype(cfg.dtype)
+            scores = jnp.where(
+                mask[:, :, None], scores.astype(jnp.float32), jnp.finfo(jnp.float32).min
+            )
+            probs = jax.nn.softmax(scores, axis=-1).astype(cfg.dtype)
+            ctx = jnp.einsum("bhgqk,bkhd->bqhgd", probs, v).reshape(B, S, nh * hd)
         else:
             scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(hd).astype(cfg.dtype)
             scores = jnp.where(mask, scores.astype(jnp.float32), jnp.finfo(jnp.float32).min)

@@ -3,7 +3,7 @@
 The reference resolves models by HF hub name (`AutoModel.from_pretrained`).
 Here a model spec is one of:
 - a registered config name ("tiny", "bge-small", "bge-large",
-  "tiny-decoder", "llama2-7b") → fresh random init;
+  "tiny-decoder", "llama2-7b", "llama3-8b") → fresh random init;
 - a directory previously written by :func:`save_pretrained` (our native
   format: ``config.json`` + ``params.msgpack``);
 - a directory holding an HF torch checkpoint → converted through
@@ -40,6 +40,7 @@ DECODER_PRESETS = {
     "tiny": DecoderConfig.tiny,
     "tiny-decoder": DecoderConfig.tiny,
     "llama2-7b": DecoderConfig.llama2_7b,
+    "llama3-8b": DecoderConfig.llama3_8b,
     "tiny-gpt2": GPT2Config.tiny,
     "gpt2": GPT2Config.gpt2_124m,
 }

@@ -262,3 +262,33 @@ def test_answer_continuous_matches_answer():
     cont = pipe.answer_continuous(queries, top_k=2, num_slots=2, decode_chunk=2)
     assert [a.answer for a in cont] == [a.answer for a in lockstep]
     assert [a.passages for a in cont] == [a.passages for a in lockstep]
+
+
+def test_gqa_decoder_matches_lockstep():
+    """GQA (num_kv_heads < num_heads): the continuous-batching engine's
+    per-slot cache writes and slot masks work on the smaller KV shape;
+    outputs match lockstep greedy exactly."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        DecoderConfig.tiny(vocab_size=128), num_heads=4, num_kv_heads=2, hidden_size=64
+    )
+    decoder = Decoder(cfg)
+    params = unbox(
+        decoder.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, P), jnp.int32), jnp.ones((1, P), jnp.int32)
+        )["params"]
+    )
+    cache = decoder.init_kv_cache(2, 8)
+    assert cache["layer_0"]["k"].shape == (2, 8, 2, 16)  # kv_heads=2, not 4
+    ids, mask = _prompts(5, rng_seed=21)
+    expected = _lockstep(decoder, params, ids, mask, 5)
+    eng = DecodeEngine(
+        decoder, params, num_slots=2, max_prompt_len=P,
+        max_new_tokens=5, eos_token_id=None, pad_token_id=0, decode_chunk=2,
+    )
+    got = eng.generate(ids, mask)
+    got_f = eng.generate_fused(ids, mask)
+    for i in range(5):
+        assert got[i] == [int(t) for t in expected[i]]
+        assert got_f[i] == [int(t) for t in expected[i]]
