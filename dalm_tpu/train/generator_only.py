@@ -308,14 +308,14 @@ def train_generator(
     )
     timer = WindowedThroughput()
 
-    np_rng = np.random.default_rng(seed)
     completed = 0
     # Loss stays on device between logging points; see rag_e2e.py note.
     final_loss = float("nan")
     last = None
     timer.mark(0)
     for epoch in range(num_train_epochs):
-        order = np_rng.permutation(len(train_blocks))
+        # per-(seed, epoch) stream: resume-stable shuffle order
+        order = np.random.default_rng([seed, epoch]).permutation(len(train_blocks))
         shards = mesh.shape["data"]
         for s in range(0, len(train_blocks), global_batch):
             idx = order[s : s + global_batch]

@@ -681,7 +681,6 @@ def train_e2e(
     ) + (
         ("marg_q_ids", "marg_q_len", "marg_a_ids", "marg_a_len") if marginalize_k else ()
     )
-    np_rng = np.random.default_rng(seed)
     checkpoint_every = int(checkpointing_steps) if str(checkpointing_steps).isdigit() else None
     # Losses stay on device between logging points — a per-step float()
     # readback would serialize dispatch and halve throughput (the
@@ -697,7 +696,10 @@ def train_e2e(
         return final
 
     for epoch in range(start_epoch, num_train_epochs):
-        epoch_rng = np.random.default_rng(np_rng.integers(2**31))
+        # Seeded per (seed, epoch) — NOT drawn sequentially from a shared
+        # stream — so a resumed run shuffles epoch e exactly as the
+        # uninterrupted run would have (resume-trajectory fidelity).
+        epoch_rng = np.random.default_rng([seed, epoch])
         loss_sum, n_in_epoch = None, 0
         timer.mark(completed_steps)
         for batch_np in epoch_batches(

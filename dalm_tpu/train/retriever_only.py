@@ -252,7 +252,6 @@ def train_retriever(
             start_steps = completed_steps
             logger.info("resumed from %s (epoch %d, step %d)", path, start_epoch, completed_steps)
 
-    np_rng = np.random.default_rng(seed)
     checkpoint_every = int(checkpointing_steps) if str(checkpointing_steps).isdigit() else None
     # Loss stays on device between logging points (per-step float()
     # readbacks serialize dispatch; the reference also only reads its
@@ -261,7 +260,8 @@ def train_retriever(
     last = None
 
     for epoch in range(start_epoch, num_train_epochs):
-        epoch_rng = np.random.default_rng(np_rng.integers(2**31))
+        # per-(seed, epoch) stream: resume reproduces the same shuffles
+        epoch_rng = np.random.default_rng([seed, epoch])
         loss_sum = None
         n_in_epoch = 0
         timer.mark(completed_steps)

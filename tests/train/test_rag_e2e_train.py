@@ -272,3 +272,35 @@ def test_train_retriever_resume_from_step(toy_csv, tmp_path):
     )
     assert resumed["steps"] == 2 * first["steps"]
     assert np.isfinite(resumed["final_loss"])
+
+
+def test_train_e2e_fused_runtime_resume(toy_csv, tmp_path):
+    """Resume with lora_runtime="fused": the checkpoint holds only the
+    trainable LoRA factors + opt state; the frozen packed int8 base
+    re-inits DETERMINISTICALLY from the same seed, so the resumed run
+    continues the same trajectory (same final loss as an uninterrupted
+    2-epoch run, not just a finite one)."""
+    common = dict(
+        per_device_train_batch_size=2,
+        query_max_len=16, passage_max_len=16, generator_max_len=32,
+        with_tracking=False, use_dropout=False,
+        use_peft="both", use_bnb="both", lora_runtime="fused",
+        checkpointing_steps="epoch", seed=3,
+    )
+    out = str(tmp_path / "fused_resume")
+    first = train_e2e(toy_csv, "tiny", "tiny", num_train_epochs=1, output_dir=out, **common)
+    assert os.path.isdir(os.path.join(out, "epoch_0"))
+
+    resumed = train_e2e(
+        toy_csv, "tiny", "tiny", num_train_epochs=2, output_dir=out,
+        resume_from_checkpoint=os.path.join(out, "epoch_0"), **common,
+    )
+    assert resumed["steps"] == 2 * first["steps"]
+
+    ref_out = str(tmp_path / "fused_straight")
+    straight = train_e2e(
+        toy_csv, "tiny", "tiny", num_train_epochs=2, output_dir=ref_out, **common
+    )
+    assert abs(resumed["final_loss"] - straight["final_loss"]) < 1e-4, (
+        resumed["final_loss"], straight["final_loss"],
+    )
