@@ -217,6 +217,68 @@ def eval_rag_cmd(dataset_path, retriever_name_or_path, generator_name_or_path, *
     click.echo(results.model_dump_json())
 
 
+@cli.command("serve")
+@click.argument("retriever_name_or_path")
+@click.argument("generator_name_or_path")
+@click.option("--passages", "passages_path", required=True,
+              help="corpus file: .txt (one passage per line) or .csv (passage column)")
+@click.option("--passage-column-name", default="Abstract", show_default=True)
+@click.option("--host", default="127.0.0.1", show_default=True)
+@click.option("--port", default=8080, show_default=True)
+@click.option("--num-slots", default=32, show_default=True,
+              help="continuous-batching decode slots")
+@click.option("--max-new-tokens", default=64, show_default=True)
+@click.option("--max-prompt-len", default=256, show_default=True)
+@click.option("--retriever-peft-path", default=None)
+@click.option("--generator-peft-path", default=None)
+@click.option("--retriever-tokenizer", default="byte", show_default=True)
+@click.option("--generator-tokenizer", default="byte", show_default=True)
+@click.option("--quantize-generator/--no-quantize-generator", default=False, show_default=True,
+              help="int8 generator weights (HBM-bound decode: ~2x tokens/sec)")
+@click.option("--temperature", default=0.0, show_default=True,
+              help="0 = greedy; >0 samples (keys per request+position)")
+@click.option("--sampling-top-k", default=0, show_default=True)
+@click.option("--sampling-top-p", default=1.0, show_default=True)
+@click.option("--sampling-seed", default=0, show_default=True)
+def serve_cmd(retriever_name_or_path, generator_name_or_path, passages_path,
+              passage_column_name, host, port, num_slots, max_new_tokens,
+              max_prompt_len, retriever_peft_path, generator_peft_path,
+              retriever_tokenizer, generator_tokenizer, quantize_generator,
+              temperature, sampling_top_k, sampling_top_p, sampling_seed):
+    """Serve RAG answers over HTTP (beyond the reference — it has no
+    serving surface): POST /answer for full answers, POST /stream for
+    token streaming, GET /healthz."""
+    if passages_path.endswith(".csv"):
+        import csv as _csv
+
+        with open(passages_path, newline="") as f:
+            passages = [row[passage_column_name] for row in _csv.DictReader(f)]
+    else:
+        with open(passages_path) as f:
+            passages = [ln.strip() for ln in f if ln.strip()]
+    click.echo(f"loaded {len(passages)} passages from {passages_path}")
+
+    from dalm_tpu.models.sampling import SamplerConfig
+    from dalm_tpu.serve import RagPipeline
+    from dalm_tpu.server_http import serve_pipeline
+
+    sampler = (
+        SamplerConfig(temperature=temperature, top_k=sampling_top_k,
+                      top_p=sampling_top_p, seed=sampling_seed)
+        if temperature > 0 else None
+    )
+    pipe = RagPipeline.from_pretrained(
+        retriever_name_or_path, generator_name_or_path, passages,
+        retriever_peft_path=retriever_peft_path,
+        generator_peft_path=generator_peft_path,
+        retriever_tokenizer=retriever_tokenizer,
+        generator_tokenizer=generator_tokenizer,
+        max_prompt_len=max_prompt_len, max_new_tokens=max_new_tokens,
+        quantize_generator=quantize_generator, sampler=sampler,
+    )
+    serve_pipeline(pipe, host=host, port=port, num_slots=num_slots)
+
+
 def main() -> None:
     cli()
 
