@@ -174,9 +174,11 @@ def _flash_fwd(
     q, k, v, segment_ids_q=None, segment_ids_k=None, *,
     causal=True, scale=None, block_q=512, block_k=512, q_offset=0, interpret=False,
 ):
-    """(B, H, Sq/Sk, D) in → (out (B,H,Sq,D) in q.dtype, lse (B,H,Sq) f32)."""
+    """(B, H, Sq, D) q; (B, Hk, Sk, D) k/v with Hk | H (GQA: query head h
+    reads kv head h // (H//Hk)) → (out (B,H,Sq,D) in q.dtype, lse (B,H,Sq) f32)."""
     B, H, Sq, D = q.shape
     Sk = k.shape[2]
+    group = H // k.shape[1]
     block_q = _fit_block(Sq, block_q)
     block_k = _fit_block(Sk, block_k)
     if scale is None:
@@ -205,8 +207,8 @@ def _flash_fwd(
         grid=(B, H, nq, nk),
         in_specs=[
             pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j: (b, h, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_k, D), lambda b, h, i, j: (b, h, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_k, D), lambda b, h, i, j: (b, h, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k, D), lambda b, h, i, j: (b, h // group, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k, D), lambda b, h, i, j: (b, h // group, j, 0), memory_space=pltpu.VMEM),
             *seg_specs,
         ],
         out_specs=[
@@ -280,11 +282,13 @@ def _bwd_dq_kernel(
 def _bwd_dkv_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref, seg_q_ref, seg_k_ref,
     dk_ref, dv_ref, dk_scr, dv_scr,
-    *, scale, causal, block_q, block_k, q_offset,
+    *, scale, causal, block_q, block_k, q_offset, nq,
 ):
-    j, i = pl.program_id(2), pl.program_id(3)  # k-block major, q-block inner
+    # k-block major; the inner dim enumerates (query-head-group, q-block)
+    j, t = pl.program_id(2), pl.program_id(3)
+    i = t % nq
 
-    @pl.when(i == 0)
+    @pl.when(t == 0)
     def _init():
         dk_scr[:] = jnp.zeros_like(dk_scr)
         dv_scr[:] = jnp.zeros_like(dv_scr)
@@ -320,7 +324,7 @@ def _bwd_dkv_kernel(
 
     _guarded(_visibility(causal, i, j, block_q, block_k, q_offset), _compute)
 
-    @pl.when(i == pl.num_programs(3) - 1)
+    @pl.when(t == pl.num_programs(3) - 1)
     def _write():
         dk_ref[0, 0, :, :] = dk_scr[:].astype(dk_ref.dtype)
         dv_ref[0, 0, :, :] = dv_scr[:].astype(dv_ref.dtype)
@@ -334,7 +338,10 @@ def _flash_bwd(
     q, k, v, out, lse, do, segment_ids_q=None, segment_ids_k=None, *,
     causal=True, scale=None, block_q=512, block_k=512, q_offset=0, interpret=False,
 ):
-    """(B, H, S, D) in → (dq, dk, dv) in the input dtypes.
+    """(B, H, S, D) in → (dq, dk, dv) in the input dtypes; k/v may carry
+    fewer (GQA) heads — dk/dv come back at the kv head count, with the
+    dkv grid enumerating (kv_head, k_block, group·q_blocks) so grouped
+    query heads accumulate into their shared kv block race-free.
 
     ``lse``/``out``/``do`` may cover MORE keys than ``k`` (the global
     values of a ring pass while k is one chunk): the formulas stay exact
@@ -342,6 +349,8 @@ def _flash_bwd(
     """
     B, H, Sq, D = q.shape
     Sk = k.shape[2]
+    Hk = k.shape[1]
+    group = H // Hk
     block_q = _fit_block(Sq, block_q)
     block_k = _fit_block(Sk, block_k)
     if scale is None:
@@ -364,16 +373,19 @@ def _flash_bwd(
     def in_specs(kq_major: bool):
         if not kq_major:  # grid (B, H, nq, nk): i = dim 2, j = dim 3
             bi = lambda b, h, i, j: (b, h, i, 0)  # noqa: E731
-            bj = lambda b, h, i, j: (b, h, j, 0)  # noqa: E731
+            bj = lambda b, h, i, j: (b, h // group, j, 0)  # noqa: E731
             si = lambda b, h, i, j: (b, 0, i)  # noqa: E731
             sj = lambda b, h, i, j: (b, 0, j)  # noqa: E731
             li = lambda b, h, i, j: (b, h, 0, i)  # noqa: E731
-        else:  # grid (B, H, nk, nq): j = dim 2, i = dim 3
-            bi = lambda b, h, j, i: (b, h, i, 0)  # noqa: E731
-            bj = lambda b, h, j, i: (b, h, j, 0)  # noqa: E731
-            si = lambda b, h, j, i: (b, 0, i)  # noqa: E731
-            sj = lambda b, h, j, i: (b, 0, j)  # noqa: E731
-            li = lambda b, h, j, i: (b, h, 0, i)  # noqa: E731
+        else:
+            # grid (B, Hk, nk, group·nq): dim 3 enumerates (g, i) pairs so
+            # every query head sharing kv head hk accumulates into the
+            # SAME dk/dv scratch sequentially (no cross-program race).
+            bi = lambda b, hk, j, t: (b, hk * group + t // nq, t % nq, 0)  # noqa: E731
+            bj = lambda b, hk, j, t: (b, hk, j, 0)  # noqa: E731
+            si = lambda b, hk, j, t: (b, 0, t % nq)  # noqa: E731
+            sj = lambda b, hk, j, t: (b, 0, j)  # noqa: E731
+            li = lambda b, hk, j, t: (b, hk * group + t // nq, 0, t % nq)  # noqa: E731
         base = [
             pl.BlockSpec((1, 1, block_q, D), bi, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, block_k, D), bj, memory_space=pltpu.VMEM),
@@ -410,21 +422,22 @@ def _flash_bwd(
         interpret=interpret,
     )(q, k, v, do, lse4, dsum4, *seg_args)
 
+    dkv_cfg = dict(cfg, nq=nq)
     dkv_kernel = (
-        functools.partial(_bwd_dkv_kernel, **cfg)
-        if has_seg else functools.partial(_no_seg(_bwd_dkv_kernel, 6), **cfg)
+        functools.partial(_bwd_dkv_kernel, **dkv_cfg)
+        if has_seg else functools.partial(_no_seg(_bwd_dkv_kernel, 6), **dkv_cfg)
     )
     dk, dv = pl.pallas_call(
         dkv_kernel,
-        grid=(B, H, nk, nq),
+        grid=(B, Hk, nk, group * nq),
         in_specs=in_specs(kq_major=True),
         out_specs=[
-            pl.BlockSpec((1, 1, block_k, D), lambda b, h, j, i: (b, h, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_k, D), lambda b, h, j, i: (b, h, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k, D), lambda b, hk, j, t: (b, hk, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k, D), lambda b, hk, j, t: (b, hk, j, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, H, Sk, D), k.dtype),
-            jax.ShapeDtypeStruct((B, H, Sk, D), v.dtype),
+            jax.ShapeDtypeStruct((B, Hk, Sk, D), k.dtype),
+            jax.ShapeDtypeStruct((B, Hk, Sk, D), v.dtype),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_k, D), jnp.float32),
@@ -479,6 +492,10 @@ def flash_attention(
     causal=True, scale=None, block_q=512, block_k=512, interpret=False,
 ):
     """Flash attention on (B, S, H, D) tensors; differentiable.
+
+    GQA: ``k``/``v`` may carry fewer heads (Hk | H) — query head h reads
+    kv head h // (H//Hk) directly in the kernel (no repeat, no extra
+    HBM); gradients come back at the kv head count.
 
     ``segment_ids_*``: (B, S) int — tokens attend only within their own
     segment (packed SFT / padding isolation; give pads a segment of

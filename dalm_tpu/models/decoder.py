@@ -184,12 +184,14 @@ class DecoderAttention(nn.Module):
                 v = jax.lax.dynamic_update_slice(kv_cache["v"], v.astype(kv_cache["v"].dtype), (0, cache_index, 0, 0))
             new_cache = {"k": k, "v": v}
 
-        if kvh != nh and (cfg.attention_impl in ("ring", "flash")) and kv_cache is None:
-            # The ring/flash kernels take equal head counts; repeat K/V for
-            # the (amortized) full-sequence paths only. The einsum/decode
-            # path below uses grouped attention WITHOUT materializing the
-            # repeat — at decode time repeat would multiply the KV-cache
-            # HBM traffic by the group size, erasing GQA's serving win.
+        if kvh != nh and cfg.attention_impl == "ring" and kv_cache is None:
+            # Only the ring path still needs equal head counts (its
+            # rotating chunks carry K/V at the query head count). The
+            # flash kernel is GQA-native (kernels/flash_attention.py maps
+            # query head h -> kv head h//group in its index maps) and the
+            # einsum/decode path uses grouped attention — neither
+            # materializes the repeat, which at decode time would multiply
+            # KV-cache HBM traffic by the group size.
             rep = nh // kvh
             k = jnp.repeat(k, rep, axis=2)
             v = jnp.repeat(v, rep, axis=2)

@@ -150,3 +150,55 @@ def test_fully_masked_rows_are_neutral():
     assert not bool(jnp.isnan(out).any())
     np.testing.assert_allclose(out, jnp.zeros_like(out))
     assert float(jnp.max(lse)) <= -1e29
+
+
+def test_gqa_forward_matches_oracle():
+    """k/v with fewer heads: query head h reads kv head h // group."""
+    rng = np.random.default_rng(9)
+    B, S, H, Hk, D = 2, 256, 4, 2, 32
+    q = jnp.asarray(rng.normal(size=(B, S, H, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, S, Hk, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, S, Hk, D)), jnp.float32)
+    out = flash_attention(q, k, v, causal=True, block_q=128, block_k=128, interpret=True)
+    rep = jnp.repeat(k, H // Hk, axis=2), jnp.repeat(v, H // Hk, axis=2)
+    np.testing.assert_allclose(out, oracle(q, rep[0], rep[1], causal=True), atol=2e-5)
+
+
+def test_gqa_gradients_match_oracle():
+    """dk/dv return at the kv head count and equal the repeat-and-sum of
+    the full-head oracle gradients."""
+    rng = np.random.default_rng(10)
+    B, S, H, Hk, D = 1, 256, 4, 2, 32
+    q = jnp.asarray(rng.normal(size=(B, S, H, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, S, Hk, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, S, Hk, D)), jnp.float32)
+
+    def loss_fa(q, k, v):
+        return jnp.sum(
+            flash_attention(q, k, v, causal=True, block_q=128, block_k=128, interpret=True) ** 2
+        )
+
+    def loss_ref(q, k, v):
+        kr = jnp.repeat(k, H // Hk, axis=2)
+        vr = jnp.repeat(v, H // Hk, axis=2)
+        return jnp.sum(oracle(q, kr, vr, causal=True) ** 2)
+
+    g_fa = jax.grad(loss_fa, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    assert g_fa[1].shape == (B, S, Hk, D)
+    for a, b in zip(g_fa, g_ref):
+        np.testing.assert_allclose(a, b, atol=3e-4)
+
+
+def test_gqa_with_segments():
+    rng = np.random.default_rng(11)
+    B, S, H, Hk, D = 2, 256, 4, 2, 32
+    q = jnp.asarray(rng.normal(size=(B, S, H, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, S, Hk, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, S, Hk, D)), jnp.float32)
+    seg = jnp.sort(jnp.asarray(rng.integers(0, 3, size=(B, S)), jnp.int32), axis=1)
+    out = flash_attention(q, k, v, seg, seg, causal=True, block_q=128, block_k=128, interpret=True)
+    kr, vr = jnp.repeat(k, 2, axis=2), jnp.repeat(v, 2, axis=2)
+    np.testing.assert_allclose(
+        out, oracle(q, kr, vr, causal=True, seg_q=seg, seg_k=seg), atol=2e-5
+    )
