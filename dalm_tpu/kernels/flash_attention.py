@@ -68,25 +68,36 @@ def _fit_block(seq: int, want: int) -> int:
     return b
 
 
-def _visibility(causal: bool, i, j, block_q: int, block_k: int, q_offset: int):
+def _visibility(causal: bool, i, j, block_q: int, block_k: int, q_offset: int,
+                window=None):
     """None if block (i, j) is unconditionally visible, else a traced
-    bool that is False when the whole block is above the causal diagonal
-    (compute skipped). ``q_offset``: global position of q row 0 relative
-    to k row 0."""
-    if not causal:
-        return None
-    last_q = q_offset + (i + 1) * block_q - 1
-    first_k = j * block_k
-    return last_q >= first_k
+    bool that is False when the whole block is masked — above the causal
+    diagonal, or (with ``window``) entirely beyond the sliding-window
+    band. ``q_offset``: global position of q row 0 relative to k row 0."""
+    vis = None
+    if causal:
+        last_q = q_offset + (i + 1) * block_q - 1
+        first_k = j * block_k
+        vis = last_q >= first_k
+    if window is not None:
+        first_q = q_offset + i * block_q
+        last_k = j * block_k + block_k - 1
+        in_band = first_q - last_k < window
+        vis = in_band if vis is None else (vis & in_band)
+    return vis
 
 
-def _block_mask(causal, seg_q, seg_k, i, j, block_q, block_k, q_offset):
+def _block_mask(causal, seg_q, seg_k, i, j, block_q, block_k, q_offset, window=None):
     """(block_q, block_k) bool keep-mask; None means fully visible."""
     keep = None
-    if causal:
+    if causal or window is not None:
         gq = q_offset + i * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
         gk = j * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
-        keep = gq >= gk
+        if causal:
+            keep = gq >= gk
+        if window is not None:
+            band = (gq - gk) < window
+            keep = band if keep is None else (keep & band)
     if seg_q is not None:
         same = seg_q[:, None] == seg_k[None, :]
         keep = same if keep is None else (keep & same)
@@ -120,7 +131,7 @@ def _fwd_kernel(
     q_ref, k_ref, v_ref, seg_q_ref, seg_k_ref,
     out_ref, lse_ref,
     m_scr, l_scr, acc_scr,
-    *, scale, causal, block_q, block_k, q_offset,
+    *, scale, causal, block_q, block_k, q_offset, window,
 ):
     i, j = pl.program_id(2), pl.program_id(3)
 
@@ -139,7 +150,7 @@ def _fwd_kernel(
         ) * scale  # (block_q, block_k) f32
         seg_q = seg_q_ref[0, 0, :] if seg_q_ref is not None else None
         seg_k = seg_k_ref[0, 0, :] if seg_k_ref is not None else None
-        keep = _block_mask(causal, seg_q, seg_k, i, j, block_q, block_k, q_offset)
+        keep = _block_mask(causal, seg_q, seg_k, i, j, block_q, block_k, q_offset, window)
         if keep is not None:
             s = jnp.where(keep, s, NEG_INF)
         m_prev = m_scr[:]  # (block_q, 1)
@@ -156,7 +167,7 @@ def _fwd_kernel(
         acc_scr[:] = acc_scr[:] * alpha + pv
         m_scr[:] = m_new
 
-    _guarded(_visibility(causal, i, j, block_q, block_k, q_offset), _compute)
+    _guarded(_visibility(causal, i, j, block_q, block_k, q_offset, window), _compute)
 
     @pl.when(j == pl.num_programs(3) - 1)
     def _finalize():
@@ -168,11 +179,12 @@ def _fwd_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("causal", "scale", "block_q", "block_k", "q_offset", "interpret"),
+    static_argnames=("causal", "scale", "block_q", "block_k", "q_offset", "interpret", "window"),
 )
 def _flash_fwd(
     q, k, v, segment_ids_q=None, segment_ids_k=None, *,
     causal=True, scale=None, block_q=512, block_k=512, q_offset=0, interpret=False,
+    window=None,
 ):
     """(B, H, Sq, D) q; (B, Hk, Sk, D) k/v with Hk | H (GQA: query head h
     reads kv head h // (H//Hk)) → (out (B,H,Sq,D) in q.dtype, lse (B,H,Sq) f32)."""
@@ -185,7 +197,7 @@ def _flash_fwd(
         scale = 1.0 / float(D) ** 0.5
     nq, nk = Sq // block_q, Sk // block_k
 
-    cfg = dict(scale=scale, causal=causal, block_q=block_q, block_k=block_k, q_offset=q_offset)
+    cfg = dict(scale=scale, causal=causal, block_q=block_q, block_k=block_k, q_offset=q_offset, window=window)
     has_seg = segment_ids_q is not None
     if has_seg:
         assert segment_ids_k is not None
@@ -239,7 +251,7 @@ def _flash_fwd(
 def _bwd_dq_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref, seg_q_ref, seg_k_ref,
     dq_ref, dq_scr,
-    *, scale, causal, block_q, block_k, q_offset,
+    *, scale, causal, block_q, block_k, q_offset, window,
 ):
     i, j = pl.program_id(2), pl.program_id(3)
 
@@ -259,7 +271,7 @@ def _bwd_dq_kernel(
         ) * scale
         seg_q = seg_q_ref[0, 0, :] if seg_q_ref is not None else None
         seg_k = seg_k_ref[0, 0, :] if seg_k_ref is not None else None
-        keep = _block_mask(causal, seg_q, seg_k, i, j, block_q, block_k, q_offset)
+        keep = _block_mask(causal, seg_q, seg_k, i, j, block_q, block_k, q_offset, window)
         p = jnp.exp(s - lse[:, None])  # true softmax probs (global lse)
         if keep is not None:
             p = jnp.where(keep, p, 0.0)
@@ -272,7 +284,7 @@ def _bwd_dq_kernel(
             preferred_element_type=jnp.float32,
         )
 
-    _guarded(_visibility(causal, i, j, block_q, block_k, q_offset), _compute)
+    _guarded(_visibility(causal, i, j, block_q, block_k, q_offset, window), _compute)
 
     @pl.when(j == pl.num_programs(3) - 1)
     def _write():
@@ -282,7 +294,7 @@ def _bwd_dq_kernel(
 def _bwd_dkv_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref, seg_q_ref, seg_k_ref,
     dk_ref, dv_ref, dk_scr, dv_scr,
-    *, scale, causal, block_q, block_k, q_offset, nq,
+    *, scale, causal, block_q, block_k, q_offset, nq, window,
 ):
     # k-block major; the inner dim enumerates (query-head-group, q-block)
     j, t = pl.program_id(2), pl.program_id(3)
@@ -305,7 +317,7 @@ def _bwd_dkv_kernel(
         ) * scale
         seg_q = seg_q_ref[0, 0, :] if seg_q_ref is not None else None
         seg_k = seg_k_ref[0, 0, :] if seg_k_ref is not None else None
-        keep = _block_mask(causal, seg_q, seg_k, i, j, block_q, block_k, q_offset)
+        keep = _block_mask(causal, seg_q, seg_k, i, j, block_q, block_k, q_offset, window)
         p = jnp.exp(s - lse[:, None])
         if keep is not None:
             p = jnp.where(keep, p, 0.0)
@@ -322,7 +334,7 @@ def _bwd_dkv_kernel(
             preferred_element_type=jnp.float32,
         )
 
-    _guarded(_visibility(causal, i, j, block_q, block_k, q_offset), _compute)
+    _guarded(_visibility(causal, i, j, block_q, block_k, q_offset, window), _compute)
 
     @pl.when(t == pl.num_programs(3) - 1)
     def _write():
@@ -332,11 +344,12 @@ def _bwd_dkv_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("causal", "scale", "block_q", "block_k", "q_offset", "interpret"),
+    static_argnames=("causal", "scale", "block_q", "block_k", "q_offset", "interpret", "window"),
 )
 def _flash_bwd(
     q, k, v, out, lse, do, segment_ids_q=None, segment_ids_k=None, *,
     causal=True, scale=None, block_q=512, block_k=512, q_offset=0, interpret=False,
+    window=None,
 ):
     """(B, H, S, D) in → (dq, dk, dv) in the input dtypes; k/v may carry
     fewer (GQA) heads — dk/dv come back at the kv head count, with the
@@ -360,7 +373,7 @@ def _flash_bwd(
     lse4 = lse[:, :, None, :]
     dsum4 = dsum[:, :, None, :]
 
-    cfg = dict(scale=scale, causal=causal, block_q=block_q, block_k=block_k, q_offset=q_offset)
+    cfg = dict(scale=scale, causal=causal, block_q=block_q, block_k=block_k, q_offset=q_offset, window=window)
     has_seg = segment_ids_q is not None
     seg_args = (
         [
@@ -457,29 +470,32 @@ def _to_bhsd(x):
     return None if x is None else x.transpose(0, 2, 1, 3)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
-def _flash_attention(q, k, v, seg_q, seg_k, causal, scale, block_q, block_k, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+def _flash_attention(q, k, v, seg_q, seg_k, causal, scale, block_q, block_k, interpret, window):
     out, _ = _flash_fwd(
         _to_bhsd(q), _to_bhsd(k), _to_bhsd(v), seg_q, seg_k,
         causal=causal, scale=scale, block_q=block_q, block_k=block_k, interpret=interpret,
+        window=window,
     )
     return _to_bhsd(out)
 
 
-def _fa_fwd(q, k, v, seg_q, seg_k, causal, scale, block_q, block_k, interpret):
+def _fa_fwd(q, k, v, seg_q, seg_k, causal, scale, block_q, block_k, interpret, window):
     qt, kt, vt = _to_bhsd(q), _to_bhsd(k), _to_bhsd(v)
     out, lse = _flash_fwd(
         qt, kt, vt, seg_q, seg_k,
         causal=causal, scale=scale, block_q=block_q, block_k=block_k, interpret=interpret,
+        window=window,
     )
     return _to_bhsd(out), (qt, kt, vt, seg_q, seg_k, out, lse)
 
 
-def _fa_bwd(causal, scale, block_q, block_k, interpret, res, do):
+def _fa_bwd(causal, scale, block_q, block_k, interpret, window, res, do):
     qt, kt, vt, seg_q, seg_k, out, lse = res
     dq, dk, dv = _flash_bwd(
         qt, kt, vt, out, lse, _to_bhsd(do), seg_q, seg_k,
         causal=causal, scale=scale, block_q=block_q, block_k=block_k, interpret=interpret,
+        window=window,
     )
     return _to_bhsd(dq), _to_bhsd(dk), _to_bhsd(dv), None, None
 
@@ -490,8 +506,13 @@ _flash_attention.defvjp(_fa_fwd, _fa_bwd)
 def flash_attention(
     q, k, v, segment_ids_q=None, segment_ids_k=None, *,
     causal=True, scale=None, block_q=512, block_k=512, interpret=False,
+    window=None,
 ):
     """Flash attention on (B, S, H, D) tensors; differentiable.
+
+    ``window``: sliding-window band (Mistral-family) — keys further than
+    ``window`` positions behind a query are masked, and blocks entirely
+    beyond the band skip compute (long-context cost becomes O(S·window)).
 
     GQA: ``k``/``v`` may carry fewer heads (Hk | H) — query head h reads
     kv head h // (H//Hk) directly in the kernel (no repeat, no extra
@@ -503,5 +524,5 @@ def flash_attention(
     be multiples of the block sizes (the decoder gates on S % 128 == 0).
     """
     return _flash_attention(
-        q, k, v, segment_ids_q, segment_ids_k, causal, scale, block_q, block_k, interpret
+        q, k, v, segment_ids_q, segment_ids_k, causal, scale, block_q, block_k, interpret, window
     )

@@ -51,6 +51,9 @@ class DecoderConfig:
     attention_impl: str = "einsum"
     ring_axis: str = "model"
     ring_layout: str = "contiguous"  # or "zigzag" (balanced causal CP)
+    # Sliding-window attention (Mistral-family): keys further than
+    # ``sliding_window`` positions behind the query are masked; None = full.
+    sliding_window: Optional[int] = None
     # int8 MXU compute for packed frozen kernels ("none"|"fwd"|"all") —
     # see kernels/int8_matmul.py; no effect without int8 quant storage.
     int8_compute: str = "none"
@@ -81,6 +84,15 @@ class DecoderConfig:
             vocab_size=32000, hidden_size=4096, num_layers=32, num_heads=32,
             intermediate_size=11008, max_position_embeddings=4096,
             remat=True, param_dtype=jnp.bfloat16,
+        )
+
+    @staticmethod
+    def mistral_7b() -> "DecoderConfig":
+        return DecoderConfig(
+            vocab_size=32000, hidden_size=4096, num_layers=32, num_heads=32,
+            num_kv_heads=8, intermediate_size=14336,
+            max_position_embeddings=32768, rope_theta=10000.0,
+            sliding_window=4096, remat=True, param_dtype=jnp.bfloat16,
         )
 
     @staticmethod
@@ -197,6 +209,7 @@ class DecoderAttention(nn.Module):
             v = jnp.repeat(v, rep, axis=2)
 
         if cfg.attention_impl == "ring" and kv_cache is None:
+            assert not cfg.sliding_window, "ring attention has no sliding-window support yet"
             # Context parallelism: this call is one sequence chunk on one
             # device of the ring (must run under shard_map with
             # ``cfg.ring_axis`` bound; caller supplies GLOBAL positions so
@@ -233,6 +246,7 @@ class DecoderAttention(nn.Module):
                 q, k, v, seg, seg,
                 causal=True,
                 scale=1.0 / float(hd) ** 0.5,
+                window=cfg.sliding_window,
             ).reshape(B, S, nh * hd).astype(cfg.dtype)
         elif kvh != nh:
             # Grouped-query attention, no K/V repeat: query head g·kvh+j
@@ -346,12 +360,18 @@ class Decoder(nn.Module):
             base = jnp.asarray(cache_index, jnp.int32).reshape(-1, 1)  # scalar or (B,)
             q_slot = (base + jnp.arange(S)[None, :])[:, None, :, None]
             mask = key_slot <= q_slot
+            if cfg.sliding_window:
+                # slot index − semantic position is a per-row constant
+                # (the pad offset), so the slot-space band == position band
+                mask = mask & (key_slot > q_slot - cfg.sliding_window)
             if attention_mask is not None:
                 mask = mask & (attention_mask[:, None, None, :] > 0)
         else:
             q_pos = positions[:, None, :, None]
             k_pos = positions[:, None, None, :]
             mask = k_pos <= q_pos
+            if cfg.sliding_window:
+                mask = mask & (k_pos > q_pos - cfg.sliding_window)
             if attention_mask is not None:
                 mask = mask & (attention_mask[:, None, None, :] > 0)
 

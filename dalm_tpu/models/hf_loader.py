@@ -139,6 +139,7 @@ def load_hf_decoder(path: str, dtype=None) -> Tuple[DecoderConfig, Any]:
         rope_theta=hf.get("rope_theta", 10000.0),
         rms_norm_eps=hf.get("rms_norm_eps", 1e-5),
         tie_embeddings=hf.get("tie_word_embeddings", False),
+        sliding_window=hf.get("sliding_window") or None,
     )
     if dtype is not None:
         import dataclasses

@@ -202,3 +202,45 @@ def test_gqa_with_segments():
     np.testing.assert_allclose(
         out, oracle(q, kr, vr, causal=True, seg_q=seg, seg_k=seg), atol=2e-5
     )
+
+
+def band_oracle(q, k, v, window, scale=None):
+    B, Sq, H, D = q.shape
+    if scale is None:
+        scale = 1.0 / D ** 0.5
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+    gq = jnp.arange(Sq)[:, None]
+    gk = jnp.arange(k.shape[1])[None, :]
+    keep = (gq >= gk) & ((gq - gk) < window)
+    s = jnp.where(keep[None, None], s, -1e30)
+    p = jax.nn.softmax(s, axis=-1)
+    p = jnp.where(keep[None, None], p, 0.0)
+    return jnp.einsum("bhqk,bkhd->bqhd", p, v)
+
+
+@pytest.mark.parametrize("window", [64, 200])
+def test_sliding_window_forward(window):
+    q, k, v = _qkv(S=384, seed=12)
+    out = flash_attention(
+        q, k, v, causal=True, window=window, block_q=128, block_k=128, interpret=True
+    )
+    np.testing.assert_allclose(out, band_oracle(q, k, v, window), atol=2e-5)
+
+
+def test_sliding_window_gradients():
+    q, k, v = _qkv(S=256, seed=13)
+    window = 100
+
+    def loss_fa(q, k, v):
+        return jnp.sum(
+            flash_attention(q, k, v, causal=True, window=window,
+                            block_q=128, block_k=128, interpret=True) ** 2
+        )
+
+    def loss_ref(q, k, v):
+        return jnp.sum(band_oracle(q, k, v, window) ** 2)
+
+    g_fa = jax.grad(loss_fa, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_fa, g_ref):
+        np.testing.assert_allclose(a, b, atol=3e-4)

@@ -292,3 +292,34 @@ def test_gqa_decoder_matches_lockstep():
     for i in range(5):
         assert got[i] == [int(t) for t in expected[i]]
         assert got_f[i] == [int(t) for t in expected[i]]
+
+
+def test_sliding_window_decode_matches_lockstep():
+    """sliding_window config: cached decode applies the band over cache
+    slots; engine outputs equal lockstep (both banded), and differ from
+    the full-attention decoder (the window actually bites)."""
+    import dataclasses
+
+    base = DecoderConfig.tiny(vocab_size=128)
+    sw_cfg = dataclasses.replace(base, sliding_window=6)
+    dec_sw = Decoder(sw_cfg)
+    dec_full = Decoder(base)
+    params = unbox(
+        dec_full.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, P), jnp.int32), jnp.ones((1, P), jnp.int32)
+        )["params"]
+    )
+    ids, mask = _prompts(5, rng_seed=33)
+    exp_sw = _lockstep(dec_sw, params, ids, mask, 6)
+    exp_full = _lockstep(dec_full, params, ids, mask, 6)
+    assert not np.array_equal(exp_sw, exp_full)  # the band changes outputs
+
+    eng = DecodeEngine(
+        dec_sw, params, num_slots=2, max_prompt_len=P,
+        max_new_tokens=6, eos_token_id=None, pad_token_id=0, decode_chunk=3,
+    )
+    got = eng.generate(ids, mask)
+    got_f = eng.generate_fused(ids, mask)
+    for i in range(5):
+        assert got[i] == [int(t) for t in exp_sw[i]]
+        assert got_f[i] == [int(t) for t in exp_sw[i]]

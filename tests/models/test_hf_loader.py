@@ -115,3 +115,37 @@ def test_llama_left_padded_parity(llama_dir):
         hf_logits = hf_model(torch.tensor(ids), attention_mask=torch.tensor(mask)).logits.numpy()
     ours = np.asarray(dec.apply({"params": params}, jnp.asarray(ids), jnp.asarray(mask)))
     np.testing.assert_allclose(ours[:, 2:], hf_logits[:, 2:], atol=3e-4)
+
+
+@pytest.fixture(scope="module")
+def mistral_dir(tmp_path_factory):
+    cfg = transformers.MistralConfig(
+        vocab_size=128, hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, intermediate_size=64, max_position_embeddings=64,
+        sliding_window=8, tie_word_embeddings=False,
+    )
+    model = transformers.MistralForCausalLM(cfg)
+    model.eval()
+    d = tmp_path_factory.mktemp("hf_mistral")
+    model.save_pretrained(d, safe_serialization=True)
+    return str(d), model
+
+
+def test_mistral_logits_parity(mistral_dir):
+    """Mistral family (GQA + sliding window): converted forward matches
+    the torch model at S > window, where the band actually masks."""
+    import torch
+
+    path, hf_model = mistral_dir
+    cfg, params = load_hf_decoder(path)
+    assert cfg.sliding_window == 8
+    model = Decoder(cfg)
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(1, 120, size=(2, 16)).astype(np.int64)  # 16 > window 8
+    with torch.no_grad():
+        expected = hf_model(torch.tensor(ids)).logits.numpy()
+    got = np.asarray(
+        model.apply({"params": params}, jnp.asarray(ids, jnp.int32), jnp.ones((2, 16), jnp.int32))
+    )
+    np.testing.assert_allclose(got, expected, atol=2e-4, rtol=2e-3)
