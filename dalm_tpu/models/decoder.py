@@ -54,6 +54,8 @@ class DecoderConfig:
     # Sliding-window attention (Mistral-family): keys further than
     # ``sliding_window`` positions behind the query are masked; None = full.
     sliding_window: Optional[int] = None
+    # Q/K/V projection bias (Qwen2-family); o_proj and MLP stay bias-free.
+    attention_bias: bool = False
     # int8 MXU compute for packed frozen kernels ("none"|"fwd"|"all") —
     # see kernels/int8_matmul.py; no effect without int8 quant storage.
     int8_compute: str = "none"
@@ -84,6 +86,18 @@ class DecoderConfig:
             vocab_size=32000, hidden_size=4096, num_layers=32, num_heads=32,
             intermediate_size=11008, max_position_embeddings=4096,
             remat=True, param_dtype=jnp.bfloat16,
+        )
+
+    @staticmethod
+    def qwen25_7b() -> "DecoderConfig":
+        # Qwen2.5-7B (the reference's QA-gen default model,
+        # `/root/reference/dalm/datasets/qa_gen/question_answer_generation.py:20`):
+        # GQA 4 kv heads + Q/K/V projection bias.
+        return DecoderConfig(
+            vocab_size=152064, hidden_size=3584, num_layers=28, num_heads=28,
+            num_kv_heads=4, intermediate_size=18944,
+            max_position_embeddings=32768, rope_theta=1000000.0,
+            attention_bias=True, remat=True, param_dtype=jnp.bfloat16,
         )
 
     @staticmethod
@@ -145,12 +159,12 @@ class RMSNorm(nn.Module):
         return (normed * scale.astype(jnp.float32)).astype(self.dtype)
 
 
-def _proj(features, name, cfg, kernel_axes):
+def _proj(features, name, cfg, kernel_axes, use_bias=False):
     from dalm_tpu.models.layers import FlexLinear
 
     return FlexLinear(
-        features, name=name, use_bias=False, dtype=cfg.dtype, param_dtype=cfg.param_dtype,
-        kernel_axes=kernel_axes, int8_compute=cfg.int8_compute,
+        features, name=name, use_bias=use_bias, dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+        kernel_axes=kernel_axes, bias_axes=(kernel_axes[-1],), int8_compute=cfg.int8_compute,
     )
 
 
@@ -169,9 +183,10 @@ class DecoderAttention(nn.Module):
         B, S, _ = hidden.shape
         nh, kvh, hd = cfg.num_heads, cfg.kv_heads, cfg.head_dim
 
-        q = _proj(nh * hd, "q_proj", cfg, ("embed", "heads"))(hidden).reshape(B, S, nh, hd)
-        k = _proj(kvh * hd, "k_proj", cfg, ("embed", "heads"))(hidden).reshape(B, S, kvh, hd)
-        v = _proj(kvh * hd, "v_proj", cfg, ("embed", "heads"))(hidden).reshape(B, S, kvh, hd)
+        ab = cfg.attention_bias
+        q = _proj(nh * hd, "q_proj", cfg, ("embed", "heads"), ab)(hidden).reshape(B, S, nh, hd)
+        k = _proj(kvh * hd, "k_proj", cfg, ("embed", "heads"), ab)(hidden).reshape(B, S, kvh, hd)
+        v = _proj(kvh * hd, "v_proj", cfg, ("embed", "heads"), ab)(hidden).reshape(B, S, kvh, hd)
 
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)

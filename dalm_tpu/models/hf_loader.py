@@ -126,6 +126,12 @@ def load_hf_encoder(path: str, dtype=None) -> Tuple[EncoderConfig, Any]:
 # Llama-family decoder
 # --------------------------------------------------------------------------
 
+def _maybe_bias(entry: dict, arr, key: str, cfg) -> dict:
+    if cfg.attention_bias:
+        entry["bias"] = arr(key)
+    return entry
+
+
 def load_hf_decoder(path: str, dtype=None) -> Tuple[DecoderConfig, Any]:
     hf = _read_hf_config(path)
     cfg = DecoderConfig(
@@ -140,6 +146,11 @@ def load_hf_decoder(path: str, dtype=None) -> Tuple[DecoderConfig, Any]:
         rms_norm_eps=hf.get("rms_norm_eps", 1e-5),
         tie_embeddings=hf.get("tie_word_embeddings", False),
         sliding_window=hf.get("sliding_window") or None,
+        # Qwen2 sets qkv bias via the architecture (no explicit flag in
+        # older configs); attention_bias covers Llama-style configs too.
+        attention_bias=bool(
+            hf.get("attention_bias", False) or hf.get("model_type") == "qwen2"
+        ),
     )
     if dtype is not None:
         import dataclasses
@@ -163,9 +174,12 @@ def load_hf_decoder(path: str, dtype=None) -> Tuple[DecoderConfig, Any]:
         hf_layer = f"model.layers.{i}"
         params[f"layer_{i}"] = {
             "attention": {
-                "q_proj": {"kernel": W(f"{hf_layer}.self_attn.q_proj.weight")},
-                "k_proj": {"kernel": W(f"{hf_layer}.self_attn.k_proj.weight")},
-                "v_proj": {"kernel": W(f"{hf_layer}.self_attn.v_proj.weight")},
+                "q_proj": _maybe_bias({"kernel": W(f"{hf_layer}.self_attn.q_proj.weight")},
+                                      arr, f"{hf_layer}.self_attn.q_proj.bias", cfg),
+                "k_proj": _maybe_bias({"kernel": W(f"{hf_layer}.self_attn.k_proj.weight")},
+                                      arr, f"{hf_layer}.self_attn.k_proj.bias", cfg),
+                "v_proj": _maybe_bias({"kernel": W(f"{hf_layer}.self_attn.v_proj.weight")},
+                                      arr, f"{hf_layer}.self_attn.v_proj.bias", cfg),
                 "o_proj": {"kernel": W(f"{hf_layer}.self_attn.o_proj.weight")},
             },
             "input_norm": {"scale": arr(f"{hf_layer}.input_layernorm.weight")},

@@ -42,6 +42,7 @@ DECODER_PRESETS = {
     "llama2-7b": DecoderConfig.llama2_7b,
     "llama3-8b": DecoderConfig.llama3_8b,
     "mistral-7b": DecoderConfig.mistral_7b,
+    "qwen2.5-7b": DecoderConfig.qwen25_7b,
     "tiny-gpt2": GPT2Config.tiny,
     "gpt2": GPT2Config.gpt2_124m,
 }

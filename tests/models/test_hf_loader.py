@@ -149,3 +149,48 @@ def test_mistral_logits_parity(mistral_dir):
         model.apply({"params": params}, jnp.asarray(ids, jnp.int32), jnp.ones((2, 16), jnp.int32))
     )
     np.testing.assert_allclose(got, expected, atol=2e-4, rtol=2e-3)
+
+
+@pytest.fixture(scope="module")
+def qwen2_dir(tmp_path_factory):
+    cfg = transformers.Qwen2Config(
+        vocab_size=128, hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, intermediate_size=64, max_position_embeddings=64,
+        tie_word_embeddings=False,
+    )
+    model = transformers.Qwen2ForCausalLM(cfg)
+    # transformers zero-inits Linear biases; randomize so parity actually
+    # exercises the bias path
+    import torch
+
+    with torch.no_grad():
+        for layer in model.model.layers:
+            for proj in (layer.self_attn.q_proj, layer.self_attn.k_proj, layer.self_attn.v_proj):
+                proj.bias.normal_(std=0.5)
+    model.eval()
+    d = tmp_path_factory.mktemp("hf_qwen2")
+    model.save_pretrained(d, safe_serialization=True)
+    return str(d), model
+
+
+def test_qwen2_logits_parity(qwen2_dir):
+    """Qwen2 family (the reference's QA-gen default model): GQA + Q/K/V
+    projection bias — converted forward matches the torch model, and the
+    bias is genuinely loaded (nonzero)."""
+    import torch
+
+    path, hf_model = qwen2_dir
+    cfg, params = load_hf_decoder(path)
+    assert cfg.attention_bias
+    b = params["layer_0"]["attention"]["q_proj"]["bias"]
+    assert float(jnp.abs(b).max()) > 0
+    model = Decoder(cfg)
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(1, 120, size=(2, 12)).astype(np.int64)
+    with torch.no_grad():
+        expected = hf_model(torch.tensor(ids)).logits.numpy()
+    got = np.asarray(
+        model.apply({"params": params}, jnp.asarray(ids, jnp.int32), jnp.ones((2, 12), jnp.int32))
+    )
+    np.testing.assert_allclose(got, expected, atol=2e-4, rtol=2e-3)
