@@ -57,9 +57,10 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from dalm_tpu.kernels.flash_attention import _flash_bwd, _flash_fwd
+from dalm_tpu.kernels.flash_attention import NEG_INF, _flash_bwd, _flash_fwd
 
-NEG_INF = -1e30  # large-negative instead of -inf: keeps fully-masked rows finite
+# NEG_INF is shared with the flash kernel: both sides of the lse-merge
+# identity must agree on the masked-row sentinel.
 
 
 def _merge(out1, lse1, out2, lse2):

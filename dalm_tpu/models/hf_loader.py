@@ -145,7 +145,13 @@ def load_hf_decoder(path: str, dtype=None) -> Tuple[DecoderConfig, Any]:
         rope_theta=hf.get("rope_theta", 10000.0),
         rms_norm_eps=hf.get("rms_norm_eps", 1e-5),
         tie_embeddings=hf.get("tie_word_embeddings", False),
-        sliding_window=hf.get("sliding_window") or None,
+        # Qwen2-family configs gate the window behind use_sliding_window
+        # (shipped false on most checkpoints even when sliding_window is
+        # set); Mistral-family configs have no gate — default True.
+        sliding_window=(
+            (hf.get("sliding_window") or None)
+            if hf.get("use_sliding_window", True) else None
+        ),
         # Qwen2 sets qkv bias via the architecture (no explicit flag in
         # older configs); attention_bias covers Llama-style configs too.
         attention_bias=bool(

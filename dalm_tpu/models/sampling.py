@@ -21,7 +21,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-NEG_INF = -1e30
+from dalm_tpu.kernels.flash_attention import NEG_INF
 
 
 @dataclasses.dataclass(frozen=True)

@@ -120,6 +120,7 @@ class StreamingEngine:
         self._crashed: Optional[BaseException] = None
         self._live_handles: List[StreamHandle] = []  # scheduler-thread-owned
         self._n_submitted = 0  # request index source (sampling keys)
+        self._submit_lock = threading.Lock()
 
     # ---- lifecycle ---------------------------------------------------------
     def start(self) -> "StreamingEngine":
@@ -138,6 +139,16 @@ class StreamingEngine:
         self._inbox.put(None)  # wake an idle scheduler
         if self._thread is not None:
             self._thread.join(timeout)
+        with self._submit_lock:
+            # sweep submissions that raced past the stop check before the
+            # scheduler exited — their futures must not hang forever
+            while True:
+                try:
+                    item = self._inbox.get_nowait()
+                except queue.Empty:
+                    break
+                if item is not None:
+                    item[0]._finish()
 
     def __enter__(self) -> "StreamingEngine":
         return self.start()
@@ -166,12 +177,20 @@ class StreamingEngine:
         cap = self.engine.max_new if budget is None else min(int(budget), self.engine.max_new)
         handle = StreamHandle(cap)
         handle.t_submit = time.monotonic()
-        handle.req_index = self._n_submitted  # sampling key identity
-        self._n_submitted += 1
-        if cap <= 0:
-            handle._finish()
-            return handle
-        self._inbox.put((handle, ids, mask))
+        with self._submit_lock:
+            # lock covers BOTH the index assignment (unique per request —
+            # sampling keys derive from it, a duplicate would correlate two
+            # requests' samples) and the stop-check+enqueue (a submit racing
+            # stop() must not land in a dead inbox; stop() sweeps leftovers
+            # under the same lock after joining the scheduler).
+            if self._stop.is_set():
+                raise RuntimeError("StreamingEngine is stopping")
+            handle.req_index = self._n_submitted  # sampling key identity
+            self._n_submitted += 1
+            if cap <= 0:
+                handle._finish()
+                return handle
+            self._inbox.put((handle, ids, mask))
         return handle
 
     # ---- scheduler ---------------------------------------------------------

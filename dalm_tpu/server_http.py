@@ -46,6 +46,10 @@ class RagHTTPServer:
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
+            # chunked transfer framing requires HTTP/1.1 (the 1.0 default
+            # would make strict clients read raw chunk markers)
+            protocol_version = "HTTP/1.1"
+
             def log_message(self, fmt, *args):  # route through logging, not stderr
                 logger.debug("http: " + fmt, *args)
 
@@ -102,21 +106,35 @@ class RagHTTPServer:
                     self.send_header("Transfer-Encoding", "chunked")
                     self.end_headers()
                     tok = outer.pipe.g_tok
+                    marker = "#answer#"
                     sent = 0
                     ids = []
-                    for t in h.tokens():
-                        ids.append(t)
-                        # decode the full prefix each flush: subword/byte
-                        # tokenizers cannot decode tokens independently
-                        text = tok.decode(ids, skip_special_tokens=True)
-                        text = text.split("#answer#")[0]
-                        delta = text[sent:]
-                        if delta:
-                            chunk = delta.encode("utf-8")
-                            self.wfile.write(f"{len(chunk):X}\r\n".encode() + chunk + b"\r\n")
-                            self.wfile.flush()
-                            sent += len(delta)
-                    self.wfile.write(b"0\r\n\r\n")
+                    try:
+                        for t in h.tokens():
+                            ids.append(t)
+                            # decode the full prefix each flush: subword/byte
+                            # tokenizers cannot decode tokens independently
+                            text = tok.decode(ids, skip_special_tokens=True)
+                            text = text.split(marker)[0]
+                            # hold back a marker-sized tail: a partially
+                            # decoded stop marker must never reach the wire
+                            # (sent bytes cannot be retracted)
+                            safe = max(sent, len(text) - (len(marker) - 1))
+                            delta = text[sent:safe]
+                            if delta:
+                                chunk = delta.encode("utf-8")
+                                self.wfile.write(f"{len(chunk):X}\r\n".encode() + chunk + b"\r\n")
+                                self.wfile.flush()
+                                sent = safe
+                        text = tok.decode(ids, skip_special_tokens=True).split(marker)[0]
+                        tail = text[sent:].encode("utf-8")
+                        if tail:
+                            self.wfile.write(f"{len(tail):X}\r\n".encode() + tail + b"\r\n")
+                        self.wfile.write(b"0\r\n\r\n")
+                    except (BrokenPipeError, ConnectionResetError):
+                        # client went away: free the decode slot immediately
+                        # instead of burning its remaining budget
+                        h.cancel()
                 else:
                     self._json(404, {"error": "unknown path"})
 
