@@ -194,18 +194,27 @@ class DecoderAttention(nn.Module):
         new_cache = None
         if kv_cache is not None:
             if getattr(cache_index, "ndim", 0) == 1:
-                # Per-slot write positions (continuous batching; decode
-                # steps only). One-hot select, NOT a vmapped
-                # dynamic_update_slice: the latter lowers to a
+                # Per-row write positions (continuous batching / speculative
+                # verification): row b writes its S entries at
+                # cache_index[b]..cache_index[b]+S-1. Gather-select, NOT a
+                # vmapped dynamic_update_slice: the latter lowers to a
                 # pathologically slow TPU program (measured ~1 s/token at
                 # 64 slots), while this fuses to one full-cache
                 # elementwise pass (~MBs of HBM traffic, negligible).
-                assert S == 1, "vector cache_index supports single-token decode steps only"
-                oh = (
-                    jnp.arange(kv_cache["k"].shape[1])[None, :] == cache_index[:, None]
-                )[:, :, None, None]
-                k = jnp.where(oh, k.astype(kv_cache["k"].dtype), kv_cache["k"])
-                v = jnp.where(oh, v.astype(kv_cache["v"].dtype), kv_cache["v"])
+                L_cache = kv_cache["k"].shape[1]
+                # for cache slot l of row b: which input position (if any)?
+                g = jnp.arange(L_cache)[None, :] - cache_index[:, None]  # (B, L)
+                inside = (g >= 0) & (g < S)
+                g_safe = jnp.clip(g, 0, S - 1)
+                sel = inside[:, :, None, None]
+                k_rows = jnp.take_along_axis(
+                    k.astype(kv_cache["k"].dtype), g_safe[:, :, None, None], axis=1
+                )
+                v_rows = jnp.take_along_axis(
+                    v.astype(kv_cache["v"].dtype), g_safe[:, :, None, None], axis=1
+                )
+                k = jnp.where(sel, k_rows, kv_cache["k"])
+                v = jnp.where(sel, v_rows, kv_cache["v"])
             else:
                 k = jax.lax.dynamic_update_slice(kv_cache["k"], k.astype(kv_cache["k"].dtype), (0, cache_index, 0, 0))
                 v = jax.lax.dynamic_update_slice(kv_cache["v"], v.astype(kv_cache["v"].dtype), (0, cache_index, 0, 0))

@@ -1,0 +1,191 @@
+"""Prompt-lookup speculative decoding (exact greedy, fewer steps).
+
+Autoregressive decode is HBM-bound: every step reads the full weight
+set to produce ONE token per sequence. Speculative decoding verifies
+SEVERAL draft tokens in one forward pass — the pass costs the same HBM
+traffic as a single-token step (weights dominate), so every accepted
+draft token is a free token. Greedy verification is EXACT: the emitted
+stream is identical to one-token-at-a-time greedy decoding, token for
+token (tested).
+
+Exactness caveat (measured): "identical" holds in exact arithmetic and
+bit-for-bit in f32 on TPU; under bfloat16 the verification forward
+(S=gamma+1) tiles matmuls differently than the single-token step, so
+argmax can flip where the top-2 logits are within rounding distance.
+With trained weights such near-ties are rare; with random init they are
+common (logits near-uniform). The same caveat applies to greedy itself
+— its output is only unique up to tie-breaking.
+
+Drafts come from PROMPT LOOKUP (no draft model): the most recent
+previous occurrence of the current bigram in the sequence-so-far
+proposes the ``gamma`` tokens that followed it. For RAG this is the
+high-payoff regime — answers quote retrieved passages, so long copied
+spans verify in one pass. The lookup is fully on-device (one vectorized
+match over the token buffer per step), and the whole schedule is a
+single ``lax.while_loop`` program: one dispatch, one readback.
+
+Cache discipline matches `models/decode_engine.py`: the verification
+forward writes K/V for [current token, draft] at slots
+``wp..wp+gamma``; if only ``a`` drafts are accepted, the stale entries
+beyond ``wp+a`` are overwritten by the next iteration before any query
+can attend to them (each iteration writes ``gamma+1`` entries starting
+at most ``gamma+1`` slots later). Per-row write offsets ride the
+decoder's vector ``cache_index`` path.
+
+The reference's decode surface is HF ``generate()`` (greedy,
+`eval_rag.py:127-141`); this is a beyond-reference serving optimization
+with bit-identical outputs.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from dalm_tpu.models.decoder import Decoder
+
+
+def build_speculative_generate(
+    decoder: Decoder,
+    max_new_tokens: int,
+    eos_token_id: Optional[int] = None,
+    pad_token_id: int = 0,
+    gamma: int = 8,
+    ngram: int = 2,
+    extra_collections: Optional[dict] = None,
+    return_stats: bool = False,
+):
+    """Returns jitted ``fn(params, input_ids, attention_mask) -> (B, T_new)``
+    with outputs IDENTICAL to ``build_greedy_generate``.
+
+    ``gamma``: draft tokens verified per forward pass. ``ngram``: match
+    length for the prompt lookup (2 = bigram). ``return_stats``: also
+    return the verification-pass count (B,) — mean accepted drafts per
+    pass = max_new/passes − 1, the quantity that decides the speedup.
+    """
+    extra = extra_collections or {}
+
+    @jax.jit
+    def _generate(params, extra, input_ids, attention_mask):
+        variables = {"params": params, **extra}
+        B, P = input_ids.shape
+        MN = max_new_tokens
+        L = P + MN + gamma + 1  # cache/buffer slack for the last window
+        G = gamma
+
+        cache = decoder.init_kv_cache(B, L)
+        prompt_positions = jnp.clip(jnp.cumsum(attention_mask, axis=1) - 1, min=0)
+        pad_lens = P - attention_mask.sum(axis=1)  # left-pad length per row
+        slot_mask = jnp.concatenate(
+            [attention_mask, jnp.ones((B, L - P), attention_mask.dtype)], axis=1
+        )
+
+        logits, cache = decoder.apply(
+            variables, input_ids, slot_mask,
+            positions=prompt_positions, kv_cache=cache, cache_index=0,
+        )
+        first_tok = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+
+        # token buffer: prompt followed by generated tokens
+        buf = jnp.concatenate(
+            [input_ids.astype(jnp.int32), jnp.zeros((B, L - P), jnp.int32)], axis=1
+        )
+        buf = buf.at[:, P].set(first_tok)
+
+        rows = jnp.arange(B)
+
+        def lookup_draft(buf, n_gen):
+            """Most recent previous occurrence of the current ``ngram``
+            proposes the next G tokens; fallback: repeat the last token."""
+            q_end = P + n_gen - 1  # (B,) index of the newest token
+            # current n-gram, per row: buf[q_end-ngram+1 .. q_end]
+            cur = jnp.stack(
+                [
+                    jnp.take_along_axis(buf, (q_end - (ngram - 1 - t))[:, None], axis=1)[:, 0]
+                    for t in range(ngram)
+                ],
+                axis=1,
+            )  # (B, ngram)
+            pos = jnp.arange(L)[None, :]
+            match = jnp.ones((B, L), bool)
+            for t in range(ngram):
+                shifted = jnp.roll(buf, -t, axis=1)
+                match = match & (shifted == cur[:, t : t + 1])
+            # candidate start l: ngram begins at l; must be entirely in the
+            # real (non-pad) region and strictly before the current ngram
+            start_ok = (pos >= pad_lens[:, None]) & (
+                pos + (ngram - 1) < q_end[:, None] - (ngram - 1)
+            )
+            match = match & start_ok
+            any_match = match.any(axis=1)
+            last_l = jnp.argmax(
+                jnp.where(match, pos, -1), axis=1
+            )  # most recent match start
+            # draft = the G tokens after that ngram occurrence
+            gather_idx = last_l[:, None] + ngram + jnp.arange(G)[None, :]
+            gather_idx = jnp.clip(gather_idx, 0, L - 1)
+            draft = jnp.take_along_axis(buf, gather_idx, axis=1)
+            last_tok = jnp.take_along_axis(buf, q_end[:, None], axis=1)
+            fallback = jnp.broadcast_to(last_tok, (B, G))
+            return jnp.where(any_match[:, None], draft, fallback)
+
+        def cond(state):
+            return (state["n_gen"] < MN).any()
+
+        def body(state):
+            cache, buf, n_gen = state["cache"], state["buf"], state["n_gen"]
+            n_pass = state["n_pass"]
+            active = n_gen < MN
+            q_end = P + n_gen - 1
+            tok = jnp.take_along_axis(buf, q_end[:, None], axis=1)[:, 0]
+            draft = lookup_draft(buf, n_gen)
+            inputs = jnp.concatenate([tok[:, None], draft], axis=1)  # (B, G+1)
+            # positions: semantic position of tok is q_end - pad_len
+            base_pos = (q_end - pad_lens)[:, None]
+            positions = base_pos + jnp.arange(G + 1)[None, :]
+            wp = q_end  # cache slot of tok == its buffer index
+            logits, cache = decoder.apply(
+                variables, inputs, slot_mask,
+                positions=positions, kv_cache=cache, cache_index=wp,
+            )
+            greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B, G+1)
+            # accepted drafts: longest prefix where draft matches greedy
+            ok = draft == greedy[:, :G]
+            acc = jnp.cumprod(ok.astype(jnp.int32), axis=1).sum(axis=1)  # (B,)
+            m = jnp.where(active, jnp.minimum(acc + 1, MN - n_gen), 0)
+            # emitted tokens: draft[:acc] then greedy[acc] — equivalently,
+            # position j emits draft[j] if j < acc else greedy[j]
+            j = jnp.arange(G + 1)[None, :]
+            emit = jnp.where(j < acc[:, None], jnp.pad(draft, ((0, 0), (0, 1))), greedy)
+            # scatter emit[:, :m] into buf at q_end+1 .. q_end+m
+            l_idx = jnp.arange(L)[None, :]
+            g = l_idx - (q_end + 1)[:, None]
+            inside = (g >= 0) & (g < m[:, None])
+            g_safe = jnp.clip(g, 0, G)
+            buf = jnp.where(inside, jnp.take_along_axis(emit, g_safe, axis=1), buf)
+            return dict(
+                cache=cache, buf=buf, n_gen=n_gen + m,
+                n_pass=n_pass + active.astype(jnp.int32),
+            )
+
+        state = jax.lax.while_loop(
+            cond, body,
+            dict(cache=cache, buf=buf, n_gen=jnp.ones((B,), jnp.int32),
+                 n_pass=jnp.zeros((B,), jnp.int32)),
+        )
+        toks = jax.lax.dynamic_slice_in_dim(state["buf"], P, MN, axis=1)
+
+        if eos_token_id is not None:
+            is_eos = (toks == eos_token_id).astype(jnp.int32)
+            after_eos = (jnp.cumsum(is_eos, axis=1) - is_eos) > 0
+            toks = jnp.where(after_eos, pad_token_id, toks)
+        if return_stats:
+            return toks, state["n_pass"]
+        return toks
+
+    def generate(params, input_ids, attention_mask):
+        return _generate(params, extra, input_ids, attention_mask)
+
+    return generate

@@ -63,6 +63,8 @@ class RagPipeline:
         index_kernel: str = "auto",  # pallas on TPU, xla elsewhere
         quantize_generator: bool = False,
         sampler=None,  # models.sampling.SamplerConfig; None = greedy
+        speculative: bool = False,  # prompt-lookup speculative decode (greedy only)
+        speculative_gamma: int = 8,
     ):
         """``quantize_generator``: pack the generator's big kernels into
         int8 `quant` storage (models/qlora.py). Decode is HBM-bandwidth
@@ -94,13 +96,27 @@ class RagPipeline:
 
         self.sampler = resolve(sampler)
         self._embed = build_embed_fn(self.retriever, self.r_params)
-        self._generate = build_greedy_generate(
-            self.generator, max_new_tokens,
-            eos_token_id=self.g_tok.eos_token_id,
-            pad_token_id=self.g_tok.pad_token_id or 0,
-            extra_collections=self._g_extra,
-            sampler=self.sampler,
-        )
+        if speculative and self.sampler.greedy:
+            # Prompt-lookup speculative decode (models/speculative.py):
+            # RAG answers quote passages, so drafts verify in spans — a
+            # trained generator measured 3.3 tokens per verification pass.
+            from dalm_tpu.models.speculative import build_speculative_generate
+
+            self._generate = build_speculative_generate(
+                self.generator, max_new_tokens,
+                eos_token_id=self.g_tok.eos_token_id,
+                pad_token_id=self.g_tok.pad_token_id or 0,
+                gamma=speculative_gamma,
+                extra_collections=self._g_extra,
+            )
+        else:
+            self._generate = build_greedy_generate(
+                self.generator, max_new_tokens,
+                eos_token_id=self.g_tok.eos_token_id,
+                pad_token_id=self.g_tok.pad_token_id or 0,
+                extra_collections=self._g_extra,
+                sampler=self.sampler,
+            )
         embs = self._embed_texts([f"#passage# {p}" for p in self.passages], max_passage_len)
         self.index = ShardedDenseIndex.build(self.mesh, embs, kernel=index_kernel)
         self.refresher = None
