@@ -111,13 +111,15 @@ def aggregate_results(
     precisions: List[float],
     recalls: List[float],
     total_hit: int,
+    reciprocal_ranks: "List[float] | None" = None,
 ) -> EvalResults:
-    """`calc_eval_results` twin (`eval/utils.py:275-285`)."""
+    """`calc_eval_results` twin (`eval/utils.py:275-285`), plus MRR."""
     return EvalResults(
         total_examples=total_examples,
         recall=sum(recalls) / total_examples,
         precision=sum(precisions) / total_examples,
         hit_rate=total_hit / float(total_examples),
+        mrr=(sum(reciprocal_ranks) / total_examples) if reciprocal_ranks else None,
     )
 
 
@@ -126,8 +128,9 @@ def score_batch(
     correct_passages: Sequence[str],
 ) -> Tuple[List[float], List[float], int, List[str]]:
     """Per-batch metric accumulation (`evaluate_retriever_on_batch`,
-    `eval/utils.py:222-272`). Returns (precisions, recalls, hits, top1)."""
-    precisions, recalls, top_passages = [], [], []
+    `eval/utils.py:222-272`). Returns (precisions, recalls, hits, top1,
+    reciprocal_ranks) — rank of the first gold match (1/rank; 0 = miss)."""
+    precisions, recalls, top_passages, rrs = [], [], [], []
     total_hit = 0
     for i, result in enumerate(search_results):
         retrieved = [p for p, _ in result]
@@ -142,7 +145,13 @@ def score_batch(
         precisions.append(p)
         recalls.append(r)
         total_hit += int(any(c in retrieved for c in correct))
-    return precisions, recalls, total_hit, top_passages
+        rr = 0.0
+        for rank, passage in enumerate(retrieved, start=1):
+            if passage in correct:
+                rr = 1.0 / rank
+                break
+        rrs.append(rr)
+    return precisions, recalls, total_hit, top_passages, rrs
 
 
 def preprocess_eval_dataset(

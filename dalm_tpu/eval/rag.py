@@ -123,7 +123,7 @@ def evaluate_rag(
         eos_token_id=g_tok.eos_token_id, pad_token_id=g_tok.pad_token_id or 0,
     )
 
-    precisions, recalls, total_hit, total_em_hit = [], [], 0, 0
+    precisions, recalls, rrs, total_hit, total_em_hit = [], [], [], 0, 0
     n = len(processed)
     q_ids = np.asarray(processed["retriever_query_input_ids"], np.int32)
     q_mask = np.asarray(processed["retriever_query_attention_mask"], np.int32)
@@ -161,10 +161,11 @@ def evaluate_rag(
         query_embs = np.asarray(embed_fn(ids, mask), np.float32)[:real]
         scores, found = index.search(query_embs, top_k)
         hits = threshold_hits(scores, found, id_to_passage, threshold)
-        p, r, h, top_passages = score_batch(hits, gold_passages[start:end])
+        p, r, h, top_passages, rr = score_batch(hits, gold_passages[start:end])
         precisions.extend(p)
         recalls.extend(r)
         total_hit += h
+        rrs.extend(rr)
 
         if evaluate_generator:
             for q, passage in zip(raw_queries[start:end], top_passages):
@@ -184,7 +185,7 @@ def evaluate_rag(
         results_kwargs["exact_match"] = total_em_hit / n
         logger.info("Generator exact match: %.5f", total_em_hit / n)
 
-    results = aggregate_results(n, precisions, recalls, total_hit)
+    results = aggregate_results(n, precisions, recalls, total_hit, rrs)
     if results_kwargs:
         results = results.model_copy(update=results_kwargs)
     logger.info("RAG eval results: %s", results)

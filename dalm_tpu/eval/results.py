@@ -11,3 +11,7 @@ class EvalResults(BaseModel):
     precision: float
     hit_rate: float
     exact_match: float | None = None
+    # mean reciprocal rank of the gold passage (0 when missed) — the
+    # metric the reference's llama-index comparison tables report
+    # (`experiments/llama-index-synthetic-data/README.md`)
+    mrr: float | None = None

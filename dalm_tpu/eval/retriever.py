@@ -127,7 +127,7 @@ def evaluate_retriever(
 
     index = ShardedDenseIndex.build(mesh, passage_embs, kernel=index_kernel)
 
-    precisions, recalls, total_hit = [], [], 0
+    precisions, recalls, rrs, total_hit = [], [], [], 0
     qbs = query_batch_size or test_batch_size
     n = len(processed)
     q_ids = np.asarray(processed["retriever_query_input_ids"], np.int32)
@@ -144,11 +144,12 @@ def evaluate_retriever(
         query_embs = np.asarray(embed_fn(ids, mask), np.float32)[:real]
         scores, found = index.search(query_embs, top_k)
         hits = threshold_hits(scores, found, id_to_passage, threshold)
-        p, r, h, _ = score_batch(hits, gold[start:end])
+        p, r, h, _, rr = score_batch(hits, gold[start:end])
         precisions.extend(p)
         recalls.extend(r)
         total_hit += h
+        rrs.extend(rr)
 
-    results = aggregate_results(n, precisions, recalls, total_hit)
+    results = aggregate_results(n, precisions, recalls, total_hit, rrs)
     logger.info("Retriever results: %s", results)
     return results

@@ -21,7 +21,7 @@ def test_precision_recall_dedup():
 
 def test_recall_equals_hit_for_single_gold():
     hits = [[("gold", 0.9), ("x", 0.5)], [("y", 0.8), ("z", 0.2)]]
-    precisions, recalls, total_hit, top = score_batch(hits, ["gold", "gold"])
+    precisions, recalls, total_hit, top, _ = score_batch(hits, ["gold", "gold"])
     assert recalls == [1.0, 0.0]
     assert total_hit == 1
     assert top == ["gold", "y"]
@@ -44,6 +44,25 @@ def test_aggregate_divides_by_total():
 
 
 def test_empty_retrieved_scores_zero():
-    precisions, recalls, total_hit, top = score_batch([[]], ["gold"])
+    precisions, recalls, total_hit, top, _ = score_batch([[]], ["gold"])
     assert precisions == [0.0] and recalls == [0.0] and total_hit == 0
     assert top == [""]
+
+
+def test_mrr_reciprocal_ranks():
+    """MRR: 1/rank of the first gold hit, 0 on miss; averaged over all
+    queries (the reference's llama-index tables report MRR alongside
+    hit rate)."""
+    from dalm_tpu.eval.common import aggregate_results, score_batch
+
+    results = [
+        [("gold0", 0.9), ("x", 0.8)],          # rank 1 -> 1.0
+        [("x", 0.9), ("gold1", 0.8)],          # rank 2 -> 0.5
+        [("x", 0.9), ("y", 0.8), ("z", 0.7)],  # miss   -> 0.0
+    ]
+    p, r, hit, top, rrs = score_batch(results, ["gold0", "gold1", "gold2"])
+    assert rrs == [1.0, 0.5, 0.0]
+    agg = aggregate_results(3, p, r, hit, rrs)
+    assert abs(agg.mrr - 0.5) < 1e-9
+    # without ranks the field stays None (back-compat)
+    assert aggregate_results(3, p, r, hit).mrr is None
