@@ -63,6 +63,7 @@ class DecodeEngine:
         decode_chunk: int = 8,
         extra_collections: Optional[dict] = None,
         sampler: Optional[SamplerConfig] = None,
+        speculative_gamma: int = 0,
     ):
         """``extra_collections``: additional flax variable collections,
         e.g. ``{"quant": ..., "lora": ...}`` for a packed int8 generator
@@ -72,7 +73,13 @@ class DecodeEngine:
         ``sampler``: temperature/top-k/top-p config (models/sampling.py);
         None/temperature-0 = greedy. Keys derive from (request index,
         token index), so outputs are identical across the lockstep,
-        host-loop, and fused schedules for the same seed."""
+        host-loop, and fused schedules for the same seed.
+
+        ``speculative_gamma`` > 0 turns the FUSED schedule speculative
+        (greedy only): each active slot verifies gamma prompt-lookup
+        draft tokens per forward pass (models/speculative.py) — in the
+        HBM-bound decode regime accepted drafts are nearly free, and RAG
+        answers quote passages, so spans verify at once."""
         self.decoder = decoder
         self.params = params
         self.samp = resolve(sampler)
@@ -84,7 +91,11 @@ class DecodeEngine:
         self.eos = eos_token_id
         self.pad = pad_token_id
         self.chunk = min(decode_chunk, max_new_tokens)
-        self.L = max_prompt_len + max_new_tokens
+        self.spec_gamma = int(speculative_gamma)
+        if self.spec_gamma:
+            assert self.samp.greedy, "speculative decoding is greedy-only"
+        # +gamma+1 slack: the last verification window may overrun max_new
+        self.L = max_prompt_len + max_new_tokens + (self.spec_gamma + 1 if self.spec_gamma else 0)
 
         B, P, L = num_slots, self.P, self.L
 
@@ -276,9 +287,173 @@ class DecodeEngine:
             final = jax.lax.while_loop(cond, body, state0)
             return final["out"], final["out_len"]
 
+        def fused_schedule_spec(variables, input_ids, attention_mask, caps, req_ids):
+            """`fused_schedule` with speculative multi-token steps.
+
+            Identical state machine, but each decode iteration runs a
+            (gamma+1)-token verification forward per slot: drafts come
+            from `models.speculative.prompt_lookup` over the slot's
+            [prompt | generated] history, and 1..gamma+1 tokens commit
+            per pass. Stale K/V beyond the accepted prefix is always
+            overwritten before any later query can attend to it (each
+            pass writes gamma+1 entries starting at most gamma+1 slots
+            later — the same argument as models/speculative.py).
+            """
+            from dalm_tpu.models.speculative import prompt_lookup
+
+            N = input_ids.shape[0]
+            MN = self.max_new
+            G = self.spec_gamma
+            has_eos = eos_token_id is not None
+            eos = eos_token_id if has_eos else -1
+
+            state0 = dict(
+                cache=decoder.init_kv_cache(B, L),
+                tok=jnp.zeros((B,), jnp.int32),
+                pos=jnp.zeros((B,), jnp.int32),
+                write_pos=jnp.full((B,), P, jnp.int32),
+                slot_mask=jnp.zeros((B, L), jnp.int32),
+                slot_req=jnp.full((B,), -1, jnp.int32),
+                gen_count=jnp.zeros((B,), jnp.int32),
+                next_req=jnp.asarray(0, jnp.int32),
+                out=jnp.full((N, MN), pad_token_id, jnp.int32),
+                out_len=jnp.zeros((N,), jnp.int32),
+            )
+
+            def admit_branch(s):
+                free = s["slot_req"] < 0
+                rank = jnp.cumsum(free.astype(jnp.int32)) - 1
+                req_idx = s["next_req"] + rank
+                take = free & (req_idx < N)
+                safe_req = jnp.clip(req_idx, 0, N - 1)
+                ids = input_ids[safe_req]
+                mask = jnp.where(take[:, None], attention_mask[safe_req], 0)
+                mask = mask.at[:, -1].max(1)
+                row_cache = decoder.init_kv_cache(B, L)
+                positions = jnp.clip(jnp.cumsum(mask, axis=1) - 1, min=0)
+                row_slot_mask = jnp.concatenate(
+                    [mask, jnp.ones((B, L - P), mask.dtype)], axis=1
+                )
+                logits, row_cache = decoder.apply(
+                    variables, ids, row_slot_mask,
+                    positions=positions, kv_cache=row_cache, cache_index=0,
+                )
+                first = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+                sel4 = take[:, None, None, None]
+                cache = jax.tree.map(
+                    lambda big, rows: jnp.where(sel4, rows.astype(big.dtype), big),
+                    s["cache"], row_cache,
+                )
+                cap_take = caps[safe_req]
+                first_eos = (first == eos) & has_eos
+                fin0 = take & (first_eos | (cap_take <= 1))
+                write0 = take & ~first_eos
+                out = s["out"].at[jnp.where(write0, safe_req, N), 0].set(
+                    first, mode="drop"
+                )
+                out_len = s["out_len"].at[jnp.where(fin0, safe_req, N)].set(
+                    jnp.where(first_eos, 0, jnp.minimum(cap_take, 1)), mode="drop"
+                )
+                return dict(
+                    cache=cache,
+                    tok=jnp.where(take, first, s["tok"]),
+                    pos=jnp.where(take, mask.sum(axis=1), s["pos"]),
+                    write_pos=jnp.where(take, P, s["write_pos"]),
+                    slot_mask=jnp.where(take[:, None], row_slot_mask, s["slot_mask"]),
+                    slot_req=jnp.where(fin0, -1, jnp.where(take, safe_req, s["slot_req"])),
+                    gen_count=jnp.where(take, 1, s["gen_count"]),
+                    next_req=s["next_req"] + take.sum(dtype=jnp.int32),
+                    out=out,
+                    out_len=out_len,
+                )
+
+            def cond(s):
+                return ((s["slot_req"] >= 0).any()) | (s["next_req"] < N)
+
+            def body(s):
+                free_count = (s["slot_req"] < 0).sum(dtype=jnp.int32)
+                remaining = N - s["next_req"]
+                threshold = jnp.minimum(max(B // 2, 1), remaining)
+                do_admit = (remaining > 0) & (free_count >= threshold)
+                s = jax.lax.cond(do_admit, admit_branch, lambda x: x, s)
+
+                active = s["slot_req"] >= 0
+                safe_req = jnp.clip(s["slot_req"], 0, N - 1)
+                cap_slot = caps[safe_req]
+                g0 = s["gen_count"]
+
+                # draft from the slot's [prompt | generated] history
+                hist = jnp.concatenate(
+                    [input_ids[safe_req], s["out"][safe_req]], axis=1
+                )  # (B, P + MN)
+                q_end_h = P + g0 - 1  # newest token index in hist
+                pad_lens = P - attention_mask[safe_req].sum(axis=1)
+                draft = prompt_lookup(hist, q_end_h, pad_lens, G, 2)
+
+                inputs = jnp.concatenate([s["tok"][:, None], draft], axis=1)
+                positions = s["pos"][:, None] + jnp.arange(G + 1)[None, :]
+                logits, cache = decoder.apply(
+                    variables, inputs, s["slot_mask"],
+                    positions=positions, kv_cache=s["cache"],
+                    cache_index=s["write_pos"],
+                )
+                greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B, G+1)
+                ok = draft == greedy[:, :G]
+                acc = jnp.cumprod(ok.astype(jnp.int32), axis=1).sum(axis=1)
+                b_rem = jnp.maximum(cap_slot - g0, 0)
+                m_bud = jnp.minimum(acc + 1, b_rem)
+                j = jnp.arange(G + 1)[None, :]
+                emit = jnp.where(
+                    j < acc[:, None], jnp.pad(draft, ((0, 0), (0, 1))), greedy
+                )
+                if has_eos:
+                    is_e = (emit == eos) & (j < m_bud[:, None])
+                    eos_any = is_e.any(axis=1)
+                    eos_pos = jnp.argmax(is_e, axis=1)
+                    m = jnp.where(eos_any, eos_pos, m_bud)
+                else:
+                    eos_any = jnp.zeros_like(active)
+                    m = m_bud
+                m = jnp.where(active, m, 0)
+                finished = active & (eos_any | (g0 + m >= cap_slot))
+
+                # commit emit[:, :m] into out[safe_req, g0:g0+m]
+                col = jnp.arange(MN)[None, :]
+                gcol = col - g0[:, None]
+                inside = (gcol >= 0) & (gcol < m[:, None])
+                vals = jnp.take_along_axis(emit, jnp.clip(gcol, 0, G), axis=1)
+                new_rows = jnp.where(inside, vals, s["out"][safe_req])
+                out = s["out"].at[jnp.where(active, safe_req, N)].set(
+                    new_rows, mode="drop"
+                )
+                out_len = s["out_len"].at[jnp.where(finished, safe_req, N)].set(
+                    g0 + m, mode="drop"
+                )
+                emit_last = jnp.take_along_axis(
+                    emit, jnp.clip(m - 1, 0, G)[:, None], axis=1
+                )[:, 0]
+                act = active.astype(jnp.int32)
+                return dict(
+                    cache=cache,
+                    tok=jnp.where(m > 0, emit_last, s["tok"]),
+                    pos=s["pos"] + m * act,
+                    write_pos=s["write_pos"] + m * act,
+                    slot_mask=s["slot_mask"],
+                    slot_req=jnp.where(finished, -1, s["slot_req"]),
+                    gen_count=g0 + m * act,
+                    next_req=s["next_req"],
+                    out=out,
+                    out_len=out_len,
+                )
+
+            final = jax.lax.while_loop(cond, body, state0)
+            return final["out"], final["out_len"]
+
         self._admit_jit = jax.jit(admit_step)
         self._decode = jax.jit(decode_chunk_fn)
-        self._fused = jax.jit(fused_schedule)
+        self._fused = jax.jit(
+            fused_schedule_spec if self.spec_gamma else fused_schedule
+        )
 
         self._vars = {"params": params, **self.extra}
         self.state = (

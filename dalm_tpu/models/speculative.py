@@ -47,6 +47,44 @@ import jax.numpy as jnp
 from dalm_tpu.models.decoder import Decoder
 
 
+def prompt_lookup(buf, q_end, pad_lens, gamma: int, ngram: int):
+    """Per-row bigram/n-gram prompt lookup over a token buffer.
+
+    ``buf``: (B, L) token history (prompt then generated); ``q_end``:
+    (B,) index of the newest token; ``pad_lens``: (B,) left-pad length
+    (candidates must start at or after it). Returns (B, gamma) drafts —
+    the tokens following the most recent previous occurrence of the
+    current n-gram, falling back to repeating the newest token.
+    """
+    B, L = buf.shape
+    cur = jnp.stack(
+        [
+            jnp.take_along_axis(buf, (q_end - (ngram - 1 - t))[:, None], axis=1)[:, 0]
+            for t in range(ngram)
+        ],
+        axis=1,
+    )  # (B, ngram)
+    pos = jnp.arange(L)[None, :]
+    match = jnp.ones((B, L), bool)
+    for t in range(ngram):
+        shifted = jnp.roll(buf, -t, axis=1)
+        match = match & (shifted == cur[:, t : t + 1])
+    # candidate start l: ngram begins at l; must be entirely in the
+    # real (non-pad) region and strictly before the current ngram
+    start_ok = (pos >= pad_lens[:, None]) & (
+        pos + (ngram - 1) < q_end[:, None] - (ngram - 1)
+    )
+    match = match & start_ok
+    any_match = match.any(axis=1)
+    last_l = jnp.argmax(jnp.where(match, pos, -1), axis=1)  # most recent
+    gather_idx = last_l[:, None] + ngram + jnp.arange(gamma)[None, :]
+    gather_idx = jnp.clip(gather_idx, 0, L - 1)
+    draft = jnp.take_along_axis(buf, gather_idx, axis=1)
+    last_tok = jnp.take_along_axis(buf, q_end[:, None], axis=1)
+    fallback = jnp.broadcast_to(last_tok, (B, gamma))
+    return jnp.where(any_match[:, None], draft, fallback)
+
+
 def build_speculative_generate(
     decoder: Decoder,
     max_new_tokens: int,
@@ -94,43 +132,6 @@ def build_speculative_generate(
         )
         buf = buf.at[:, P].set(first_tok)
 
-        rows = jnp.arange(B)
-
-        def lookup_draft(buf, n_gen):
-            """Most recent previous occurrence of the current ``ngram``
-            proposes the next G tokens; fallback: repeat the last token."""
-            q_end = P + n_gen - 1  # (B,) index of the newest token
-            # current n-gram, per row: buf[q_end-ngram+1 .. q_end]
-            cur = jnp.stack(
-                [
-                    jnp.take_along_axis(buf, (q_end - (ngram - 1 - t))[:, None], axis=1)[:, 0]
-                    for t in range(ngram)
-                ],
-                axis=1,
-            )  # (B, ngram)
-            pos = jnp.arange(L)[None, :]
-            match = jnp.ones((B, L), bool)
-            for t in range(ngram):
-                shifted = jnp.roll(buf, -t, axis=1)
-                match = match & (shifted == cur[:, t : t + 1])
-            # candidate start l: ngram begins at l; must be entirely in the
-            # real (non-pad) region and strictly before the current ngram
-            start_ok = (pos >= pad_lens[:, None]) & (
-                pos + (ngram - 1) < q_end[:, None] - (ngram - 1)
-            )
-            match = match & start_ok
-            any_match = match.any(axis=1)
-            last_l = jnp.argmax(
-                jnp.where(match, pos, -1), axis=1
-            )  # most recent match start
-            # draft = the G tokens after that ngram occurrence
-            gather_idx = last_l[:, None] + ngram + jnp.arange(G)[None, :]
-            gather_idx = jnp.clip(gather_idx, 0, L - 1)
-            draft = jnp.take_along_axis(buf, gather_idx, axis=1)
-            last_tok = jnp.take_along_axis(buf, q_end[:, None], axis=1)
-            fallback = jnp.broadcast_to(last_tok, (B, G))
-            return jnp.where(any_match[:, None], draft, fallback)
-
         def cond(state):
             return (state["n_gen"] < MN).any()
 
@@ -140,7 +141,7 @@ def build_speculative_generate(
             active = n_gen < MN
             q_end = P + n_gen - 1
             tok = jnp.take_along_axis(buf, q_end[:, None], axis=1)[:, 0]
-            draft = lookup_draft(buf, n_gen)
+            draft = prompt_lookup(buf, q_end, pad_lens, G, ngram)
             inputs = jnp.concatenate([tok[:, None], draft], axis=1)  # (B, G+1)
             # positions: semantic position of tok is q_end - pad_len
             base_pos = (q_end - pad_lens)[:, None]

@@ -96,6 +96,7 @@ class RagPipeline:
 
         self.sampler = resolve(sampler)
         self._embed = build_embed_fn(self.retriever, self.r_params)
+        self._spec_gamma = speculative_gamma if (speculative and self.sampler.greedy) else 0
         if speculative and self.sampler.greedy:
             # Prompt-lookup speculative decode (models/speculative.py):
             # RAG answers quote passages, so drafts verify in spans — a
@@ -234,6 +235,7 @@ class RagPipeline:
                 decode_chunk=decode_chunk,
                 extra_collections=self._g_extra,
                 sampler=self.sampler,
+                speculative_gamma=self._spec_gamma,
             )
             self._engine_key = key
 

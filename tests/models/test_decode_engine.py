@@ -323,3 +323,69 @@ def test_sliding_window_decode_matches_lockstep():
     for i in range(5):
         assert got[i] == [int(t) for t in exp_sw[i]]
         assert got_f[i] == [int(t) for t in exp_sw[i]]
+
+
+@pytest.mark.parametrize("num_slots,n_req,gamma", [(2, 7, 4), (3, 8, 6)])
+def test_speculative_fused_matches_lockstep(decoder_and_params, num_slots, n_req, gamma):
+    """speculative_gamma > 0: the fused schedule verifies multi-token
+    drafts per pass but must still reproduce lockstep greedy exactly,
+    through slot recycling."""
+    decoder, params = decoder_and_params
+    ids, mask = _prompts(n_req, rng_seed=300 + n_req)
+    max_new = 10
+    expected = _lockstep(decoder, params, ids, mask, max_new)
+    eng = DecodeEngine(
+        decoder, params, num_slots=num_slots, max_prompt_len=P,
+        max_new_tokens=max_new, eos_token_id=None, pad_token_id=0,
+        speculative_gamma=gamma,
+    )
+    got = eng.generate_fused(ids, mask)
+    for i in range(n_req):
+        assert got[i] == [int(t) for t in expected[i]], f"request {i} diverged"
+
+
+def test_speculative_fused_eos_and_budgets(decoder_and_params):
+    decoder, params = decoder_and_params
+    ids, mask = _prompts(9, rng_seed=342)
+    max_new = 8
+    ref_free = _lockstep(decoder, params, ids, mask, max_new)
+    vals, counts = np.unique(ref_free[:, 1:], return_counts=True)
+    eos = int(vals[np.argmax(counts)])
+    budgets = [8, 3, 0, 5, 1, 8, 2, 8, 4]
+    eng = DecodeEngine(
+        decoder, params, num_slots=3, max_prompt_len=P,
+        max_new_tokens=max_new, eos_token_id=eos, pad_token_id=0,
+        speculative_gamma=5,
+    )
+    got = eng.generate_fused(ids, mask, budgets=budgets)
+    hit_eos = 0
+    for i in range(9):
+        want = _trim(ref_free[i], eos, budgets[i])
+        assert got[i] == want, f"request {i} diverged"
+        if len(want) < budgets[i]:
+            hit_eos += 1
+    assert hit_eos > 0
+
+
+def test_speculative_fused_repetitive_accepts(decoder_and_params):
+    """Repetitive prompts (copy regime): outputs still exact."""
+    decoder, params = decoder_and_params
+    rng = np.random.default_rng(77)
+    n = 5
+    ids = np.zeros((n, P), np.int32)
+    mask = np.zeros((n, P), np.int32)
+    for i in range(n):
+        period = int(rng.integers(2, 4))
+        pat = rng.integers(5, 120, size=period)
+        real = int(rng.integers(10, P))
+        ids[i, P - real :] = np.tile(pat, P // period + 1)[:real]
+        mask[i, P - real :] = 1
+    expected = _lockstep(decoder, params, ids, mask, 12)
+    eng = DecodeEngine(
+        decoder, params, num_slots=2, max_prompt_len=P,
+        max_new_tokens=12, eos_token_id=None, pad_token_id=0,
+        speculative_gamma=6,
+    )
+    got = eng.generate_fused(ids, mask)
+    for i in range(n):
+        assert got[i] == [int(t) for t in expected[i]], f"request {i} diverged"

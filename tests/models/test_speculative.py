@@ -122,3 +122,19 @@ def test_pipeline_speculative_matches_plain():
     a = [x.answer for x in plain.answer(queries, top_k=2)]
     b = [x.answer for x in spec.answer(queries, top_k=2)]
     assert a == b
+
+
+@pytest.mark.slow
+def test_pipeline_speculative_continuous_matches():
+    from dalm_tpu.serve import RagPipeline
+
+    passages = [f"passage about topic {i} with unique content {i}" for i in range(8)]
+    common = dict(max_passage_len=32, max_prompt_len=64, max_new_tokens=6, embed_batch=8)
+    plain = RagPipeline.from_pretrained("tiny", "tiny", passages, **common)
+    spec = RagPipeline.from_pretrained(
+        "tiny", "tiny", passages, speculative=True, speculative_gamma=4, **common
+    )
+    queries = [f"what is topic {i}" for i in range(5)]
+    a = [x.answer for x in plain.answer_continuous(queries, top_k=2, num_slots=2)]
+    b = [x.answer for x in spec.answer_continuous(queries, top_k=2, num_slots=2)]
+    assert a == b
