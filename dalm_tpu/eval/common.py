@@ -126,7 +126,7 @@ def aggregate_results(
 def score_batch(
     search_results: List[List[Tuple[str, float]]],
     correct_passages: Sequence[str],
-) -> Tuple[List[float], List[float], int, List[str]]:
+) -> Tuple[List[float], List[float], int, List[str], List[float]]:
     """Per-batch metric accumulation (`evaluate_retriever_on_batch`,
     `eval/utils.py:222-272`). Returns (precisions, recalls, hits, top1,
     reciprocal_ranks) — rank of the first gold match (1/rank; 0 = miss)."""

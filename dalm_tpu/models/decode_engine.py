@@ -157,22 +157,32 @@ class DecodeEngine:
         def fused_schedule(variables, input_ids, attention_mask, caps, req_ids):
             """The ENTIRE continuous-batching schedule as one XLA program.
 
-            A ``lax.while_loop`` decodes one token per active slot per
-            iteration, detects EOS/budget on device, frees slots, and —
-            when at least ``min(num_slots // 2, remaining)`` slots are
-            free — admits the next wave of pending prompts through a
-            ``lax.cond`` prefill branch (full pool width; busy slots
-            scatter-drop). Zero host round trips: on transports where a
-            readback costs milliseconds (this box's tunnel: ~150 ms),
-            per-chunk host scheduling pays one RTT per round, which
-            dominates end-to-end time — here the host blocks exactly
-            once, on the final (out_tokens, out_lens) readback.
+            A ``lax.while_loop`` advances every active slot per iteration,
+            detects EOS/budget on device, frees slots, and — when at least
+            ``min(num_slots // 2, remaining)`` slots are free — admits the
+            next wave of pending prompts through a ``lax.cond`` prefill
+            branch (full pool width; busy slots scatter-drop). Zero host
+            round trips: the host blocks exactly once, on the final
+            (out_tokens, out_lens) readback.
+
+            With ``speculative_gamma`` > 0 (greedy only) each iteration is
+            a (gamma+1)-token verification forward per slot: drafts come
+            from `models.speculative.prompt_lookup` over the slot's
+            [prompt | generated] history and 1..gamma+1 tokens commit per
+            pass (EOS inside an accepted span truncates the commit at the
+            EOS position). Stale K/V beyond the accepted prefix is always
+            overwritten before any later query can attend to it — each
+            pass writes gamma+1 entries starting at most gamma+1 slots
+            later (same argument as models/speculative.py).
 
             caps: (N,) int32 per-request new-token budgets, all ≥ 1.
+            req_ids: (N,) ORIGINAL request indices (sampling keys; the
+            caller compacts zero-budget requests out of this program).
             Returns out (N, max_new) int32 and out_len (N,) int32.
             """
             N = input_ids.shape[0]
             MN = self.max_new
+            G = self.spec_gamma  # static: 0 = single-token schedule
             has_eos = eos_token_id is not None
             eos = eos_token_id if has_eos else -1
 
@@ -240,26 +250,14 @@ class DecodeEngine:
                     out_len=out_len,
                 )
 
-            def cond(s):
-                return ((s["slot_req"] >= 0).any()) | (s["next_req"] < N)
-
-            def body(s):
-                free_count = (s["slot_req"] < 0).sum(dtype=jnp.int32)
-                remaining = N - s["next_req"]
-                threshold = jnp.minimum(max(B // 2, 1), remaining)
-                do_admit = (remaining > 0) & (free_count >= threshold)
-                s = jax.lax.cond(do_admit, admit_branch, lambda x: x, s)
-
-                active = s["slot_req"] >= 0
-                act = active.astype(jnp.int32)
+            def single_token_step(s, active, safe_req, cap_slot, g0):
+                """Emit ≤1 token per active slot (the classic schedule)."""
                 logits, cache = decoder.apply(
                     variables, s["tok"][:, None], s["slot_mask"],
                     positions=s["pos"][:, None], kv_cache=s["cache"],
                     cache_index=s["write_pos"],
                 )
-                safe_req = jnp.clip(s["slot_req"], 0, N - 1)
-                cap_slot = caps[safe_req]
-                g0 = s["gen_count"]
+                act = active.astype(jnp.int32)
                 nxt = select_token(logits[:, 0, :], samp, req_ids[safe_req], g0)
                 eos_hit = (nxt == eos) & active & has_eos
                 write = active & ~eos_hit
@@ -284,105 +282,10 @@ class DecodeEngine:
                     out_len=out_len,
                 )
 
-            final = jax.lax.while_loop(cond, body, state0)
-            return final["out"], final["out_len"]
+            def speculative_step(s, active, safe_req, cap_slot, g0):
+                """Verify G prompt-lookup drafts; commit 1..G+1 tokens."""
+                from dalm_tpu.models.speculative import prompt_lookup
 
-        def fused_schedule_spec(variables, input_ids, attention_mask, caps, req_ids):
-            """`fused_schedule` with speculative multi-token steps.
-
-            Identical state machine, but each decode iteration runs a
-            (gamma+1)-token verification forward per slot: drafts come
-            from `models.speculative.prompt_lookup` over the slot's
-            [prompt | generated] history, and 1..gamma+1 tokens commit
-            per pass. Stale K/V beyond the accepted prefix is always
-            overwritten before any later query can attend to it (each
-            pass writes gamma+1 entries starting at most gamma+1 slots
-            later — the same argument as models/speculative.py).
-            """
-            from dalm_tpu.models.speculative import prompt_lookup
-
-            N = input_ids.shape[0]
-            MN = self.max_new
-            G = self.spec_gamma
-            has_eos = eos_token_id is not None
-            eos = eos_token_id if has_eos else -1
-
-            state0 = dict(
-                cache=decoder.init_kv_cache(B, L),
-                tok=jnp.zeros((B,), jnp.int32),
-                pos=jnp.zeros((B,), jnp.int32),
-                write_pos=jnp.full((B,), P, jnp.int32),
-                slot_mask=jnp.zeros((B, L), jnp.int32),
-                slot_req=jnp.full((B,), -1, jnp.int32),
-                gen_count=jnp.zeros((B,), jnp.int32),
-                next_req=jnp.asarray(0, jnp.int32),
-                out=jnp.full((N, MN), pad_token_id, jnp.int32),
-                out_len=jnp.zeros((N,), jnp.int32),
-            )
-
-            def admit_branch(s):
-                free = s["slot_req"] < 0
-                rank = jnp.cumsum(free.astype(jnp.int32)) - 1
-                req_idx = s["next_req"] + rank
-                take = free & (req_idx < N)
-                safe_req = jnp.clip(req_idx, 0, N - 1)
-                ids = input_ids[safe_req]
-                mask = jnp.where(take[:, None], attention_mask[safe_req], 0)
-                mask = mask.at[:, -1].max(1)
-                row_cache = decoder.init_kv_cache(B, L)
-                positions = jnp.clip(jnp.cumsum(mask, axis=1) - 1, min=0)
-                row_slot_mask = jnp.concatenate(
-                    [mask, jnp.ones((B, L - P), mask.dtype)], axis=1
-                )
-                logits, row_cache = decoder.apply(
-                    variables, ids, row_slot_mask,
-                    positions=positions, kv_cache=row_cache, cache_index=0,
-                )
-                first = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
-                sel4 = take[:, None, None, None]
-                cache = jax.tree.map(
-                    lambda big, rows: jnp.where(sel4, rows.astype(big.dtype), big),
-                    s["cache"], row_cache,
-                )
-                cap_take = caps[safe_req]
-                first_eos = (first == eos) & has_eos
-                fin0 = take & (first_eos | (cap_take <= 1))
-                write0 = take & ~first_eos
-                out = s["out"].at[jnp.where(write0, safe_req, N), 0].set(
-                    first, mode="drop"
-                )
-                out_len = s["out_len"].at[jnp.where(fin0, safe_req, N)].set(
-                    jnp.where(first_eos, 0, jnp.minimum(cap_take, 1)), mode="drop"
-                )
-                return dict(
-                    cache=cache,
-                    tok=jnp.where(take, first, s["tok"]),
-                    pos=jnp.where(take, mask.sum(axis=1), s["pos"]),
-                    write_pos=jnp.where(take, P, s["write_pos"]),
-                    slot_mask=jnp.where(take[:, None], row_slot_mask, s["slot_mask"]),
-                    slot_req=jnp.where(fin0, -1, jnp.where(take, safe_req, s["slot_req"])),
-                    gen_count=jnp.where(take, 1, s["gen_count"]),
-                    next_req=s["next_req"] + take.sum(dtype=jnp.int32),
-                    out=out,
-                    out_len=out_len,
-                )
-
-            def cond(s):
-                return ((s["slot_req"] >= 0).any()) | (s["next_req"] < N)
-
-            def body(s):
-                free_count = (s["slot_req"] < 0).sum(dtype=jnp.int32)
-                remaining = N - s["next_req"]
-                threshold = jnp.minimum(max(B // 2, 1), remaining)
-                do_admit = (remaining > 0) & (free_count >= threshold)
-                s = jax.lax.cond(do_admit, admit_branch, lambda x: x, s)
-
-                active = s["slot_req"] >= 0
-                safe_req = jnp.clip(s["slot_req"], 0, N - 1)
-                cap_slot = caps[safe_req]
-                g0 = s["gen_count"]
-
-                # draft from the slot's [prompt | generated] history
                 hist = jnp.concatenate(
                     [input_ids[safe_req], s["out"][safe_req]], axis=1
                 )  # (B, P + MN)
@@ -432,28 +335,42 @@ class DecodeEngine:
                 emit_last = jnp.take_along_axis(
                     emit, jnp.clip(m - 1, 0, G)[:, None], axis=1
                 )[:, 0]
-                act = active.astype(jnp.int32)
                 return dict(
                     cache=cache,
                     tok=jnp.where(m > 0, emit_last, s["tok"]),
-                    pos=s["pos"] + m * act,
-                    write_pos=s["write_pos"] + m * act,
+                    pos=s["pos"] + m,
+                    write_pos=s["write_pos"] + m,
                     slot_mask=s["slot_mask"],
                     slot_req=jnp.where(finished, -1, s["slot_req"]),
-                    gen_count=g0 + m * act,
+                    gen_count=g0 + m,
                     next_req=s["next_req"],
                     out=out,
                     out_len=out_len,
                 )
+
+            def cond(s):
+                return ((s["slot_req"] >= 0).any()) | (s["next_req"] < N)
+
+            def body(s):
+                free_count = (s["slot_req"] < 0).sum(dtype=jnp.int32)
+                remaining = N - s["next_req"]
+                threshold = jnp.minimum(max(B // 2, 1), remaining)
+                do_admit = (remaining > 0) & (free_count >= threshold)
+                s = jax.lax.cond(do_admit, admit_branch, lambda x: x, s)
+
+                active = s["slot_req"] >= 0
+                safe_req = jnp.clip(s["slot_req"], 0, N - 1)
+                cap_slot = caps[safe_req]
+                g0 = s["gen_count"]
+                step = speculative_step if G else single_token_step
+                return step(s, active, safe_req, cap_slot, g0)
 
             final = jax.lax.while_loop(cond, body, state0)
             return final["out"], final["out_len"]
 
         self._admit_jit = jax.jit(admit_step)
         self._decode = jax.jit(decode_chunk_fn)
-        self._fused = jax.jit(
-            fused_schedule_spec if self.spec_gamma else fused_schedule
-        )
+        self._fused = jax.jit(fused_schedule)
 
         self._vars = {"params": params, **self.extra}
         self.state = (

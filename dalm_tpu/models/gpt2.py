@@ -79,15 +79,22 @@ class GPT2Attention(nn.Module):
         new_cache = None
         if kv_cache is not None:
             if getattr(cache_index, "ndim", 0) == 1:
-                # Per-slot write positions (continuous batching; decode
-                # steps only) — one-hot select, see models/decoder.py for
-                # why not a vmapped dynamic_update_slice.
-                assert S == 1, "vector cache_index supports single-token decode steps only"
-                oh = (
-                    jnp.arange(kv_cache["k"].shape[1])[None, :] == cache_index[:, None]
-                )[:, :, None, None]
-                k = jnp.where(oh, k.astype(kv_cache["k"].dtype), kv_cache["k"])
-                v = jnp.where(oh, v.astype(kv_cache["v"].dtype), kv_cache["v"])
+                # Per-row write positions (continuous batching / speculative
+                # verification) — gather-select, mirrors models/decoder.py
+                # (a vmapped dynamic_update_slice lowers ~1000x slower).
+                L_cache = kv_cache["k"].shape[1]
+                g = jnp.arange(L_cache)[None, :] - cache_index[:, None]
+                inside = (g >= 0) & (g < S)
+                g_safe = jnp.clip(g, 0, S - 1)
+                sel = inside[:, :, None, None]
+                k_rows = jnp.take_along_axis(
+                    k.astype(kv_cache["k"].dtype), g_safe[:, :, None, None], axis=1
+                )
+                v_rows = jnp.take_along_axis(
+                    v.astype(kv_cache["v"].dtype), g_safe[:, :, None, None], axis=1
+                )
+                k = jnp.where(sel, k_rows, kv_cache["k"])
+                v = jnp.where(sel, v_rows, kv_cache["v"])
             else:
                 k = jax.lax.dynamic_update_slice(kv_cache["k"], k.astype(kv_cache["k"].dtype), (0, cache_index, 0, 0))
                 v = jax.lax.dynamic_update_slice(kv_cache["v"], v.astype(kv_cache["v"].dtype), (0, cache_index, 0, 0))

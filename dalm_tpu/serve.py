@@ -96,8 +96,13 @@ class RagPipeline:
 
         self.sampler = resolve(sampler)
         self._embed = build_embed_fn(self.retriever, self.r_params)
-        self._spec_gamma = speculative_gamma if (speculative and self.sampler.greedy) else 0
-        if speculative and self.sampler.greedy:
+        if speculative and not self.sampler.greedy:
+            raise ValueError(
+                "speculative=True requires greedy decoding (no sampler / "
+                "temperature 0) — speculative verification is greedy-exact"
+            )
+        self._spec_gamma = speculative_gamma if speculative else 0
+        if speculative:
             # Prompt-lookup speculative decode (models/speculative.py):
             # RAG answers quote passages, so drafts verify in spans — a
             # trained generator measured 3.3 tokens per verification pass.

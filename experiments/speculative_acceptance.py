@@ -76,7 +76,7 @@ def main() -> None:
         )
         got, passes = spec(params, jnp.asarray(ids), jnp.asarray(mask))
         got, passes = np.asarray(got), np.asarray(passes)
-        tpp = args.max_new / passes
+        tpp = args.max_new / np.maximum(passes, 1)  # max-new 1 -> 0 passes
         results[f"gamma={gamma}"] = {
             "exact_vs_greedy": bool(np.array_equal(got, want)),
             "passes_mean": float(passes.mean()),

@@ -389,3 +389,28 @@ def test_speculative_fused_repetitive_accepts(decoder_and_params):
     got = eng.generate_fused(ids, mask)
     for i in range(n):
         assert got[i] == [int(t) for t in expected[i]], f"request {i} diverged"
+
+
+def test_gpt2_speculative_fused_matches_lockstep():
+    """GPT-2 family supports multi-token vector cache writes too (the
+    speculative verification path)."""
+    from dalm_tpu.models.registry import DECODER_PRESETS, build_decoder
+    import dataclasses
+
+    cfg = dataclasses.replace(DECODER_PRESETS["tiny-gpt2"](), vocab_size=128)
+    decoder = build_decoder(cfg)
+    params = unbox(
+        decoder.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, P), jnp.int32), jnp.ones((1, P), jnp.int32)
+        )["params"]
+    )
+    ids, mask = _prompts(5, rng_seed=91)
+    expected = _lockstep(decoder, params, ids, mask, 8)
+    eng = DecodeEngine(
+        decoder, params, num_slots=2, max_prompt_len=P,
+        max_new_tokens=8, eos_token_id=None, pad_token_id=0,
+        speculative_gamma=4,
+    )
+    got = eng.generate_fused(ids, mask)
+    for i in range(5):
+        assert got[i] == [int(t) for t in expected[i]]
