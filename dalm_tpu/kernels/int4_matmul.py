@@ -1,0 +1,206 @@
+"""Pallas int4 weight-dequant matmul (the 4-bit serving tier's hot op).
+
+``y = x @ dequant(q4)`` where q4 is the half-split nibble packing of
+`models/quant.py:quantize_tensor_int4`. The XLA lowering of that
+dequant (bitwise ops + concat + repeat feeding a dot) does NOT fuse —
+it materializes the full dequantized weight matrix in HBM, so a 7B
+decode step pays bf16-weight traffic twice over (measured 130 ms/step
+vs int8's 19.8 ms). This kernel dequantizes per (block_k, block_n)
+tile in VMEM instead: HBM traffic is the PACKED bytes only (0.5
+byte/param + scales), which is the entire point of 4-bit weights on an
+HBM-bound decode.
+
+Grid: (N-blocks parallel, K-blocks arbitrary) with an f32 accumulator
+in scratch carried across the K dimension; each step loads a packed
+(block_k/2, block_n) uint8 tile + its (block_k/group, block_n) scales,
+expands to (block_k, block_n) bf16 in VMEM, and runs the MXU matmul
+against the (M, block_k) activation slice.
+
+Gradient semantics mirror `kernels/int8_matmul.py`: the weights are
+FROZEN storage, so the custom VJP returns ``dx = dy @ Wᵀ`` (computed
+via the XLA dequant fallback — training through int4 is not the target
+path; int8 is the training tier) and symbolic zeros for q4/scales.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _fit(dim: int, want: int) -> int:
+    b = min(want, dim)
+    while b > 1 and dim % b:
+        b //= 2
+    return max(b, 1)
+
+
+def _int4_kernel(x_lo_ref, x_hi_ref, q_ref, s_lo_ref, s_hi_ref, out_ref, acc, *, group: int):
+    """One packed tile holds TWO disjoint K-slices (global half-split:
+    packed[r] = rows r and K/2+r), so each step contracts both."""
+    i = pl.program_id(1)  # packed-block index (innermost, carries acc)
+
+    @pl.when(i == 0)
+    def _init():
+        acc[:] = jnp.zeros_like(acc)
+
+    # int32 bit-arithmetic (uint8 vector shifts don't lower in Mosaic)
+    p32 = q_ref[:].astype(jnp.int32)  # (bh, block_n)
+    lo = ((p32 & 0xF) - 8).astype(jnp.float32)
+    hi = (((p32 >> 4) & 0xF) - 8).astype(jnp.float32)
+
+    def expand(scale_ref):  # (bh/group, bn) -> (bh, bn) via broadcast-reshape
+        sc = scale_ref[:]
+        g_rows, bn = sc.shape
+        return jnp.broadcast_to(sc[:, None, :], (g_rows, group, bn)).reshape(
+            g_rows * group, bn
+        )
+
+    w_lo = (lo * expand(s_lo_ref)).astype(jnp.bfloat16)
+    w_hi = (hi * expand(s_hi_ref)).astype(jnp.bfloat16)
+    acc[:] += jax.lax.dot_general(
+        x_lo_ref[:], w_lo, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    acc[:] += jax.lax.dot_general(
+        x_hi_ref[:], w_hi, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(i == pl.num_programs(1) - 1)
+    def _write():
+        out_ref[:] = acc[:].astype(out_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("block_k", "block_n", "interpret"))
+def _int4_matmul_fwd_pallas(
+    x2, q4, scale4, *, block_k: int = 512, block_n: int = 512, interpret: bool = False
+):
+    """(M, K) f* @ int4-packed (K/2, N) → (M, N) in x.dtype."""
+    M, K = x2.shape
+    half, N = q4.shape
+    assert half * 2 == K, (x2.shape, q4.shape)
+    group = K // scale4.shape[0]
+    # bh = packed rows per tile: a multiple of 8·group (scale tiles need
+    # ≥8 sublanes) that divides K/2, sized against a VMEM budget that
+    # accounts for M (prefill calls arrive with M = batch·prompt_len,
+    # far larger than decode's slot count).
+    unit = 8 * group
+
+    def vmem_cost(bh, bn):
+        # double-buffered x lo+hi (bf16) + packed tile + two bf16 dequant
+        # tiles + f32 acc + scales; rough bytes
+        return 8 * M * bh + 5 * bh * bn + 4 * M * bn + 8 * (bh // group) * bn
+
+    budget = 60 * 1024 * 1024
+    bh = 0
+    bn = _fit(N, block_n)
+    while bn >= 1:
+        want = max(block_k // 2, unit)
+        for cand in range(want - want % unit, 0, -unit):
+            if half % cand == 0 and vmem_cost(cand, bn) <= budget:
+                bh = cand
+                break
+        if bh == 0:
+            t = unit
+            while t <= half:
+                if half % t == 0 and vmem_cost(t, bn) <= budget:
+                    bh = t
+                    break
+                t += unit
+        if bh:
+            break
+        bn //= 2
+        bn = _fit(N, bn)
+    assert bh, f"no lowerable block for K={K}, N={N}, M={M}, group={group}"
+    block_n = bn
+    nk, nn = half // bh, N // block_n
+
+    x_bf = x2.astype(jnp.bfloat16)
+    out = pl.pallas_call(
+        partial(_int4_kernel, group=group),
+        grid=(nn, nk),
+        in_specs=[
+            # x slice of the LOW half rows: block i covers [i*bh, (i+1)*bh)
+            pl.BlockSpec((M, bh), lambda j, i: (0, i), memory_space=pltpu.VMEM),
+            # x slice of the HIGH half rows: offset by nk blocks (= K/2)
+            pl.BlockSpec((M, bh), lambda j, i, nk=nk: (0, i + nk), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bh, block_n), lambda j, i: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (bh // group, block_n), lambda j, i: (i, j), memory_space=pltpu.VMEM
+            ),
+            # hi-half scales: offset by nk blocks (scale rows [K/2g, K/g))
+            pl.BlockSpec(
+                (bh // group, block_n),
+                lambda j, i, nk=nk: (i + nk, j),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec((M, block_n), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, N), x2.dtype),
+        scratch_shapes=[pltpu.VMEM((M, block_n), jnp.float32)],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(x_bf, x_bf, q4, scale4, scale4)
+    return out
+
+
+def _dequant_xla(q4, scale4, dtype):
+    from dalm_tpu.models.quant import dequantize_tensor_int4
+
+    return dequantize_tensor_int4({"q4": q4, "scale4": scale4}, dtype)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def int4_matmul(x, q4, scale4, interpret: bool = False):
+    """``x @ dequant(q4)`` with block-wise VMEM dequant (frozen weights).
+
+    x: (..., K) float; q4: (K/2, N) uint8 half-split nibbles;
+    scale4: (K/group, N) f32. Returns (..., N) in x.dtype.
+    """
+    out, _ = _int4_fwd(x, q4, scale4, interpret)
+    return out
+
+
+def _kernel_feasible(half: int, group: int) -> bool:
+    unit = 8 * group
+    t = unit
+    while t <= half:
+        if half % t == 0:
+            return True
+        t += unit
+    return False
+
+
+def _int4_fwd(x, q4, scale4, interpret):
+    lead = x.shape[:-1]
+    K = x.shape[-1]
+    M = int(np.prod(lead)) if lead else 1
+    group = K // scale4.shape[0]
+    on_tpu = jax.default_backend() == "tpu" and _kernel_feasible(K // 2, group)
+    if on_tpu or interpret:
+        y2 = _int4_matmul_fwd_pallas(x.reshape(M, K), q4, scale4, interpret=interpret)
+    else:
+        y2 = x.reshape(M, K) @ _dequant_xla(q4, scale4, x.dtype)
+    return y2.reshape(*lead, q4.shape[1]), (q4, scale4)
+
+
+def _int4_bwd(interpret, res, dy):
+    q4, scale4 = res
+    # frozen storage: only dx flows; dequant fallback is fine off the hot path
+    w = _dequant_xla(q4, scale4, jnp.bfloat16)
+    dims = (((dy.ndim - 1,), (1,)), ((), ()))
+    dx = jax.lax.dot_general(
+        dy.astype(jnp.bfloat16), w, dims, preferred_element_type=jnp.float32
+    )
+    dq_zero = np.zeros(q4.shape, jax.dtypes.float0)
+    return dx.astype(dy.dtype), dq_zero, jnp.zeros_like(scale4)
+
+
+int4_matmul.defvjp(_int4_fwd, _int4_bwd)

@@ -42,6 +42,27 @@ class FlexLinear(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        if self.has_variable("quant", "q4"):
+            # int4 serving storage (two nibbles/byte, per-group scales).
+            # XLA does NOT fuse the nibble dequant into the matmul (it
+            # materializes the full bf16 weights — measured 6.6x slower
+            # at 7B decode); the Pallas kernel dequantizes per tile in
+            # VMEM so HBM sees only packed bytes. int8_compute does not
+            # apply (no int4 MXU path).
+            from dalm_tpu.kernels.int4_matmul import int4_matmul
+
+            y = int4_matmul(
+                x,
+                self.get_variable("quant", "q4"),
+                self.get_variable("quant", "scale4"),
+            )
+            if self.has_variable("lora", "a"):
+                a = self.get_variable("lora", "a").astype(self.dtype)
+                b = self.get_variable("lora", "b").astype(self.dtype)
+                y = y + (x @ a) @ b
+            if self.use_bias and self.has_variable("quant", "bias"):
+                y = y + self.get_variable("quant", "bias").astype(self.dtype)
+            return y
         quantized = self.has_variable("quant", "q")
         kernel = None
         if quantized and self.int8_compute != "none":

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from dalm_tpu.models.lora import LoraSpec, _target_kernel_paths
-from dalm_tpu.models.quant import quantize_tensor
+from dalm_tpu.models.quant import quantize_tensor, quantize_tensor_int4
 
 logger = logging.getLogger(__name__)
 
@@ -70,7 +70,7 @@ def _del(tree: dict, path: tuple) -> None:
 
 def pack_qlora_frozen(
     params: Any,
-    quantize: bool = True,
+    quantize: "bool | str" = True,
     min_size: int = 4096,
 ) -> Tuple[dict, dict]:
     """Move every large 2-D kernel out of ``params`` into a ``quant`` tree.
@@ -78,7 +78,9 @@ def pack_qlora_frozen(
     Returns (residual_params, quant_tree). Kernels smaller than
     ``min_size`` elements (and all non-kernel leaves) stay in params.
     The quant tree stores int8+scale under the kernel's module path
-    (``quantize=False`` → bf16 storage, bnb-less frozen-base mode).
+    (``quantize=False`` → bf16 storage, bnb-less frozen-base mode;
+    ``quantize="int4"`` → nibble-packed int4 with per-group scales —
+    the serving-storage tier, half int8's HBM bytes).
     """
 
     residual = jax.tree.map(lambda x: x, params)  # shallow-structured copy
@@ -89,7 +91,11 @@ def pack_qlora_frozen(
         if kernel.size < min_size:
             continue
         module_path = path[:-1]  # strip "kernel"
-        if quantize:
+        if quantize == "int4":
+            qt = quantize_tensor_int4(jnp.asarray(kernel))
+            _set(quant, module_path + ("q4",), qt["q4"])
+            _set(quant, module_path + ("scale4",), qt["scale4"])
+        elif quantize:
             qt = quantize_tensor(jnp.asarray(kernel))
             _set(quant, module_path + ("q",), qt["__int8__"])
             _set(quant, module_path + ("scale",), qt["scale"])
@@ -198,12 +204,13 @@ def init_packed_on_device(
     rng: jax.Array,
     example_args: tuple,
     spec: Optional[LoraSpec] = None,
-    quantize: bool = True,
+    quantize: "bool | str" = True,
     min_size: int = 4096,
     dtype=jnp.bfloat16,
     example_kwargs: Optional[dict] = None,
 ) -> Tuple[dict, dict, Optional[dict]]:
     """Like :func:`init_packed_leafwise` but as ONE compiled program.
+    ``quantize``: True = int8, "int4" = nibble-packed 4-bit (serving tier).
 
     Per-leaf host dispatches are latency-bound on tunneled transports
     (hundreds of round trips for a 7B tree); here the whole generate+
@@ -238,7 +245,11 @@ def init_packed_on_device(
             )
             if big_kernel:
                 leaf = (jax.random.normal(sub, struct.shape, jnp.float32) * 0.02).astype(dtype)
-                if quantize:
+                if quantize == "int4":
+                    qt = quantize_tensor_int4(leaf)
+                    _set(quant, module_path + ("q4",), qt["q4"])
+                    _set(quant, module_path + ("scale4",), qt["scale4"])
+                elif quantize:
                     qt = quantize_tensor(leaf)
                     _set(quant, module_path + ("q",), qt["__int8__"])
                     _set(quant, module_path + ("scale",), qt["scale"])

@@ -13,8 +13,14 @@ LoRA-adapted submodel (bnb 4-bit linears aren't trainable either);
 the `Mode` enum gates which submodels are quantized
 (`rag_e2e_base_model.py:61-80`).
 
-int4 (two nibbles/byte) is a planned extension; v5e-class HBM makes int8
-sufficient for 7B + LoRA at the reference's batch sizes.
+int4 (two nibbles per byte, per-group scales along the contraction
+axis) matches the reference's nf4 bit width: half the HBM bytes of
+int8. Measured (7B/8B decode, kernels/int4_matmul.py): the nibble
+dequant is VPU-bound (~37 ms/step regardless of slot count), so int4
+runs ~69% of int8's tokens/sec — it is the CAPACITY tier (2× models or
+model size per chip; llama3-8B int4 = 4.3 GB weights), while int8 is
+the throughput tier and the training tier (the W8A8 MXU path needs
+int8 operands).
 """
 
 from __future__ import annotations
@@ -45,6 +51,62 @@ def quantize_tensor(w: jax.Array) -> Dict[str, jax.Array]:
 
 def dequantize_tensor(q: Dict[str, jax.Array], dtype=jnp.float32) -> jax.Array:
     return (q[QUANT_KEY].astype(jnp.float32) * q["scale"]).astype(dtype)
+
+
+def _int4_group(half: int, want: int = 64) -> int:
+    """Largest group ≤ want whose scale tiles are TPU-lowerable: the
+    Pallas matmul slices (block/group, N) scale tiles whose sublane dim
+    must be ≥8, so prefer groups with half % (8·group) == 0 (e.g. the
+    7B down-projection's K/2 = 5504 = 128·43 forces group 16)."""
+    g = want
+    while g > 1 and half % (8 * g):
+        g //= 2
+    if half % (8 * g) == 0:
+        return g
+    g = want
+    while g > 1 and half % g:
+        g //= 2
+    return max(g, 1)
+
+
+def quantize_tensor_int4(w: jax.Array, group: int = 64) -> Dict[str, jax.Array]:
+    """Symmetric per-(K-group, output-channel) int4: ``w ≈ q * scale``.
+
+    q in [-7, 7], two values per byte in a HALF-SPLIT layout: row r of
+    the first half of K sits in the low nibble of packed[r], row K/2+r
+    in the high nibble (biased by +8). Dequantization is then a single
+    concatenate — no row interleave, which keeps the lowering a plain
+    elementwise + concat program. Scales are (K/group, N) f32 — finer
+    than int8's per-column scale to compensate the 4-bit dynamic range
+    (group recovered as K // scales.shape[0]).
+    """
+    w = w.astype(jnp.float32)
+    K, N = w.shape
+    assert K % 2 == 0, f"int4 packing needs even K (got {K})"
+    # group must divide K/2 so scale groups never straddle the half-split
+    # boundary (the Pallas matmul slices scales per half)
+    group = _int4_group(K // 2, group)
+    wg = w.reshape(K // group, group, N)
+    absmax = jnp.max(jnp.abs(wg), axis=1, keepdims=True)
+    scale = jnp.where(absmax > 0, absmax / 7.0, 1.0)  # (K/group, 1, N)
+    q = jnp.clip(jnp.round(wg / scale), -7, 7).reshape(K, N)
+    stored = (q + 8).astype(jnp.uint8)
+    half = K // 2
+    packed = (stored[:half] | (stored[half:] << 4)).astype(jnp.uint8)  # (K/2, N)
+    return {"q4": packed, "scale4": scale[:, 0, :].astype(jnp.float32)}
+
+
+def dequantize_tensor_int4(d: Dict[str, jax.Array], dtype=jnp.float32) -> jax.Array:
+    packed = d["q4"]
+    scale = d["scale4"]  # (K/group, N)
+    half, N = packed.shape
+    K = half * 2
+    lo = (packed & 0xF).astype(jnp.int32) - 8
+    hi = ((packed >> 4) & 0xF).astype(jnp.int32) - 8
+    q = jnp.concatenate([lo, hi], axis=0).astype(jnp.float32)  # (K, N)
+    group = K // scale.shape[0]
+    deq = q * jnp.repeat(scale, group, axis=0)
+    return deq.astype(dtype)
 
 
 def _is_quantized(node) -> bool:

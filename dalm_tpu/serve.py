@@ -61,7 +61,7 @@ class RagPipeline:
         max_new_tokens: int = 64,
         embed_batch: int = 64,
         index_kernel: str = "auto",  # pallas on TPU, xla elsewhere
-        quantize_generator: bool = False,
+        quantize_generator: "bool | str" = False,  # True = int8, "int4" = 4-bit
         sampler=None,  # models.sampling.SamplerConfig; None = greedy
         speculative: bool = False,  # prompt-lookup speculative decode (greedy only)
         speculative_gamma: int = 8,
@@ -89,7 +89,9 @@ class RagPipeline:
         if quantize_generator:
             from dalm_tpu.models.qlora import pack_qlora_frozen
 
-            self.g_params, g_quant = pack_qlora_frozen(self.g_params, quantize=True)
+            self.g_params, g_quant = pack_qlora_frozen(
+                self.g_params, quantize=quantize_generator
+            )
             self._g_extra = {"quant": g_quant}
 
         from dalm_tpu.models.sampling import resolve

@@ -1,0 +1,73 @@
+"""Pallas int4 weight-dequant matmul (kernels/int4_matmul.py).
+
+Interpret-mode exactness vs the dequantize-then-matmul oracle (same
+values — the kernel computes the identical bf16 dequant per tile), plus
+gradient (dx) semantics and odd block shapes.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dalm_tpu.kernels.int4_matmul import int4_matmul
+from dalm_tpu.models.quant import dequantize_tensor_int4, quantize_tensor_int4
+
+
+def _case(M, K, N, seed=0, group=64):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.normal(size=(M, K)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(K, N)), jnp.float32) * 0.05
+    d = quantize_tensor_int4(w, group=group)
+    return x, d
+
+
+@pytest.mark.parametrize("M,K,N", [(8, 256, 128), (4, 512, 384), (16, 128, 256)])
+def test_matches_dequant_oracle(M, K, N):
+    x, d = _case(M, K, N, seed=M)
+    got = int4_matmul(x, d["q4"], d["scale4"], True)
+    want = x.astype(jnp.bfloat16) @ dequantize_tensor_int4(d, jnp.bfloat16)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want, np.float32), rtol=2e-2, atol=2e-2
+    )
+
+
+def test_small_group():
+    x, d = _case(4, 96, 128, seed=7, group=64)  # 96 -> group falls back to 32
+    got = int4_matmul(x, d["q4"], d["scale4"], True)
+    want = x.astype(jnp.bfloat16) @ dequantize_tensor_int4(d, jnp.bfloat16)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want, np.float32), rtol=2e-2, atol=2e-2
+    )
+
+
+def test_3d_batch_and_gradient():
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 4, 256)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(256, 128)), jnp.float32) * 0.05
+    d = quantize_tensor_int4(w)
+    got = int4_matmul(x, d["q4"], d["scale4"], True)
+    assert got.shape == (2, 4, 128)
+
+    wd = dequantize_tensor_int4(d, jnp.float32)
+
+    def f(x):
+        return jnp.sum(int4_matmul(x, d["q4"], d["scale4"], True) ** 2)
+
+    def f_ref(x):
+        return jnp.sum((x @ wd) ** 2)
+
+    gx = jax.grad(f)(x)
+    gref = jax.grad(f_ref)(x)
+    denom = float(jnp.abs(gref).max())
+    assert float(jnp.abs(gx - gref).max()) / denom < 0.05
+
+
+def test_no_grad_into_storage():
+    x, d = _case(4, 128, 64, seed=9)
+
+    def f(scale4):
+        return jnp.sum(int4_matmul(x, d["q4"], scale4, True))
+
+    g = jax.grad(f)(d["scale4"])
+    assert float(jnp.abs(g).max()) == 0.0

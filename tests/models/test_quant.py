@@ -66,3 +66,105 @@ def test_encoder_quality_preserved():
     quant = np.asarray(model.embed(qparams, ids, mask))
     cos = (full * quant).sum(-1)
     assert (cos > 0.999).all(), cos
+
+
+def test_int4_roundtrip_accuracy():
+    """Per-group int4: error bounded by half a quantization step of the
+    group absmax (scale = absmax/7)."""
+    import numpy as np
+
+    from dalm_tpu.models.quant import dequantize_tensor_int4, quantize_tensor_int4
+
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.normal(size=(256, 96)), jnp.float32)
+    d = quantize_tensor_int4(w, group=64)
+    assert d["q4"].shape == (128, 96) and d["q4"].dtype == jnp.uint8
+    n_groups = d["scale4"].shape[0]
+    group = 256 // n_groups
+    deq = dequantize_tensor_int4(d)
+    err = np.abs(np.asarray(deq - w))
+    gmax = np.abs(np.asarray(w)).reshape(n_groups, group, 96).max(axis=1)
+    bound = np.repeat(gmax / 7.0 * 0.5 + 1e-6, group, axis=0)
+    assert (err <= bound).all()
+
+
+def test_int4_group_fallback():
+    """K not divisible by 64 falls back to a smaller group."""
+    import numpy as np
+
+    from dalm_tpu.models.quant import dequantize_tensor_int4, quantize_tensor_int4
+
+    w = jnp.asarray(np.random.default_rng(1).normal(size=(96, 32)), jnp.float32)
+    d = quantize_tensor_int4(w, group=64)  # K/2=48 needs 8*g | 48 -> g=2
+    assert d["scale4"].shape[0] == 96 // 2
+    deq = dequantize_tensor_int4(d)
+    assert deq.shape == (96, 32)
+    assert float(jnp.max(jnp.abs(deq - w))) < float(jnp.max(jnp.abs(w))) / 7.0
+
+
+def test_flexlinear_int4_path():
+    import numpy as np
+
+    from dalm_tpu.models.layers import FlexLinear
+    from dalm_tpu.models.quant import dequantize_tensor_int4, quantize_tensor_int4
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(4, 128)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(128, 64)), jnp.float32) * 0.05
+    quant = quantize_tensor_int4(w)
+    got = FlexLinear(64).apply({"params": {}, "quant": quant}, x)
+    want = x @ dequantize_tensor_int4(quant)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6)
+
+    lora = {
+        "a": jnp.asarray(rng.normal(size=(128, 4)), jnp.float32) * 0.1,
+        "b": jnp.asarray(rng.normal(size=(4, 64)), jnp.float32) * 0.1,
+    }
+    with_lora = FlexLinear(64).apply({"params": {}, "quant": quant, "lora": lora}, x)
+    np.testing.assert_allclose(
+        np.asarray(with_lora - got), np.asarray((x @ lora["a"]) @ lora["b"]),
+        rtol=1e-4, atol=1e-5,
+    )
+
+
+def test_int4_packed_decode_matches_lockstep():
+    """Engine with int4 `quant` storage == lockstep generate with the
+    same packed collections (the 4-bit serving tier)."""
+    import numpy as np
+
+    from dalm_tpu.core.mesh import unbox
+    from dalm_tpu.models.decode_engine import DecodeEngine
+    from dalm_tpu.models.decoder import Decoder, DecoderConfig
+    from dalm_tpu.models.generate import build_greedy_generate
+    from dalm_tpu.models.qlora import pack_qlora_frozen
+
+    P = 16
+    decoder = Decoder(DecoderConfig.tiny(vocab_size=128))
+    params = unbox(
+        decoder.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, P), jnp.int32), jnp.ones((1, P), jnp.int32)
+        )["params"]
+    )
+    residual, quant = pack_qlora_frozen(params, quantize="int4", min_size=1)
+    rng = np.random.default_rng(3)
+    ids = np.zeros((5, P), np.int32)
+    mask = np.zeros((5, P), np.int32)
+    for i in range(5):
+        real = int(rng.integers(3, P))
+        ids[i, P - real :] = rng.integers(5, 120, size=real)
+        mask[i, P - real :] = 1
+    gen = build_greedy_generate(
+        decoder, 5, eos_token_id=None, pad_token_id=0,
+        extra_collections={"quant": quant},
+    )
+    expected = np.asarray(gen(residual, jnp.asarray(ids), jnp.asarray(mask)))
+    eng = DecodeEngine(
+        decoder, residual, num_slots=2, max_prompt_len=P,
+        max_new_tokens=5, eos_token_id=None, pad_token_id=0, decode_chunk=2,
+        extra_collections={"quant": quant},
+    )
+    got = eng.generate(ids, mask)
+    got_f = eng.generate_fused(ids, mask)
+    for i in range(5):
+        assert got[i] == [int(t) for t in expected[i]]
+        assert got_f[i] == [int(t) for t in expected[i]]
