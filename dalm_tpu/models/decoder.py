@@ -89,6 +89,16 @@ class DecoderConfig:
         )
 
     @staticmethod
+    def llama2_13b() -> "DecoderConfig":
+        # Serves on one 16 GB chip ONLY via the int4 capacity tier
+        # (weights ~6.5 GB packed; bf16 would need 26 GB).
+        return DecoderConfig(
+            vocab_size=32000, hidden_size=5120, num_layers=40, num_heads=40,
+            intermediate_size=13824, max_position_embeddings=4096,
+            remat=True, param_dtype=jnp.bfloat16,
+        )
+
+    @staticmethod
     def qwen25_7b() -> "DecoderConfig":
         # Qwen2.5-7B (the reference's QA-gen default model,
         # `/root/reference/dalm/datasets/qa_gen/question_answer_generation.py:20`):

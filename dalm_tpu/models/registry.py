@@ -41,6 +41,7 @@ DECODER_PRESETS = {
     "tiny-decoder": DecoderConfig.tiny,
     "llama2-7b": DecoderConfig.llama2_7b,
     "llama3-8b": DecoderConfig.llama3_8b,
+    "llama2-13b": DecoderConfig.llama2_13b,
     "mistral-7b": DecoderConfig.mistral_7b,
     "qwen2.5-7b": DecoderConfig.qwen25_7b,
     "tiny-gpt2": GPT2Config.tiny,

@@ -168,3 +168,12 @@ def test_int4_packed_decode_matches_lockstep():
     for i in range(5):
         assert got[i] == [int(t) for t in expected[i]]
         assert got_f[i] == [int(t) for t in expected[i]]
+
+
+def test_13b_preset_registered():
+    from dalm_tpu.models.decoder import DecoderConfig
+    from dalm_tpu.models.registry import DECODER_PRESETS
+
+    cfg = DECODER_PRESETS["llama2-13b"]()
+    assert cfg.hidden_size == 5120 and cfg.num_layers == 40
+    assert cfg is not None and isinstance(cfg, DecoderConfig)
