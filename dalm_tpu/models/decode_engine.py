@@ -154,6 +154,41 @@ class DecodeEngine:
             state = (cache, tok, pos, write_pos, slot_mask)
             return state, jnp.moveaxis(toks, 0, 1)  # (B, chunk)
 
+        def verify_step(variables, state, active, draft, rem):
+            """Speculative verification for the HOST-LOOP schedulers: the
+            host computes per-slot prompt-lookup drafts from its own
+            token bookkeeping (it already holds every emitted token) and
+            the device verifies gamma+1 tokens in one forward.
+
+            draft: (B, G) int32; rem: (B,) remaining budget per slot.
+            Returns (state, emit (B, G+1), m (B,)) — emit[:m] are the
+            committed tokens (host applies EOS trimming; budget is
+            capped HERE so device write positions never outrun it).
+            """
+            cache, tok, pos, write_pos, slot_mask = state
+            G = draft.shape[1]
+            inputs = jnp.concatenate([tok[:, None], draft], axis=1)
+            positions = pos[:, None] + jnp.arange(G + 1)[None, :]
+            logits, cache = decoder.apply(
+                variables, inputs, slot_mask,
+                positions=positions, kv_cache=cache, cache_index=write_pos,
+            )
+            greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B, G+1)
+            ok = draft == greedy[:, :G]
+            acc = jnp.cumprod(ok.astype(jnp.int32), axis=1).sum(axis=1)
+            m = jnp.where(active, jnp.minimum(acc + 1, jnp.maximum(rem, 0)), 0)
+            j = jnp.arange(G + 1)[None, :]
+            emit = jnp.where(j < acc[:, None], jnp.pad(draft, ((0, 0), (0, 1))), greedy)
+            emit_last = jnp.take_along_axis(emit, jnp.clip(m - 1, 0, G)[:, None], axis=1)[:, 0]
+            state = (
+                cache,
+                jnp.where(m > 0, emit_last, tok),
+                pos + m,
+                write_pos + m,
+                slot_mask,
+            )
+            return state, emit, m
+
         def fused_schedule(variables, input_ids, attention_mask, caps, req_ids):
             """The ENTIRE continuous-batching schedule as one XLA program.
 
@@ -370,6 +405,7 @@ class DecodeEngine:
 
         self._admit_jit = jax.jit(admit_step)
         self._decode = jax.jit(decode_chunk_fn)
+        self._verify = jax.jit(verify_step)
         self._fused = jax.jit(fused_schedule)
 
         self._vars = {"params": params, **self.extra}
@@ -382,6 +418,25 @@ class DecodeEngine:
         )
 
     # ---- host-side scheduling -------------------------------------------
+    def host_draft(self, history: "np.ndarray", ngram: int = 2) -> "np.ndarray":
+        """Prompt-lookup draft for ONE row: ``history`` is the 1-D token
+        array [prompt tokens | emitted tokens] (no pads). Returns (G,)
+        int32 — the tokens after the most recent previous occurrence of
+        the trailing n-gram; falls back to repeating the last token."""
+        G = self.spec_gamma
+        n = len(history)
+        if n >= 2 * ngram:
+            cur = history[n - ngram :]
+            # most recent previous occurrence, scanning backwards
+            for start in range(n - 2 * ngram, -1, -1):
+                if (history[start : start + ngram] == cur).all():
+                    d = history[start + ngram : start + ngram + G]
+                    if len(d) < G:
+                        d = np.concatenate([d, np.full(G - len(d), history[-1], np.int32)])
+                    return d.astype(np.int32)
+        return np.full(G, history[-1], np.int32)
+
+
     def generate(
         self,
         input_ids: np.ndarray,
@@ -405,6 +460,8 @@ class DecodeEngine:
             if budgets is None
             else np.minimum(np.asarray(budgets, np.int64), self.max_new)
         )
+        if self.spec_gamma:
+            return self._generate_speculative(input_ids, attention_mask, caps)
         results: List[Optional[List[int]]] = [None] * N
         pending = deque()
         for req in range(N):
@@ -523,6 +580,99 @@ class DecodeEngine:
             in_flight = next_flight
             if in_flight is None and unsettled is None and not pending and not (slot_req >= 0).any():
                 break
+        return results  # type: ignore[return-value]
+
+    def _generate_speculative(self, input_ids, attention_mask, caps) -> List[List[int]]:
+        """Host-loop schedule with speculative verification steps.
+
+        Synchronous rounds (no one-deep pipeline): each round's drafts
+        and remaining budgets must reflect the device's true position —
+        and each readback now yields ~(accepted+1) tokens per slot
+        instead of one chunk, so the multi-token commit amortizes the
+        transport RTT that the pipeline existed to hide."""
+        N = input_ids.shape[0]
+        G = self.spec_gamma
+        B = self.num_slots
+        results: List[Optional[List[int]]] = [None] * N
+        pending = deque(r for r in range(N) if caps[r] > 0)
+        for r in range(N):
+            if caps[r] <= 0:
+                results[r] = []
+        slot_req = np.full(B, -1, np.int64)
+        slot_toks: List[List[int]] = [[] for _ in range(B)]
+        real_prompts = [
+            input_ids[r][attention_mask[r] > 0].astype(np.int32) for r in range(N)
+        ]
+
+        def finish(slot):
+            results[slot_req[slot]] = slot_toks[slot][: caps[slot_req[slot]]]
+            slot_req[slot] = -1
+            slot_toks[slot] = []
+
+        def admit_sync():
+            free = np.flatnonzero(slot_req == -1)
+            m = min(len(free), len(pending))
+            if m == 0:
+                return
+            reqs = [pending.popleft() for _ in range(m)]
+            slots = free[:m]
+            ids = np.zeros((B, self.P), np.int32)
+            mask = np.zeros((B, self.P), np.int32)
+            mask[:, -1] = 1
+            slot_ids = np.full((B,), B, np.int32)
+            valid = np.zeros((B,), bool)
+            req_arr = np.zeros((B,), np.int32)
+            ids[:m] = input_ids[reqs]
+            mask[:m] = attention_mask[reqs]
+            slot_ids[:m] = slots
+            valid[:m] = True
+            req_arr[:m] = reqs
+            self.state, first_tok = self._admit_jit(
+                self._vars, self.state,
+                jnp.asarray(ids), jnp.asarray(mask),
+                jnp.asarray(slot_ids), jnp.asarray(valid), jnp.asarray(req_arr),
+            )
+            first_tok = np.asarray(first_tok)
+            for j, (req, slot) in enumerate(zip(reqs, slots)):
+                slot_req[slot] = req
+                first = int(first_tok[j])
+                if self.eos is not None and first == self.eos:
+                    finish(slot)
+                    continue
+                slot_toks[slot].append(first)
+                if len(slot_toks[slot]) >= caps[req]:
+                    finish(slot)
+
+        while True:
+            admit_sync()
+            active_mask = slot_req >= 0
+            if not active_mask.any():
+                if not pending:
+                    break
+                continue
+            drafts = np.zeros((B, G), np.int32)
+            rem = np.zeros((B,), np.int32)
+            for slot in np.flatnonzero(active_mask):
+                req = slot_req[slot]
+                hist = np.concatenate([real_prompts[req], np.asarray(slot_toks[slot], np.int32)])
+                drafts[slot] = self.host_draft(hist)
+                rem[slot] = caps[req] - len(slot_toks[slot])
+            self.state, emit, m = self._verify(
+                self._vars, self.state, jnp.asarray(active_mask),
+                jnp.asarray(drafts), jnp.asarray(rem),
+            )
+            emit, m = np.asarray(emit), np.asarray(m)
+            for slot in np.flatnonzero(active_mask):
+                req = slot_req[slot]
+                for t in emit[slot][: m[slot]]:
+                    t = int(t)
+                    if self.eos is not None and t == self.eos:
+                        finish(slot)
+                        break
+                    slot_toks[slot].append(t)
+                    if len(slot_toks[slot]) >= caps[req]:
+                        finish(slot)
+                        break
         return results  # type: ignore[return-value]
 
     def generate_fused(

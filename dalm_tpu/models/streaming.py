@@ -108,6 +108,11 @@ class StreamingEngine:
 
     The engine must not be used by anything else while the server runs
     (the scheduler owns ``engine.state``). ``submit`` is thread-safe.
+
+    A ``speculative_gamma`` engine still streams correctly here but in
+    single-token steps (the streaming scheduler optimizes time-to-first-
+    token; the speculative multi-token commits live in
+    ``DecodeEngine.generate`` / ``generate_fused``).
     """
 
     def __init__(self, engine: DecodeEngine, idle_poll_s: float = 0.02):

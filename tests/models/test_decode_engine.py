@@ -414,3 +414,41 @@ def test_gpt2_speculative_fused_matches_lockstep():
     got = eng.generate_fused(ids, mask)
     for i in range(5):
         assert got[i] == [int(t) for t in expected[i]]
+
+
+@pytest.mark.parametrize("num_slots,n_req", [(2, 7), (3, 8)])
+def test_speculative_host_loop_matches_lockstep(decoder_and_params, num_slots, n_req):
+    """spec_gamma > 0 on the HOST-LOOP path: the host computes drafts
+    from its own bookkeeping, the device verifies; outputs == lockstep
+    greedy through slot recycling."""
+    decoder, params = decoder_and_params
+    ids, mask = _prompts(n_req, rng_seed=400 + n_req)
+    max_new = 10
+    expected = _lockstep(decoder, params, ids, mask, max_new)
+    eng = DecodeEngine(
+        decoder, params, num_slots=num_slots, max_prompt_len=P,
+        max_new_tokens=max_new, eos_token_id=None, pad_token_id=0,
+        speculative_gamma=5,
+    )
+    got = eng.generate(ids, mask)
+    for i in range(n_req):
+        assert got[i] == [int(t) for t in expected[i]], f"request {i} diverged"
+
+
+def test_speculative_host_loop_eos_budgets(decoder_and_params):
+    decoder, params = decoder_and_params
+    ids, mask = _prompts(9, rng_seed=442)
+    max_new = 8
+    ref_free = _lockstep(decoder, params, ids, mask, max_new)
+    vals, counts = np.unique(ref_free[:, 1:], return_counts=True)
+    eos = int(vals[np.argmax(counts)])
+    budgets = [8, 3, 0, 5, 1, 8, 2, 8, 4]
+    eng = DecodeEngine(
+        decoder, params, num_slots=3, max_prompt_len=P,
+        max_new_tokens=max_new, eos_token_id=eos, pad_token_id=0,
+        speculative_gamma=4,
+    )
+    got = eng.generate(ids, mask, budgets=budgets)
+    for i in range(9):
+        want = _trim(ref_free[i], eos, budgets[i])
+        assert got[i] == want, f"request {i} diverged"
