@@ -53,10 +53,12 @@ class ShardedDenseIndex:
     def __init__(
         self, mesh: Mesh, embeddings: jax.Array, num_real: int, kernel: str = "auto",
         scales: jax.Array | None = None,
+        int4: bool = False,
     ):
         self.mesh = mesh
         self.embeddings = embeddings  # (N_pad, D), row-sharded; int8 when scales given
         self.scales = scales  # (N_pad, 1) f32 per-row dequant scales (int8 mode)
+        self.int4 = int4  # embeddings are (N_pad, D/2) half-split nibbles
         self.num_real = num_real
         if kernel == "auto":  # Pallas on TPU, XLA elsewhere
             kernel = "pallas" if jax.default_backend() == "tpu" else "xla"
@@ -75,12 +77,14 @@ class ShardedDenseIndex:
         embeddings: np.ndarray | jax.Array,
         dtype=jnp.float32,
         kernel: str = "auto",
-        quantize: bool = False,
+        quantize: "bool | str" = False,
     ) -> "ShardedDenseIndex":
         """``quantize=True``: store rows as symmetric int8 + per-row f32
         scale — 2× the corpus per HBM byte and half the scan DMA, at the
         cost of int8 score resolution (top-k is exact w.r.t. the
-        quantized index). Not compatible with the async refresher (which
+        quantized index). ``quantize="int4"``: half-split nibble packing
+        along D — 4× the corpus per HBM byte, quarter the DMA, int4
+        score resolution. Not compatible with the async refresher (which
         updates full-precision rows in place)."""
         n, d = embeddings.shape
         shards = cls.num_shards(mesh)
@@ -92,6 +96,19 @@ class ShardedDenseIndex:
             pad = np.zeros((n_pad - n, d), dtype=embeddings.dtype)
             embeddings = np.concatenate([embeddings, pad], axis=0)
         sharding = NamedSharding(mesh, P(INDEX_AXES, None))
+        if quantize == "int4":
+            assert d % 2 == 0, "int4 index needs an even embedding dim"
+            e = np.asarray(embeddings, np.float32)
+            absmax = np.max(np.abs(e), axis=1, keepdims=True)
+            scale = np.where(absmax > 0, absmax / 7.0, 1.0).astype(np.float32)
+            q = (np.clip(np.round(e / scale), -7, 7).astype(np.int32) + 8)
+            packed = (q[:, : d // 2] | (q[:, d // 2 :] << 4)).astype(np.uint8)
+            device_embs = jax.device_put(jnp.asarray(packed), sharding)
+            device_scales = jax.device_put(jnp.asarray(scale), sharding)
+            return cls(
+                mesh, device_embs, num_real=n, kernel=kernel,
+                scales=device_scales, int4=True,
+            )
         if quantize:
             e = np.asarray(embeddings, np.float32)
             absmax = np.max(np.abs(e), axis=1, keepdims=True)
@@ -108,6 +125,11 @@ class ShardedDenseIndex:
         int8 indexes are re-quantized on the way in."""
         n, d = embeddings.shape
         sharding = NamedSharding(self.mesh, P(INDEX_AXES, None))
+        if self.int4:
+            raise NotImplementedError(
+                "int4 indexes are rebuilt, not refreshed in place "
+                "(ShardedDenseIndex.build(quantize='int4'))"
+            )
         if self.scales is not None:
             e = np.asarray(jax.device_get(embeddings), np.float32)
             if n == self.num_real and self.embeddings.shape[0] != n:
@@ -155,6 +177,7 @@ class ShardedDenseIndex:
         per_shard = n_pad // shards
         use_pallas = self.kernel == "pallas"
         int8_mode = self.scales is not None
+        int4_mode = self.int4
 
         def local_topk(q, emb_shard, scale_shard=None):
             """Per-device: (Q, D) x (rows, D) → top-k local (scores, ids)."""
@@ -166,11 +189,16 @@ class ShardedDenseIndex:
                 local_valid = jnp.clip(num_real - row_offset, 0, per_shard)
                 s, i = fused_dot_topk(
                     q, emb_shard, min(k, per_shard), num_valid=local_valid,
-                    scales=scale_shard,
+                    scales=scale_shard, int4=int4_mode,
                 )
             else:
                 e = emb_shard
-                if int8_mode:
+                if int4_mode:
+                    p32 = e.astype(jnp.int32)
+                    e = jnp.concatenate(
+                        [(p32 & 0xF) - 8, ((p32 >> 4) & 0xF) - 8], axis=1
+                    ).astype(q.dtype)
+                elif int8_mode:
                     e = e.astype(q.dtype)
                 scores = jax.lax.dot_general(
                     q, e,

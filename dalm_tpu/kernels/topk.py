@@ -105,7 +105,28 @@ def _topk_kernel_q8(
     _fold_and_finalize(j, scores, valid_ref, out_s_ref, out_i_ref, best_s, best_i, k=k, block_rows=block_rows)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "block_rows", "interpret"))
+def _topk_kernel_q4(
+    valid_ref, q_ref, e_ref, scale_ref, out_s_ref, out_i_ref, best_s, best_i, *, k: int, block_rows: int
+):
+    """int4-storage variant: rows are nibble-packed along D in a
+    HALF-SPLIT layout (col d and D/2+d share a byte) — unpack is a
+    column concat. 4× corpus per HBM byte, quarter the scan DMA.
+    int32 bit-arithmetic (uint8 vector shifts don't lower in Mosaic)."""
+    j = pl.program_id(0)
+    p32 = e_ref[:].astype(jnp.int32)  # (B_N, D/2)
+    lo = ((p32 & 0xF) - 8)
+    hi = (((p32 >> 4) & 0xF) - 8)
+    w = jnp.concatenate([lo, hi], axis=1).astype(jnp.bfloat16)  # (B_N, D)
+    scores = jax.lax.dot_general(
+        q_ref[:], w,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    scores = scores * scale_ref[:].reshape(1, block_rows)
+    _fold_and_finalize(j, scores, valid_ref, out_s_ref, out_i_ref, best_s, best_i, k=k, block_rows=block_rows)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "block_rows", "interpret", "int4"))
 def fused_dot_topk(
     queries: jax.Array,
     embeddings: jax.Array,
@@ -114,6 +135,7 @@ def fused_dot_topk(
     block_rows: int = 4096,
     interpret: bool = False,
     scales: jax.Array | None = None,
+    int4: bool = False,
 ):
     """Exact top-k inner-product search over one shard.
 
@@ -124,7 +146,8 @@ def fused_dot_topk(
       k: winners per query.
       num_valid: scalar int — rows beyond this score -inf (padding).
       scales: (rows, 1) f32 per-row dequantization scales; when given,
-        ``embeddings`` is int8 storage (2× HBM capacity, half the DMA).
+        ``embeddings`` is int8 storage (2× HBM capacity, half the DMA) —
+        or half-split int4 nibbles (4×/quarter) when ``int4=True``.
     Returns (scores (Q, k) f32, local row ids (Q, k) i32).
     """
     nq, d = queries.shape
@@ -136,13 +159,15 @@ def fused_dot_topk(
     num_valid = jnp.asarray(num_valid, jnp.int32).reshape((1,))
 
     int8_mode = scales is not None
+    e_cols = d // 2 if int4 else d
     in_specs = [
         pl.BlockSpec((nq, d), lambda j, *_: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((block_rows, d), lambda j, *_: (j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_rows, e_cols), lambda j, *_: (j, 0), memory_space=pltpu.VMEM),
     ]
     operands = [num_valid, queries, embeddings]
     if int8_mode:
-        kernel = functools.partial(_topk_kernel_q8, k=k, block_rows=block_rows)
+        base = _topk_kernel_q4 if int4 else _topk_kernel_q8
+        kernel = functools.partial(base, k=k, block_rows=block_rows)
         in_specs.append(
             pl.BlockSpec((block_rows, 1), lambda j, *_: (j, 0), memory_space=pltpu.VMEM)
         )

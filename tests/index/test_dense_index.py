@@ -122,3 +122,32 @@ def test_int8_refresh_requantizes(mesh):
     assert index.embeddings.dtype == np.int8
     scores, ids = index.search(new[:4], 1)
     assert (ids[:, 0] == np.arange(4)).all()  # self-retrieval on new rows
+
+
+def test_int4_index_matches_dequantized_oracle(mesh):
+    """quantize="int4": top-k exact w.r.t. the 4-bit index (oracle =
+    brute force on the dequantized rows); refresh-in-place refuses."""
+    import ml_dtypes
+    import pytest
+
+    rng = np.random.default_rng(11)
+    embs = rng.normal(size=(500, 64)).astype(np.float32)
+    embs /= np.linalg.norm(embs, axis=1, keepdims=True)
+    queries = rng.normal(size=(9, 64)).astype(np.float32)
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+
+    index = ShardedDenseIndex.build(mesh, embs, quantize="int4")
+    assert index.embeddings.dtype == np.uint8
+    assert index.embeddings.shape[1] == 32  # D/2 packed columns
+    scores, ids = index.search(queries, 10)
+
+    absmax = np.max(np.abs(embs), axis=1, keepdims=True)
+    scale = np.where(absmax > 0, absmax / 7.0, 1.0)
+    deq = np.clip(np.round(embs / scale), -7, 7) * scale
+    q16 = queries.astype(ml_dtypes.bfloat16).astype(np.float32)
+    o_scores = q16 @ deq.T
+    o_ids = np.argsort(-o_scores, axis=1, kind="stable")[:, :10]
+    np.testing.assert_array_equal(np.asarray(ids), o_ids)
+
+    with pytest.raises(NotImplementedError):
+        index.refresh(embs)

@@ -79,3 +79,31 @@ def test_int8_variant_matches_dequantized_oracle():
     o_scores, o_ids = _oracle(q16, deq[:400], K)
     np.testing.assert_array_equal(np.asarray(i), o_ids)
     np.testing.assert_allclose(np.asarray(s), o_scores, rtol=2e-2, atol=1e-3)
+
+
+def test_int4_variant_matches_dequantized_oracle():
+    """int4=True: half-split nibble rows; kernel scores equal brute force
+    on the dequantized rows (bf16 matmul resolution)."""
+    import ml_dtypes
+
+    rng = np.random.default_rng(6)
+    rows, D, Q, K = 512, 128, 8, 10
+    embs = rng.normal(size=(rows, D)).astype(np.float32)
+    embs /= np.linalg.norm(embs, axis=1, keepdims=True)
+    queries = rng.normal(size=(Q, D)).astype(np.float32)
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+
+    absmax = np.max(np.abs(embs), axis=1, keepdims=True)
+    scale = np.where(absmax > 0, absmax / 7.0, 1.0).astype(np.float32)
+    q = np.clip(np.round(embs / scale), -7, 7).astype(np.int32) + 8
+    packed = (q[:, : D // 2] | (q[:, D // 2 :] << 4)).astype(np.uint8)
+
+    s, i = fused_dot_topk(
+        jnp.asarray(queries, jnp.bfloat16), jnp.asarray(packed), K,
+        num_valid=400, block_rows=128, interpret=True,
+        scales=jnp.asarray(scale), int4=True,
+    )
+    deq = ((q - 8).astype(ml_dtypes.bfloat16).astype(np.float32)) * scale
+    q16 = queries.astype(ml_dtypes.bfloat16).astype(np.float32)
+    o_scores, o_ids = _oracle(q16, deq[:400], K)
+    np.testing.assert_array_equal(np.asarray(i), o_ids)
