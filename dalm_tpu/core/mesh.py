@@ -85,8 +85,14 @@ def batch_sharding(mesh: Mesh, ndim: int = 2) -> NamedSharding:
 def put_batch(batch: Mapping[str, Any], mesh: Mesh, dtype=None) -> dict:
     """Device-put a dict of host arrays with the batch axis over ``data``.
 
-    One ``device_put`` call for the whole pytree: on latency-bound
-    transports (tunneled PJRT) per-column puts cost a round trip each.
+    Single-process: one ``device_put`` call for the whole pytree (on
+    latency-bound transports — tunneled PJRT — per-column puts cost a
+    round trip each). Multi-process (pod): ``batch`` holds only this
+    host's rows (from ``epoch_batches(process_shard=True)``) and the
+    global array is assembled with
+    ``jax.make_array_from_process_local_data`` — the DDP scale-out twin
+    of the reference's per-rank DataLoader shard
+    (`train_rage2e.py:416-418`), but over DCN+ICI instead of NCCL.
     """
     import numpy as np
 
@@ -96,7 +102,25 @@ def put_batch(batch: Mapping[str, Any], mesh: Mesh, dtype=None) -> dict:
         arr = np.asarray(v, dtype if dtype is not None else None)
         arrays[k] = arr
         shardings[k] = batch_sharding(mesh, arr.ndim)
-    return jax.device_put(arrays, shardings)
+    return put_sharded(arrays, shardings)
+
+
+def put_sharded(arrays: Mapping[str, Any], shardings: Mapping[str, NamedSharding]) -> dict:
+    """Place host arrays under the given shardings, multi-host aware.
+
+    Single-process → one ``device_put``. Multi-process → each host
+    contributes its local rows via
+    ``jax.make_array_from_process_local_data`` (the arrays passed in are
+    per-process local data; dims this process fully owns are global).
+    """
+    if jax.process_count() > 1:
+        import numpy as np
+
+        return {
+            k: jax.make_array_from_process_local_data(shardings[k], np.asarray(arrays[k]))
+            for k in arrays
+        }
+    return jax.device_put(dict(arrays), dict(shardings))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

@@ -14,9 +14,12 @@ shard of the batch. These helpers wrap that contract:
   writes, metric streams) the way the reference gated on
   ``accelerator.is_main_process`` (`train_rage2e.py:291-295`).
 
-Single-host semantics are identity, so every trainer works unchanged;
-multi-host runs call ``initialize_distributed()`` first and pass
-``process_shard=True`` to the batch iterator.
+Single-host semantics are identity, so every trainer works unchanged.
+All three trainers call ``initialize_distributed()`` before building
+their mesh and switch the batch iterator to ``process_shard=True`` when
+``jax.process_count() > 1``; see ``docs/multihost.md`` for the pod
+runbook and ``tests/test_multihost.py`` for the real two-process
+validation run.
 """
 
 from __future__ import annotations
@@ -80,3 +83,22 @@ def global_batch_from_local(local_rows: np.ndarray, mesh, spec) -> jax.Array:
     return jax.make_array_from_process_local_data(
         NamedSharding(mesh, spec), np.asarray(local_rows)
     )
+
+
+def fetch_global(tree):
+    """Fetch a (possibly sharded) array pytree fully to this host.
+
+    Single-process this is ``jax.device_get``. Multi-process, arrays may
+    have non-addressable shards on other hosts, so a collective
+    ``process_allgather`` assembles the full value on every host first
+    (all processes MUST call this together — it is a collective). Used
+    by the trainers' final ``save_pretrained`` paths, where the write
+    itself is then gated on :func:`is_main_process`, mirroring the
+    reference's ``accelerator.is_main_process`` +
+    ``unwrap_model().save_pretrained`` (`train_rage2e.py:508-524`).
+    """
+    if jax.process_count() == 1:
+        return jax.device_get(tree)
+    from jax.experimental import multihost_utils
+
+    return jax.device_get(multihost_utils.process_allgather(tree, tiled=True))

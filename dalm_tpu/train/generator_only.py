@@ -32,7 +32,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from dalm_tpu.core.dtypes import parse_dtype
-from dalm_tpu.core.mesh import MeshConfig, make_mesh, put_batch, replicated, unbox
+from dalm_tpu.core.mesh import MeshConfig, make_mesh, put_batch, put_sharded, replicated, unbox
+from dalm_tpu.core.multihost import (
+    fetch_global,
+    host_batch_slice,
+    initialize_distributed,
+    is_main_process,
+)
 from dalm_tpu.data.sft import (
     chars_token_ratio,
     create_datasets,
@@ -97,6 +103,10 @@ def train_generator(
         k: v for k, v in locals().items()
         if v is None or isinstance(v, (float, int, str, bool))
     }
+    # Pod scale-out: join the multi-process world before the mesh is
+    # built (jax.devices() is global after this). No-op single-host.
+    initialize_distributed()
+    multihost = jax.process_count() > 1
     if mesh is None:
         mesh = make_mesh(MeshConfig())
     global_batch = per_device_train_batch_size * mesh.shape["data"]
@@ -285,7 +295,11 @@ def train_generator(
             arrays = {k: np.asarray(v, np.int32) for k, v in d.items()}
             if _cp_perm is not None:
                 arrays = {k: v[:, _cp_perm] for k, v in arrays.items()}
-            return jax.device_put(arrays, {k: _cp_sharding for k in arrays})
+            # multi-host CP note: each process feeds its local batch rows
+            # with the full sequence — valid when the `model` (CP) axis
+            # is host-local, the standard layout (CP over ICI, DP over
+            # DCN); jax raises on a host-spanning CP axis.
+            return put_sharded(arrays, {k: _cp_sharding for k in arrays})
     else:
         def _put(d):
             return put_batch(d, mesh, np.int32)
@@ -296,15 +310,20 @@ def train_generator(
         losses = []
         ebs = per_device_eval_batch_size * mesh.shape["data"]
         for s in range(0, len(valid_blocks) - ebs + 1, ebs):
-            batch = _put(
-                {"input_ids": valid_blocks[s : s + ebs], "attention_mask": valid_masks[s : s + ebs]}
-            )
+            blk = valid_blocks[s : s + ebs]
+            msk = valid_masks[s : s + ebs]
+            if multihost:
+                hs = host_batch_slice(ebs)
+                blk, msk = blk[hs], msk[hs]
+            batch = _put({"input_ids": blk, "attention_mask": msk})
             losses.append(float(eval_step(params, base_params, batch)))
         return float(np.mean(losses)) if losses else float("nan")
 
+    # Host-side metric streams come from process 0 only.
     tracker = MetricsLogger(
         output_dir, project_name=run_name, config=args,
-        report_to=log_with or "all", enabled=log_with is not None or output_dir is not None,
+        report_to=log_with or "all",
+        enabled=(log_with is not None or output_dir is not None) and is_main_process(),
     )
     timer = WindowedThroughput()
 
@@ -317,12 +336,24 @@ def train_generator(
         # per-(seed, epoch) stream: resume-stable shuffle order
         order = np.random.default_rng([seed, epoch]).permutation(len(train_blocks))
         shards = mesh.shape["data"]
+        if multihost:
+            # partial batches must also split evenly across processes
+            shards = math.lcm(shards, jax.process_count())
         for s in range(0, len(train_blocks), global_batch):
             idx = order[s : s + global_batch]
             if len(idx) % shards:
-                idx = idx[: (len(idx) // shards) * shards]
+                dropped = len(idx) % shards
+                idx = idx[: len(idx) - dropped]
+                logger.warning(
+                    "dropping %d trailing row(s): partial batch not a multiple "
+                    "of %d data shards", dropped, shards,
+                )
                 if len(idx) == 0:
                     continue
+            if multihost:
+                # every process walks the same global order; each feeds
+                # only its contiguous row share of the global batch
+                idx = idx[host_batch_slice(len(idx))]
             batch = _put({"input_ids": train_blocks[idx], "attention_mask": train_masks[idx]})
             step_rng = jax.random.fold_in(noise_rng, completed)
             state, loss = train_step(state, base_params, batch, step_rng)
@@ -363,15 +394,22 @@ def train_generator(
 
 def _save(out_dir, cfg, state, base_params, lora_spec, tok, tokenizer_name, use_peft,
           export_peft=False, base_name=""):
+    # fetch_global is a collective (all processes call _save together);
+    # the file writes land on process 0 only.
+    main = is_main_process()
     if use_peft:
         from dalm_tpu.models import lora as lora_mod
 
-        save_pretrained(out_dir, cfg, jax.device_get(base_params), extra={"tokenizer": tokenizer_name})
-        flat = jax.device_get(state.params)
-        lora_mod.save_adapter(out_dir, flat, lora_spec)
-        if export_peft:
-            from dalm_tpu.models.hf_loader import export_peft_if_supported
+        base_host = fetch_global(base_params)
+        flat = fetch_global(state.params)
+        if main:
+            save_pretrained(out_dir, cfg, base_host, extra={"tokenizer": tokenizer_name})
+            lora_mod.save_adapter(out_dir, flat, lora_spec)
+            if export_peft:
+                from dalm_tpu.models.hf_loader import export_peft_if_supported
 
-            export_peft_if_supported(out_dir, flat, lora_spec, cfg, base_name)
+                export_peft_if_supported(out_dir, flat, lora_spec, cfg, base_name)
     else:
-        save_pretrained(out_dir, cfg, jax.device_get(state.params), extra={"tokenizer": tokenizer_name})
+        params_host = fetch_global(state.params)
+        if main:
+            save_pretrained(out_dir, cfg, params_host, extra={"tokenizer": tokenizer_name})

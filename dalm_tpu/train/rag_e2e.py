@@ -38,6 +38,7 @@ from datasets import Dataset
 
 from dalm_tpu.core.dtypes import parse_dtype
 from dalm_tpu.core.mesh import MeshConfig, make_mesh, put_batch, replicated, unbox
+from dalm_tpu.core.multihost import fetch_global, initialize_distributed, is_main_process
 from dalm_tpu.data.loading import load_dataset
 from dalm_tpu.data.preprocess import preprocess_rag_e2e_dataset
 from dalm_tpu.data.tokenizer import resolve_tokenizer
@@ -135,6 +136,12 @@ def train_e2e(
     peft_mode = Mode(use_peft) if use_peft is not None else None
     quant_mode = Mode(use_bnb) if use_bnb is not None else None
 
+    # Pod scale-out: join the multi-process world before the mesh is
+    # built (jax.devices() is global after this). No-op single-host.
+    # Twin of the reference's `accelerate launch` DDP contract
+    # (`train_rage2e.py:416-418`, total-batch math `:370`).
+    initialize_distributed()
+    multihost = jax.process_count() > 1
     if mesh is None:
         mesh = make_mesh(MeshConfig(model=model_parallel))
     global_batch = per_device_train_batch_size * mesh.shape["data"]
@@ -646,9 +653,11 @@ def train_e2e(
         )
         logger.info("live index: %d unique passages, slice %d", len(p_ids), index_refresh_slice)
 
+    # Host-side metric streams come from process 0 only (the reference
+    # gated trackers on `accelerator.is_main_process`).
     tracker = MetricsLogger(
         output_dir, project_name="rag_e2e_training", config=args,
-        report_to=report_to, enabled=with_tracking,
+        report_to=report_to, enabled=with_tracking and is_main_process(),
     )
     timer = WindowedThroughput()
     from dalm_tpu.core.profiling import Profiler
@@ -704,7 +713,7 @@ def train_e2e(
         timer.mark(completed_steps)
         for batch_np in epoch_batches(
             processed, batch_columns, global_batch, rng=epoch_rng, skip_batches=skip_batches,
-            multiple_of=mesh.shape["data"],
+            multiple_of=mesh.shape["data"], process_shard=multihost,
         ):
             batch = put_batch(batch_np, mesh, np.int32)
             step_rng = jax.random.fold_in(
@@ -740,8 +749,12 @@ def train_e2e(
                     step=completed_steps,
                 )
             if stepped and checkpoint_every and completed_steps % checkpoint_every == 0 and output_dir:
+                # Orbax saves are collective: every process calls save
+                # (each writes its addressable shards); only the pruning
+                # rmtree is main-process-gated.
                 ckpt.save_state(output_dir, f"step_{completed_steps}", state)
-                ckpt.prune_checkpoints(output_dir, keep_last=3)
+                if is_main_process():
+                    ckpt.prune_checkpoints(output_dir, keep_last=3)
                 timer.mark(completed_steps)  # exclude ckpt I/O from throughput windows
             if completed_steps >= max_train_steps:
                 break
@@ -758,6 +771,11 @@ def train_e2e(
 
     if output_dir:
         # Split save (`train_rage2e.py:508-524`): retriever/ and generator/.
+        # fetch_global calls are collectives — every process walks the
+        # identical branch sequence — while the file writes land on
+        # process 0 only (the reference's `accelerator.is_main_process`
+        # gate, `train_rage2e.py:291-295`).
+        main = is_main_process()
         for sub, cfg, tok_name in (
             ("retriever", r_cfg, retriever_tokenizer),
             ("generator", g_cfg, generator_tokenizer),
@@ -774,20 +792,17 @@ def train_e2e(
                         full_base = qlora_mod.unpack_to_params(
                             base_frozen[sub], fused_quant[sub]
                         )
-                    save_pretrained(
-                        sub_dir, cfg, jax.device_get(full_base),
-                        extra={"tokenizer": tok_name},
+                    base_host = fetch_global(full_base)
+                    flat = qlora_mod.factors_to_flat(
+                        fetch_global(state.params[sub]), lora_specs[sub]
                     )
-                    flat = qlora_mod.factors_to_flat(jax.device_get(state.params[sub]), lora_specs[sub])
-                    lora_mod.save_adapter(sub_dir, flat, lora_specs[sub])
                 else:
-                    save_pretrained(
-                        sub_dir, cfg, jax.device_get(base_frozen[sub]),
-                        extra={"tokenizer": tok_name},
-                    )
-                    flat = jax.device_get(state.params[sub])
+                    base_host = fetch_global(base_frozen[sub])
+                    flat = fetch_global(state.params[sub])
+                if main:
+                    save_pretrained(sub_dir, cfg, base_host, extra={"tokenizer": tok_name})
                     lora_mod.save_adapter(sub_dir, flat, lora_specs[sub])
-                if export_peft:
+                if export_peft and main:
                     from dalm_tpu.models.hf_loader import export_peft_if_supported
 
                     name = (
@@ -796,10 +811,9 @@ def train_e2e(
                     )
                     export_peft_if_supported(sub_dir, flat, lora_specs[sub], cfg, name)
             else:
-                save_pretrained(
-                    sub_dir, cfg, jax.device_get(state.params[sub]),
-                    extra={"tokenizer": tok_name},
-                )
+                params_host = fetch_global(state.params[sub])
+                if main:
+                    save_pretrained(sub_dir, cfg, params_host, extra={"tokenizer": tok_name})
     profiler.close()
     tracker.close()
     result = {

@@ -29,6 +29,7 @@ from datasets import Dataset
 
 from dalm_tpu.core.dtypes import parse_dtype
 from dalm_tpu.core.mesh import MeshConfig, make_mesh, put_batch, replicated
+from dalm_tpu.core.multihost import fetch_global, initialize_distributed, is_main_process
 from dalm_tpu.data.loading import load_dataset
 from dalm_tpu.data.preprocess import preprocess_retriever_dataset
 from dalm_tpu.data.tokenizer import resolve_tokenizer
@@ -97,6 +98,12 @@ def train_retriever(
         if v is None or isinstance(v, (float, int, str, bool))
     }
 
+    # Pod scale-out: join the multi-process world before the mesh is
+    # built (jax.devices() is global after this). No-op single-host.
+    # Twin of the reference's `accelerate launch` DDP contract
+    # (`train_retriever_only.py:255-263` via Accelerator()).
+    initialize_distributed()
+    multihost = jax.process_count() > 1
     if mesh is None:
         mesh = make_mesh(MeshConfig(model=model_parallel))
     data_shards = mesh.shape["data"]
@@ -221,9 +228,11 @@ def train_retriever(
         new_state = state.apply_gradients(grads)
         return new_state, loss
 
+    # Host-side metric streams come from process 0 only (the reference
+    # gated trackers on `accelerator.is_main_process`).
     tracker = MetricsLogger(
         output_dir, project_name="peft_contrastive_training", config=args,
-        report_to=report_to, enabled=with_tracking,
+        report_to=report_to, enabled=with_tracking and is_main_process(),
     )
     timer = WindowedThroughput()
     from dalm_tpu.core.profiling import Profiler
@@ -267,7 +276,7 @@ def train_retriever(
         timer.mark(completed_steps)
         for batch_np in epoch_batches(
             processed, BATCH_COLUMNS, global_batch, rng=epoch_rng, skip_batches=skip_batches,
-            multiple_of=mesh.shape["data"],
+            multiple_of=mesh.shape["data"], process_shard=multihost,
         ):
             batch = put_batch(batch_np, mesh, np.int32)
             step_rng = jax.random.fold_in(
@@ -289,8 +298,12 @@ def train_retriever(
                 logger.info("epoch %d step %d loss %.4f", epoch, completed_steps, final_loss)
                 tracker.log({"train/loss": final_loss}, step=completed_steps)
             if stepped and checkpoint_every and completed_steps % checkpoint_every == 0 and output_dir:
+                # Orbax saves are collective: every process calls save
+                # (each writes its addressable shards); only the pruning
+                # rmtree is main-process-gated.
                 ckpt.save_state(output_dir, f"step_{completed_steps}", state)
-                ckpt.prune_checkpoints(output_dir, keep_last=3)
+                if is_main_process():
+                    ckpt.prune_checkpoints(output_dir, keep_last=3)
                 timer.mark(completed_steps)  # exclude ckpt I/O from throughput windows
             if completed_steps >= max_train_steps:
                 break
@@ -311,26 +324,33 @@ def train_retriever(
         # stays frozen and the adapter is saved alongside (the reference's
         # peft save_pretrained saves only the adapter).
         retriever_dir = os.path.join(output_dir, "retriever")
+        # fetch_global is a collective (all processes call it together);
+        # the file writes themselves happen on process 0 only.
         if use_peft:
             from dalm_tpu.models import lora as lora_mod
 
-            save_pretrained(
-                retriever_dir, model_cfg, jax.device_get(base_params),
-                extra={"tokenizer": tokenizer, "is_autoregressive": is_autoregressive},
-            )
-            lora_mod.save_adapter(retriever_dir, jax.device_get(state.params), lora_spec)
-            if export_peft:
-                from dalm_tpu.models.hf_loader import export_peft_if_supported
-
-                export_peft_if_supported(
-                    retriever_dir, jax.device_get(state.params), lora_spec,
-                    model_cfg, retriever_name_or_path,
+            base_host = fetch_global(base_params)
+            adapter_host = fetch_global(state.params)
+            if is_main_process():
+                save_pretrained(
+                    retriever_dir, model_cfg, base_host,
+                    extra={"tokenizer": tokenizer, "is_autoregressive": is_autoregressive},
                 )
+                lora_mod.save_adapter(retriever_dir, adapter_host, lora_spec)
+                if export_peft:
+                    from dalm_tpu.models.hf_loader import export_peft_if_supported
+
+                    export_peft_if_supported(
+                        retriever_dir, adapter_host, lora_spec,
+                        model_cfg, retriever_name_or_path,
+                    )
         else:
-            save_pretrained(
-                retriever_dir, model_cfg, jax.device_get(state.params),
-                extra={"tokenizer": tokenizer, "is_autoregressive": is_autoregressive},
-            )
+            params_host = fetch_global(state.params)
+            if is_main_process():
+                save_pretrained(
+                    retriever_dir, model_cfg, params_host,
+                    extra={"tokenizer": tokenizer, "is_autoregressive": is_autoregressive},
+                )
     profiler.close()
     tracker.close()
     return {

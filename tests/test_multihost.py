@@ -1,0 +1,169 @@
+"""Multi-host (pod-scale) training wiring.
+
+Two layers of coverage for the DDP scale-out contract the reference gets
+from `accelerate launch` (`train_rage2e.py:416-418`, total-batch math
+`:370`):
+
+1. Unit tests of the per-host slicing with a mocked process world —
+   `host_batch_slice` + `epoch_batches(process_shard=True)` must
+   partition every global batch into equal contiguous host shares whose
+   concatenation reproduces the single-process batch exactly (same
+   seeded order, same bookkeeping).
+
+2. A REAL 2-process `jax.distributed` run (gloo CPU collectives, 2
+   local devices per process = 4 global) driving the actual
+   `train_retriever` trainer end-to-end, asserted against a
+   single-process 4-device run of the identical config: same loss to fp
+   tolerance (DP-invariance), checkpoint + final artifacts written once.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+
+from dalm_tpu.core import multihost
+from dalm_tpu.train.data_iter import epoch_batches
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, "tests", "multihost_worker.py")
+
+
+def _mock_world(monkeypatch, count: int, index: int) -> None:
+    monkeypatch.setattr(jax, "process_count", lambda: count)
+    monkeypatch.setattr(jax, "process_index", lambda: index)
+
+
+class TestHostBatchSlice:
+    def test_partitions_batch(self, monkeypatch):
+        rows = np.arange(24)
+        seen = []
+        for pid in range(3):
+            _mock_world(monkeypatch, 3, pid)
+            s = multihost.host_batch_slice(24)
+            seen.append(rows[s])
+        np.testing.assert_array_equal(np.concatenate(seen), rows)
+
+    def test_single_process_identity(self, monkeypatch):
+        _mock_world(monkeypatch, 1, 0)
+        assert multihost.host_batch_slice(8) == slice(0, 8)
+
+
+class TestProcessShardIterator:
+    def _dataset(self, n=20):
+        return {"a": np.arange(n), "b": np.arange(n) * 10}
+
+    def _run(self, monkeypatch, count, index, **kw):
+        class DS:
+            def __init__(self, table):
+                self.table = table
+
+            def __len__(self):
+                return len(next(iter(self.table.values())))
+
+            def __getitem__(self, c):
+                return self.table[c]
+
+        _mock_world(monkeypatch, count, index)
+        rng = np.random.default_rng(7)
+        return list(
+            epoch_batches(DS(self._dataset()), ("a", "b"), 8, rng=rng, **kw)
+        )
+
+    def test_shards_concat_to_global(self, monkeypatch):
+        globals_ = self._run(monkeypatch, 1, 0, multiple_of=4)
+        h0 = self._run(monkeypatch, 2, 0, multiple_of=4, process_shard=True)
+        h1 = self._run(monkeypatch, 2, 1, multiple_of=4, process_shard=True)
+        assert len(h0) == len(h1) == len(globals_)
+        for g, a, b in zip(globals_, h0, h1):
+            np.testing.assert_array_equal(np.concatenate([a["a"], b["a"]]), g["a"])
+            np.testing.assert_array_equal(np.concatenate([a["b"], b["b"]]), g["b"])
+
+    def test_partial_batch_splits_evenly(self, monkeypatch):
+        # 20 rows, batch 8 → trailing global batch of 4 rows, 2 per host
+        h0 = self._run(monkeypatch, 2, 0, process_shard=True)
+        h1 = self._run(monkeypatch, 2, 1, process_shard=True)
+        assert len(h0[-1]["a"]) == len(h1[-1]["a"]) == 2
+
+    def test_skip_batches_is_global_units(self, monkeypatch):
+        full = self._run(monkeypatch, 2, 0, process_shard=True)
+        skipped = self._run(monkeypatch, 2, 0, process_shard=True, skip_batches=1)
+        assert len(skipped) == len(full) - 1
+        np.testing.assert_array_equal(skipped[0]["a"], full[1]["a"])
+
+    def test_indivisible_batch_truncated_to_lcm(self, monkeypatch):
+        # multiple_of=3 with 2 processes → every batch a multiple of 6
+        h0 = self._run(monkeypatch, 2, 0, multiple_of=3, process_shard=True)
+        _mock_world(monkeypatch, 1, 0)
+        for b in h0:
+            assert (len(b["a"]) * 2) % 6 == 0
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _spawn(args):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("XLA_FLAGS", None)  # workers pick device counts via jax config
+    return subprocess.Popen(
+        [sys.executable, WORKER, *map(str, args)],
+        env=env, cwd=REPO,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+
+
+@pytest.mark.slow
+def test_two_process_training_matches_single_process(toy_csv, tmp_path):
+    """Real 2-process gloo run of train_retriever == 1-process run."""
+    port = _free_port()
+    mh_out = str(tmp_path / "mh")
+    sp_out = str(tmp_path / "sp")
+    r0, r1 = str(tmp_path / "r0.json"), str(tmp_path / "r1.json")
+    rs = str(tmp_path / "rs.json")
+
+    # 2 processes x 2 local devices = 4 global devices
+    procs = [
+        _spawn([0, 2, port, toy_csv, mh_out, r0, 2]),
+        _spawn([1, 2, port, toy_csv, mh_out, r1, 2]),
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=420)
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
+
+    # single-process twin: 1 process x 4 devices, identical config
+    sp = _spawn([0, 1, _free_port(), toy_csv, sp_out, rs, 4])
+    out, _ = sp.communicate(timeout=420)
+    assert sp.returncode == 0, f"single-process twin failed:\n{out[-3000:]}"
+
+    a, b, s = (json.load(open(f)) for f in (r0, r1, rs))
+    assert a["process_count"] == b["process_count"] == 2
+    assert a["global_devices"] == b["global_devices"] == 4
+    assert s["global_devices"] == 4
+
+    # every process reports the same replicated loss, and the same number
+    # of steps (bookkeeping is host-count independent)
+    assert a["steps"] == b["steps"] == s["steps"]
+    assert np.isfinite(a["final_loss"])
+    np.testing.assert_allclose(a["final_loss"], b["final_loss"], rtol=1e-5)
+
+    # DP-invariance: 2x2 == 1x4 to fp tolerance (reduction-order noise)
+    np.testing.assert_allclose(a["final_loss"], s["final_loss"], rtol=1e-4)
+
+    # artifacts written exactly once (process 0): final save + metrics
+    assert os.path.exists(os.path.join(mh_out, "retriever", "params.msgpack"))
+    assert os.path.isdir(os.path.join(mh_out, "epoch_0"))
+    metrics = [f for f in os.listdir(mh_out) if f.endswith("metrics.jsonl")]
+    assert len(metrics) == 1
