@@ -26,11 +26,17 @@ Intentional fixes vs the reference (SURVEY.md §7.4):
 - the domain tokenizer trains on all documents (see
   `dalm_tpu/data/spm.py`).
 
-Templates here are first-party banks (several per task mode) — smaller
-than the reference's but covering the same modes: classify / generate /
-connective-choice / relation for NLI, cause↔effect QA, paraphrase
-classify+generate, keyword framing, title/summary tasks, and
-text-completion.
+Templates here are first-party banks covering the same modes at
+comparable richness (NLI: 19 classify + 7 generate vs the reference's
+~30/7; cause-effect 9+8; paraphrase 6+8; word2text 8; summarize 7+7;
+completion 7; 5 intro lines): classify / generate / connective-choice /
+relation for NLI, cause↔effect QA, paraphrase classify+generate,
+keyword framing, title/summary tasks, and text-completion.
+
+Titles: the reference's summarize machinery supports document titles
+(`regex_based.py:778-806`) but its driver hardwires ``title=None``
+(`:1132-1134`); here ``title_column`` routes a CSV title column through
+``generate()`` so title tasks actually appear in generated corpora.
 """
 
 from __future__ import annotations
@@ -143,6 +149,17 @@ class NLIMiner(BaseMiner):
                 ("Premise: {premise}\nHypothesis: {hypothesis}\nDoes the premise support the hypothesis?", "{answer}"),
                 ('Text: {premise}\nIs the statement "{hypothesis}" consistent with the text?\nAnswer:', "{answer}"),
                 ('Read: {premise}\nTrue, false, or unknown — "{hypothesis}"?\n{options_}', "{answer}"),
+                ('Suppose "{premise}" holds. Does it follow that "{hypothesis}"?\n{options_}', "{answer}"),
+                ('If someone told you "{premise}", would "{hypothesis}" also be true?\n{options_}', "{answer}"),
+                ("Statement: {premise}\nClaim: {hypothesis}\nIs the claim justified by the statement?", "{answer}"),
+                ('Based only on "{premise}", is the following accurate?\n{hypothesis}\n{options_}', "{answer}"),
+                ("Here is some text: {premise}\nDoes it imply this?\n{hypothesis}", "{answer}"),
+                (
+                    "Consider:\n(a) {premise}\n(b) {hypothesis}\nCan (b) be inferred from (a)?\n{options_}",
+                    "{answer}",
+                ),
+                ('Given the context "{premise}", answer yes, no, or maybe:\nIs "{hypothesis}" true?', "{answer}"),
+                ("Question: does the first sentence entail the second?\n1) {premise}\n2) {hypothesis}", "{answer}"),
                 (
                     "Sentence A: {premise}\nSentence B: {hypothesis}\nWhich word best joins A to B — "
                     "Therefore, However, or Moreover?",
@@ -153,8 +170,27 @@ class NLIMiner(BaseMiner):
                     "{connect_answer}",
                 ),
                 (
+                    '"{premise}" ... "{hypothesis}"\nWhat fits in between — Therefore, However, or Moreover?',
+                    "{connect_answer}",
+                ),
+                (
+                    "Choose the best transition word for these two sentences "
+                    "(Therefore / However / Moreover):\n{premise}\n{hypothesis}",
+                    "{connect_answer}",
+                ),
+                (
                     'How are these sentences related — Entailment, Neutral, or Contradictory?\n'
                     "First: {premise}\nSecond: {hypothesis}",
+                    "{relation_answer}",
+                ),
+                (
+                    "Label the pair as Entailment, Neutral, or Contradictory.\n"
+                    "Premise: {premise}\nHypothesis: {hypothesis}\nLabel:",
+                    "{relation_answer}",
+                ),
+                (
+                    'What is the logical relation between "{premise}" and "{hypothesis}" — '
+                    "Entailment, Neutral, or Contradictory?",
                     "{relation_answer}",
                 ),
             ]
@@ -165,6 +201,14 @@ class NLIMiner(BaseMiner):
                 'Write a follow-up sentence for "{premise}" starting from the word "{verbalizer}".',
                 "{hypothesis}",
             ),
+            ('Complete the passage: "{premise} {verbalizer}, ..."', "{hypothesis}"),
+            ("{premise}\nWhat sentence naturally follows, beginning with {verbalizer}?", "{hypothesis}"),
+            (
+                "Extend the following so the next sentence starts with "
+                '"{verbalizer}":\n{premise}',
+                "{hypothesis}",
+            ),
+            ("Finish the thought: {premise} {verbalizer},", "{hypothesis}"),
         ]
 
 
@@ -199,11 +243,21 @@ class CauseEffectMiner(BaseMiner):
                 ("{cause}\nWhat is the likely effect?", "{effect}"),
                 ('State a consequence of "{cause}".', "{effect}"),
                 ("{cause}\nEffect:", "{effect}"),
+                ('Given "{cause}", what happens as a result?', "{effect}"),
+                ("Cause: {cause}\nWhat is the resulting outcome?", "{effect}"),
+                ('If "{cause}", then what?', "{effect}"),
+                ("{cause}\nTherefore:", "{effect}"),
+                ('Describe an outcome that follows when {cause}', "{effect}"),
             ]
         return [
             ('What could explain "{effect}"?', "{cause}"),
             ("{effect}\nWhat is the likely cause?", "{cause}"),
             ("{effect}\nCause:", "{cause}"),
+            ('Why might it be the case that "{effect}"?', "{cause}"),
+            ("Effect: {effect}\nWhat brought this about?", "{cause}"),
+            ('Give a plausible reason for: "{effect}"', "{cause}"),
+            ("{effect}\nThis happened because:", "{cause}"),
+            ('What underlying condition leads to "{effect}"?', "{cause}"),
         ]
 
 
@@ -228,11 +282,32 @@ class ParaphraseMiner(BaseMiner):
                     "Sentence 1: {sentence1}\nSentence 2: {sentence2}\nAre they paraphrases?",
                     "Yes",
                 ),
+                (
+                    'Is "{sentence2}" a rewording of "{sentence1}"?',
+                    "Yes, they express the same meaning.",
+                ),
+                (
+                    "Compare:\nA. {sentence1}\nB. {sentence2}\nDo A and B convey the same information?",
+                    "Yes",
+                ),
+                (
+                    'Would you say these statements are equivalent?\n- {sentence1}\n- {sentence2}',
+                    "Yes, they are equivalent.",
+                ),
+                (
+                    "Here are two sentences:\n{sentence1}\n{sentence2}\nSame meaning or different?",
+                    "Same meaning",
+                ),
             ]
         return [
             ('Restate this in other words: "{sentence1}"', "{sentence2}"),
             ("{sentence1}\nIn other words:", "{sentence2}"),
             ('Paraphrase: "{sentence1}"', "{sentence2}"),
+            ('Say this differently: "{sentence1}"', "{sentence2}"),
+            ("Rewrite the following without changing its meaning:\n{sentence1}", "{sentence2}"),
+            ("{sentence1}\nThat is to say:", "{sentence2}"),
+            ('How else could one phrase "{sentence1}"?', "{sentence2}"),
+            ("Express the same idea in a new sentence: {sentence1}", "{sentence2}"),
         ]
 
 
@@ -268,6 +343,11 @@ class Word2TextMiner(BaseMiner):
             ("Write a sentence from the domain using the terms {keywords}.", "{sentence}"),
             ("Compose one sentence that includes all of: {keywords}.", "{sentence}"),
             ("Concepts: {keywords}\nUse them together in a sentence:", "{sentence}"),
+            ("Produce a technical sentence that mentions {keywords}.", "{sentence}"),
+            ("Here are some domain terms: {keywords}\nPut them into one sentence.", "{sentence}"),
+            ("Build a sentence around the following vocabulary: {keywords}", "{sentence}"),
+            ("Using every one of these words — {keywords} — write a sentence.", "{sentence}"),
+            ("Show how {keywords} relate by using them in a single sentence.", "{sentence}"),
         ]
 
 
@@ -277,10 +357,20 @@ class SummarizeTask:
     templates_with_title = [
         ("{context}\n\nGive this article a short title.", "{title}"),
         ("What would be a fitting headline for the article above?\n{context}", "{title}"),
+        ("{context}\n\nPropose a title for this text.", "{title}"),
+        ("{context}\n\nWhat would you name this article?", "{title}"),
+        ("Suggest a one-line heading for the following:\n{context}", "{title}"),
+        ("{context}\n\nSummarize the article above in a few words.\nTitle:", "{title}"),
+        ("{context}\n\nWhat is this document called?", "{title}"),
     ]
     templates_no_title = [
         ("{context}\n\nSummarize the article above in one or two sentences.", "{summary}"),
         ("{context}\n\nWhat are the key points of this text?", "{summary}"),
+        ("{context}\n\nGive a brief summary of the passage.", "{summary}"),
+        ("{context}\n\nCondense the above into a short statement.", "{summary}"),
+        ("State the main idea of the following text:\n{context}", "{summary}"),
+        ("{context}\n\nIn short, what does this text say?", "{summary}"),
+        ("{context}\n\nTL;DR:", "{summary}"),
     ]
 
 
@@ -290,6 +380,11 @@ class TextCompletionTask:
     templates = [
         ("{head}\n\nHow does the text continue?", "{tail}"),
         ("{head}\n\nComplete the passage:", "{tail}"),
+        ("{head}\n\nWrite the next part of this text.", "{tail}"),
+        ("Here is the start of a passage:\n{head}\n\nFinish it.", "{tail}"),
+        ("{head}\n\nWhat comes next?", "{tail}"),
+        ("Continue from where this leaves off:\n{head}", "{tail}"),
+        ("{head}\n\nProvide the remainder of the article:", "{tail}"),
     ]
 
 
@@ -398,8 +493,17 @@ class RegexBasedReadingComprehension:
         return [" ".join(words[i : i + budget]) for i in range(0, len(words), budget)] or [text]
 
     def generate(self, entry: Dict[str, Any]) -> Dict[str, Any]:
-        """One raw text → RC conversations for EVERY chunk."""
+        """One raw text → RC conversations for EVERY chunk.
+
+        ``entry["title"]`` (optional) routes the summarize wrapper to the
+        title template bank — the reference carries the same machinery
+        (`regex_based.py:778-806`) but its driver always passes
+        ``title=None`` (`:1132-1134`); here a CSV title column flows
+        through (``title_column``), so title tasks actually appear in
+        generated corpora.
+        """
         seed = entry["text_id"]
+        title = entry.get("title")
         conversations = []
         for chunk in self._chunks(entry["text"], MAX_SEQ_LEN - 200):
             sents = segment(chunk)
@@ -412,17 +516,26 @@ class RegexBasedReadingComprehension:
                     random.Random(seed).shuffle(examples)
                     for ex in examples[:MAX_PER_SUBCATEGORY]:
                         demos.append(miner.format_demo(ex, seed))
-            conversation, _ = self.formatter.compose(chunk, demos, sents, None, seed)
+            conversation, _ = self.formatter.compose(chunk, demos, sents, title, seed)
             conversations.append(conversation)
         return {"read_compre": conversations, "file_name": entry["file_name"]}
 
     def dataset_generator(
-        self, input_dir_or_file: str, column: Optional[str] = None, workers: int = 1
+        self,
+        input_dir_or_file: str,
+        column: Optional[str] = None,
+        workers: int = 1,
+        title_column: Optional[str] = None,
     ) -> Iterator[Tuple[int, str, List[Dict[str, str]]]]:
-        raw = [
-            {"text": content.strip(), "text_id": i, "file_name": name}
-            for i, (name, content) in enumerate(input_generator(input_dir_or_file, column))
-        ]
+        raw = []
+        for i, item in enumerate(
+            input_generator(input_dir_or_file, column, title_column=title_column)
+        ):
+            name, content = item[0], item[1]
+            title = item[2] if len(item) > 2 else None
+            raw.append(
+                {"text": content.strip(), "text_id": i, "file_name": name, "title": title}
+            )
         logger.info("mining reading comprehension from %d texts...", len(raw))
         if workers > 1:
             with ProcessPoolExecutor(max_workers=workers) as pool:
@@ -441,6 +554,7 @@ def generate_rc_dataset(
     domain_vocab,
     output_dataset_name: Optional[str] = None,
     workers: int = 1,
+    title_column: Optional[str] = None,
 ):
     """End-to-end helper mirroring the reference `main` (`:1204-1262`)."""
     import datasets as hf_datasets
@@ -448,7 +562,9 @@ def generate_rc_dataset(
     rc = RegexBasedReadingComprehension(general_vocab, domain_vocab)
     rows = [
         {"messages": conversation}
-        for _, _, conversation in rc.dataset_generator(input_dir_or_file, csv_column, workers)
+        for _, _, conversation in rc.dataset_generator(
+            input_dir_or_file, csv_column, workers, title_column=title_column
+        )
     ]
     ds = hf_datasets.Dataset.from_list(rows)
     if output_dataset_name:

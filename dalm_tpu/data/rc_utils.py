@@ -29,35 +29,51 @@ logger = logging.getLogger(__name__)
 
 # ---- input iteration (`utils.py:14-58`) ----------------------------------
 
-def input_generator(directory_or_file: str, csv_column: Optional[str] = None) -> Iterator[Tuple[str, str]]:
-    """Yield (name, text) from a file, CSV column, or directory of files."""
+def input_generator(
+    directory_or_file: str,
+    csv_column: Optional[str] = None,
+    title_column: Optional[str] = None,
+) -> Iterator[Tuple]:
+    """Yield (name, text) from a file, CSV column, or directory of files.
+
+    With ``title_column`` set, yields (name, text, title) — title is the
+    CSV row's title cell (None for plain files), feeding the RC
+    generator's title template bank.
+    """
     if os.path.isfile(directory_or_file):
         if directory_or_file.endswith(".csv") and csv_column:
-            yield from _iter_csv(directory_or_file, csv_column)
+            yield from _iter_csv(directory_or_file, csv_column, title_column)
         elif not csv_column:
-            yield from _iter_plain(directory_or_file)
+            yield from _iter_plain(directory_or_file, title_column)
         else:
             raise ValueError("CSV column specified for non-CSV file")
     elif os.path.isdir(directory_or_file):
         for name in sorted(os.listdir(directory_or_file)):
             path = os.path.join(directory_or_file, name)
             if path.endswith(".csv") and csv_column:
-                yield from _iter_csv(path, csv_column)
+                yield from _iter_csv(path, csv_column, title_column)
             elif not path.endswith(".csv"):
-                yield from _iter_plain(path)
+                yield from _iter_plain(path, title_column)
     else:
         raise ValueError("The input should be a directory or a file.")
 
 
-def _iter_csv(path: str, column: str) -> Iterator[Tuple[str, str]]:
+def _iter_csv(path: str, column: str, title_column: Optional[str] = None) -> Iterator[Tuple]:
     with open(path, newline="", encoding="utf-8") as f:
         for index, row in enumerate(csv.DictReader(f)):
-            yield os.path.basename(path) + str(index), row[column]
+            name = os.path.basename(path) + str(index)
+            if title_column is not None:
+                yield name, row[column], row.get(title_column)
+            else:
+                yield name, row[column]
 
 
-def _iter_plain(path: str) -> Iterator[Tuple[str, str]]:
+def _iter_plain(path: str, title_column: Optional[str] = None) -> Iterator[Tuple]:
     with open(path, encoding="utf-8", errors="replace") as f:
-        yield os.path.basename(path), f.read()
+        if title_column is not None:
+            yield os.path.basename(path), f.read(), None
+        else:
+            yield os.path.basename(path), f.read()
 
 
 # ---- chunking (`utils.py:61-67`) ------------------------------------------

@@ -70,6 +70,7 @@ def pipeline(
     llm_kwargs: Optional[LLMKwargs] = None,
     synth_kwargs: Optional[SynthKwargs] = None,
     csv_column: Optional[str] = None,
+    title_column: Optional[str] = None,
     size_valid_set: Optional[int] = None,
     comprehension_type: SynthMode = SynthMode.REGEX,
     shuffle_buffer: Optional[int] = None,
@@ -121,7 +122,9 @@ def pipeline(
         regex_rc = RegexBasedReadingComprehension(general_vocab, domain_vocab)
         in_memory_dataset.extend(
             {"messages": conversation}
-            for _, _, conversation in regex_rc.dataset_generator(input, csv_column)
+            for _, _, conversation in regex_rc.dataset_generator(
+                input, csv_column, title_column=title_column
+            )
         )
 
     # ---- LLM-based generation (resumable) --------------------------------

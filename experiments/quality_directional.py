@@ -42,7 +42,10 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def make_corpus(n_passages: int, seed: int = 0, vocab_size: int = 240, kws_per_doc: int = 6):
+def make_corpus(
+    n_passages: int, seed: int = 0, vocab_size: int = 240, kws_per_doc: int = 6,
+    kw_len: tuple = (6, 9),
+):
     """Synthetic QA corpus in the toy-CSV schema (Question/Abstract/Answer/Title).
 
     Queries share NO byte-level tokens with their passages: each passage
@@ -53,7 +56,7 @@ def make_corpus(n_passages: int, seed: int = 0, vocab_size: int = 240, kws_per_d
     rng = np.random.default_rng(seed)
 
     def word():
-        n = rng.integers(6, 9)
+        n = rng.integers(kw_len[0], kw_len[1])
         cons, vow = "bcdfghjklmnpqrstvwz", "aeiou"
         return "".join(
             (cons[rng.integers(len(cons))] if i % 2 == 0 else vow[rng.integers(len(vow))])
@@ -81,6 +84,58 @@ def make_corpus(n_passages: int, seed: int = 0, vocab_size: int = 240, kws_per_d
             {"Title": f"doc {i}", "Question": query, "Abstract": passage, "Answer": answer}
         )
     return rows
+
+
+def mislabel(train_rows, rho: float, seed: int = 0):
+    """Swap the Abstracts of a ``rho`` fraction of train rows, pairwise.
+
+    The labeled positive for a swapped row is then a WRONG passage while
+    its Answer keywords still come from the TRUE passage (which stays in
+    the retrieval pool via its swap partner). Contrastive and
+    diagonal-marginalized training follow the corrupted labels; TRUE
+    top-k marginalization can recover because the generator's answer
+    likelihood identifies the real passage among the candidates — the
+    exact mechanism the marginalized loss exists to reward. Returns the
+    number of mislabeled rows.
+    """
+    if rho <= 0:
+        return 0
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(train_rows), size=int(len(train_rows) * rho) // 2 * 2, replace=False)
+    for a, b in zip(idx[::2], idx[1::2]):
+        train_rows[a]["Abstract"], train_rows[b]["Abstract"] = (
+            train_rows[b]["Abstract"], train_rows[a]["Abstract"],
+        )
+    return len(idx)
+
+
+def paired_stats(a, b, n_boot: int = 10000, seed: int = 0) -> dict:
+    """Paired per-seed comparison of arm a vs arm b (same seeds).
+
+    Returns mean delta (a-b), per-seed deltas, win/loss/tie counts, a
+    two-sided sign-test p-value, and a 10k-resample bootstrap 95% CI of
+    the mean delta. Decisive = CI excludes zero.
+    """
+    from math import comb
+
+    d = np.asarray(a, dtype=np.float64) - np.asarray(b, dtype=np.float64)
+    wins, losses = int((d > 0).sum()), int((d < 0).sum())
+    n = wins + losses
+    p = (
+        min(1.0, 2 * sum(comb(n, k) for k in range(min(wins, losses) + 1)) / 2**n)
+        if n else 1.0
+    )
+    rng = np.random.default_rng(seed)
+    boots = rng.choice(d, size=(n_boot, len(d)), replace=True).mean(axis=1)
+    lo, hi = np.percentile(boots, [2.5, 97.5])
+    return {
+        "mean_delta": float(d.mean()),
+        "per_seed_delta": [float(x) for x in d],
+        "wins": wins, "losses": losses, "ties": int((d == 0).sum()),
+        "sign_test_p": float(p),
+        "bootstrap_95ci": [float(lo), float(hi)],
+        "decisive": bool(lo > 0 or hi < 0),
+    }
 
 
 def title_split(rows, test_frac=0.2, seed=42):
@@ -111,6 +166,16 @@ def main():
     ap.add_argument("--out", default="experiments/results")
     ap.add_argument("--cpu-mesh", action="store_true", help="force 8-device CPU mesh")
     ap.add_argument("--seeds", type=int, default=1, help="training seeds to average over")
+    ap.add_argument("--label-noise", type=float, default=0.0,
+                    help="fraction of train rows with pairwise-swapped (wrong) positives; "
+                    "answers stay tied to the TRUE passage — the regime where the "
+                    "marginalized generator likelihood carries retrieval signal the "
+                    "contrastive labels don't")
+    ap.add_argument("--kw-len", default="6,9",
+                    help="min,max keyword length (shorter = easier byte-level task)")
+    ap.add_argument("--arms", default="ro,e2e",
+                    help="comma list of training arms: ro,e2e (marg arm auto-added "
+                    "when --marginalize-k > 0)")
     ap.add_argument("--marginalize-k", type=int, default=0,
                     help="also run a rag-e2e arm with TRUE top-k marginalization")
     ap.add_argument("--fused-compare", action="store_true",
@@ -138,11 +203,19 @@ def main():
     from dalm_tpu.train.retriever_only import train_retriever
 
     os.makedirs(args.out, exist_ok=True)
-    rows = make_corpus(args.passages, vocab_size=args.pair_vocab)
+    kw_len = tuple(int(x) for x in args.kw_len.split(","))
+    arms = set(args.arms.split(","))
+    if args.marginalize_k:
+        arms.add("marg")
+    rows = make_corpus(args.passages, vocab_size=args.pair_vocab, kw_len=kw_len)
     train_rows, test_rows = title_split(rows)
+    n_noisy = mislabel(train_rows, args.label_noise, seed=1)
     train_ds = Dataset.from_list(train_rows)
     test_ds = Dataset.from_list(test_rows)
-    print(f"corpus: {len(train_rows)} train / {len(test_rows)} test rows")
+    print(
+        f"corpus: {len(train_rows)} train ({n_noisy} mislabeled) / "
+        f"{len(test_rows)} test rows; arms: {sorted(arms)}"
+    )
 
     # One shared random init seeds all runs (and serves as the "plain
     # base model" row).
@@ -181,32 +254,34 @@ def main():
     ro_recalls, e2e_recalls, marg_recalls = [], [], []
     fused_bf16_recalls, fused_int8_recalls = [], []
     for seed in range(42, 42 + args.seeds):
-        # Run A: retriever-only contrastive.
-        ro_out = os.path.join(args.out, f"retriever_only_s{seed}")
-        train_retriever(
-            base_dir, train_ds, seed=seed,
-            per_device_train_batch_size=args.batch, num_train_epochs=args.epochs,
-            learning_rate=args.lr, query_max_len=args.query_len,
-            passage_max_len=args.passage_len, output_dir=ro_out,
-            with_tracking=False, use_dropout=False, num_warmup_steps=args.warmup,
-        )
-        ev = eval_dir(os.path.join(ro_out, "retriever"), f"retriever-only[s{seed}]")
-        ro_recalls.append(ev.recall)
+        if "ro" in arms:
+            # Run A: retriever-only contrastive.
+            ro_out = os.path.join(args.out, f"retriever_only_s{seed}")
+            train_retriever(
+                base_dir, train_ds, seed=seed,
+                per_device_train_batch_size=args.batch, num_train_epochs=args.epochs,
+                learning_rate=args.lr, query_max_len=args.query_len,
+                passage_max_len=args.passage_len, output_dir=ro_out,
+                with_tracking=False, use_dropout=False, num_warmup_steps=args.warmup,
+            )
+            ev = eval_dir(os.path.join(ro_out, "retriever"), f"retriever-only[s{seed}]")
+            ro_recalls.append(ev.recall)
 
-        # Run B: RAG-e2e joint (same retriever init/hparams + generator).
-        e2e_out = os.path.join(args.out, f"rag_e2e_s{seed}")
-        train_e2e(
-            train_ds, base_dir, args.generator, seed=seed,
-            per_device_train_batch_size=args.batch, num_train_epochs=args.epochs,
-            learning_rate=args.lr, query_max_len=args.query_len,
-            passage_max_len=args.passage_len, generator_max_len=args.gen_len,
-            output_dir=e2e_out, with_tracking=False, use_dropout=False,
-            num_warmup_steps=args.warmup,
-        )
-        ev = eval_dir(os.path.join(e2e_out, "retriever"), f"rag-e2e[s{seed}]")
-        e2e_recalls.append(ev.recall)
+        if "e2e" in arms:
+            # Run B: RAG-e2e joint (same retriever init/hparams + generator).
+            e2e_out = os.path.join(args.out, f"rag_e2e_s{seed}")
+            train_e2e(
+                train_ds, base_dir, args.generator, seed=seed,
+                per_device_train_batch_size=args.batch, num_train_epochs=args.epochs,
+                learning_rate=args.lr, query_max_len=args.query_len,
+                passage_max_len=args.passage_len, generator_max_len=args.gen_len,
+                output_dir=e2e_out, with_tracking=False, use_dropout=False,
+                num_warmup_steps=args.warmup,
+            )
+            ev = eval_dir(os.path.join(e2e_out, "retriever"), f"rag-e2e[s{seed}]")
+            e2e_recalls.append(ev.recall)
 
-        if args.marginalize_k:
+        if "marg" in arms and args.marginalize_k:
             marg_out = os.path.join(args.out, f"rag_e2e_marg_s{seed}")
             train_e2e(
                 train_ds, base_dir, args.generator, seed=seed,
@@ -247,12 +322,36 @@ def main():
                 print(f"[{tag}[s{seed}]] recall@10={ev.recall:.4f}")
                 bucket.append(ev.recall)
 
-    results["retriever-only"] = {"recall@10_mean": float(np.mean(ro_recalls)), "per_seed": ro_recalls}
-    results["rag-e2e"] = {"recall@10_mean": float(np.mean(e2e_recalls)), "per_seed": e2e_recalls}
+    if ro_recalls:
+        results["retriever-only"] = {"recall@10_mean": float(np.mean(ro_recalls)), "per_seed": ro_recalls}
+    if e2e_recalls:
+        results["rag-e2e"] = {"recall@10_mean": float(np.mean(e2e_recalls)), "per_seed": e2e_recalls}
     if marg_recalls:
         results[f"rag-e2e-marg{args.marginalize_k}"] = {
             "recall@10_mean": float(np.mean(marg_recalls)), "per_seed": marg_recalls,
         }
+
+    # Paired per-seed statistics: the decisive evidence (bootstrap 95% CI
+    # of the mean delta must exclude zero; sign test as a backstop).
+    stats = {}
+    if ro_recalls and e2e_recalls:
+        stats["e2e_vs_ro"] = paired_stats(e2e_recalls, ro_recalls)
+    if marg_recalls and e2e_recalls:
+        stats["marg_vs_e2e"] = paired_stats(marg_recalls, e2e_recalls)
+    if marg_recalls and ro_recalls:
+        stats["marg_vs_ro"] = paired_stats(marg_recalls, ro_recalls)
+    if fused_bf16_recalls and fused_int8_recalls:
+        stats["int8_vs_bf16"] = paired_stats(fused_int8_recalls, fused_bf16_recalls)
+    if stats:
+        results["paired_stats"] = stats
+        for name, s in stats.items():
+            print(
+                f"[stats] {name}: Δ={s['mean_delta']:+.4f} "
+                f"({s['wins']}W/{s['losses']}L/{s['ties']}T) "
+                f"sign-p={s['sign_test_p']:.3f} "
+                f"CI95=[{s['bootstrap_95ci'][0]:+.4f}, {s['bootstrap_95ci'][1]:+.4f}] "
+                f"{'DECISIVE' if s['decisive'] else 'within noise'}"
+            )
     if fused_bf16_recalls:
         results["fused-bf16"] = {
             "recall@10_mean": float(np.mean(fused_bf16_recalls)), "per_seed": fused_bf16_recalls,
@@ -268,12 +367,12 @@ def main():
         json.dump(results, f, indent=2)
     print(json.dumps(results, indent=2))
 
-    base = results["base (random init)"]["recall@10"]
-    ro = results["retriever-only"]["recall@10_mean"]
-    e2e = results["rag-e2e"]["recall@10_mean"]
-    ok = e2e > ro >= base or (e2e > base and e2e > ro)
-    print(f"directional effect (rag-e2e > retriever-only): {'YES' if e2e > ro else 'NO'}")
-    return 0 if ok else 1
+    if ro_recalls and e2e_recalls:
+        ro = results["retriever-only"]["recall@10_mean"]
+        e2e = results["rag-e2e"]["recall@10_mean"]
+        print(f"directional effect (rag-e2e > retriever-only): {'YES' if e2e > ro else 'NO'}")
+        return 0 if e2e > ro else 1
+    return 0
 
 
 if __name__ == "__main__":

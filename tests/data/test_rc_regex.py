@@ -103,3 +103,56 @@ def test_end_to_end_generate(tmp_path):
     # determinism: same input → same output
     results2 = list(rc.dataset_generator(str(tmp_path)))
     assert results == results2
+
+
+def test_title_tasks_appear_with_title_column(tmp_path):
+    """CSV title column → summarize wrapper uses the title template bank
+    (the reference has the machinery, `regex_based.py:778-806`, but its
+    driver hardwires title=None, `:1132-1134`)."""
+    import csv
+
+    path = tmp_path / "docs.csv"
+    text = (ENTAIL_TEXT + " " + CAUSE_TEXT + " " + PARA_TEXT) * 2
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["body", "headline"])
+        for i in range(40):  # many docs → the 0.4/0.4 summarize modes hit
+            w.writerow([text, f"Distinct Headline Number {i}"])
+    general = PieceVocab([WORD_BOUNDARY + "the", WORD_BOUNDARY + "and"])
+    domain = PieceVocab([WORD_BOUNDARY + "retrievalmodel"])
+    rc = RegexBasedReadingComprehension(general, domain)
+    with_title = list(rc.dataset_generator(str(path), "body", title_column="headline"))
+    assert len(with_title) >= 40
+    # at least one conversation must ask for / answer with the headline
+    joined = [
+        " ".join(m["content"] for m in conv) for _, _, conv in with_title
+    ]
+    assert any("Distinct Headline Number" in j for j in joined)
+    # without title_column the same corpus never mentions headlines
+    without = list(rc.dataset_generator(str(path), "body"))
+    joined_no = [" ".join(m["content"] for m in conv) for _, _, conv in without]
+    assert not any("Distinct Headline Number" in j for j in joined_no)
+
+
+def test_template_bank_richness():
+    """Bank sizes documented vs the reference (`regex_based.py:163-993`)."""
+    from dalm_tpu.data.rc_regex import SummarizeTask, TextCompletionTask
+
+    nli = NLIMiner()
+    entry = nli.mine(ENTAIL_TEXT)["Entail"][0]
+    classify = nli.templates(entry, seed=1)  # seed 1 → classify branch is likely
+    # count both branches explicitly by probing seeds
+    sizes = {len(nli.templates(entry, seed=s)) for s in range(20)}
+    assert max(sizes) >= 18  # classify bank
+    assert min(sizes) >= 7   # generate bank
+    ce = CauseEffectMiner()
+    ce_entry = ce.mine(CAUSE_TEXT)["Cause-effect"][0]
+    assert len(ce.templates(ce_entry, 0)) >= 9
+    para = ParaphraseMiner()
+    p_entry = para.mine(PARA_TEXT)["Paraphrase"][0]
+    assert max(len(para.templates(p_entry, s)) for s in range(20)) >= 6
+    assert len(SummarizeTask.templates_with_title) >= 7
+    assert len(SummarizeTask.templates_no_title) >= 7
+    assert len(TextCompletionTask.templates) >= 7
+    w2t = Word2TextMiner({WORD_BOUNDARY + "x"})
+    assert len(w2t.templates({"keywords": ["x"], "sentence": "s"}, 0)) >= 8
