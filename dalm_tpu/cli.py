@@ -163,6 +163,9 @@ def _common_eval_options(fn):
         click.option("--torch-dtype", default="bfloat16", show_default=True),
         click.option("--top-k", default=10, show_default=True),
         click.option("--index-kernel", default="xla", type=click.Choice(["xla", "pallas"]), show_default=True),
+        click.option("--index-quantize", default="none",
+                     type=click.Choice(["none", "int8", "int4"]), show_default=True,
+                     help="index row storage: int8 = 2x corpus/HBM byte, int4 = 4x"),
     ]
     for opt in reversed(options):
         fn = opt(fn)
@@ -180,6 +183,8 @@ def eval_retriever_cmd(dataset_path, retriever_name_or_path, is_autoregressive, 
     """Evaluate retrieval recall / precision / hit-rate."""
     from dalm_tpu.eval.retriever import evaluate_retriever
 
+    if kwargs.get("index_quantize") == "none":
+        kwargs["index_quantize"] = False
     results = evaluate_retriever(
         dataset_or_path=dataset_path,
         retriever_name_or_path=retriever_name_or_path,
@@ -208,6 +213,8 @@ def eval_rag_cmd(dataset_path, retriever_name_or_path, generator_name_or_path, *
     """Evaluate retrieval + generator exact-match."""
     from dalm_tpu.eval.rag import evaluate_rag
 
+    if kwargs.get("index_quantize") == "none":
+        kwargs["index_quantize"] = False
     results = evaluate_rag(
         dataset_or_path=dataset_path,
         retriever_name_or_path=retriever_name_or_path,
@@ -235,6 +242,9 @@ def eval_rag_cmd(dataset_path, retriever_name_or_path, generator_name_or_path, *
 @click.option("--generator-tokenizer", default="byte", show_default=True)
 @click.option("--quantize-generator/--no-quantize-generator", default=False, show_default=True,
               help="int8 generator weights (HBM-bound decode: ~2x tokens/sec)")
+@click.option("--index-quantize", default="none",
+              type=click.Choice(["none", "int8", "int4"]), show_default=True,
+              help="index row storage: int8 = 2x corpus/HBM byte, int4 = 4x")
 @click.option("--temperature", default=0.0, show_default=True,
               help="0 = greedy; >0 samples (keys per request+position)")
 @click.option("--sampling-top-k", default=0, show_default=True)
@@ -244,7 +254,8 @@ def serve_cmd(retriever_name_or_path, generator_name_or_path, passages_path,
               passage_column_name, host, port, num_slots, max_new_tokens,
               max_prompt_len, retriever_peft_path, generator_peft_path,
               retriever_tokenizer, generator_tokenizer, quantize_generator,
-              temperature, sampling_top_k, sampling_top_p, sampling_seed):
+              index_quantize, temperature, sampling_top_k, sampling_top_p,
+              sampling_seed):
     """Serve RAG answers over HTTP (beyond the reference — it has no
     serving surface): POST /answer for full answers, POST /stream for
     token streaming, GET /healthz."""
@@ -275,6 +286,7 @@ def serve_cmd(retriever_name_or_path, generator_name_or_path, passages_path,
         generator_tokenizer=generator_tokenizer,
         max_prompt_len=max_prompt_len, max_new_tokens=max_new_tokens,
         quantize_generator=quantize_generator, sampler=sampler,
+        index_quantize=False if index_quantize == "none" else index_quantize,
     )
     serve_pipeline(pipe, host=host, port=port, num_slots=num_slots)
 

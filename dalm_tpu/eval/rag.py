@@ -74,6 +74,7 @@ def evaluate_rag(
     mesh=None,
     max_new_tokens: int = 64,
     index_kernel: str = "auto",  # pallas on TPU, xla elsewhere
+    index_quantize: "bool | str" = False,  # True/"int8" = int8 rows, "int4" = nibbles
     threshold: float = 0.0,  # hnswlib-parity score cutoff (`eval/utils.py:52`)
 ) -> EvalResults:
     if mesh is None:
@@ -116,7 +117,10 @@ def evaluate_rag(
         test_batch_size, embed_dim,
     )
     id_to_passage = {i: p for i, p in enumerate(unique_passages[passage_column_name])}
-    index = ShardedDenseIndex.build(mesh, passage_embs, kernel=index_kernel)
+    index = ShardedDenseIndex.build(
+        mesh, passage_embs, kernel=index_kernel,
+        quantize=True if index_quantize == "int8" else index_quantize,
+    )
 
     generate = build_greedy_generate(
         generator, max_new_tokens,

@@ -98,6 +98,7 @@ def evaluate_retriever(
     mesh=None,
     query_batch_size: Optional[int] = None,
     index_kernel: str = "auto",  # pallas on TPU, xla elsewhere
+    index_quantize: "bool | str" = False,  # True/"int8" = int8 rows, "int4" = nibbles
     threshold: float = 0.0,
 ) -> EvalResults:
     """Twin of `evaluate_retriever` (`eval_retriever_only.py:105-178`)."""
@@ -125,7 +126,10 @@ def evaluate_retriever(
     )
     id_to_passage = {i: p for i, p in enumerate(unique_passages[passage_column_name])}
 
-    index = ShardedDenseIndex.build(mesh, passage_embs, kernel=index_kernel)
+    index = ShardedDenseIndex.build(
+        mesh, passage_embs, kernel=index_kernel,
+        quantize=True if index_quantize == "int8" else index_quantize,
+    )
 
     precisions, recalls, rrs, total_hit = [], [], [], 0
     qbs = query_batch_size or test_batch_size

@@ -51,6 +51,13 @@ class AsyncIndexRefresher:
         ``slice_size`` passages re-embed per tick; a full sweep takes
         ``ceil(N / slice_size)`` ticks.
         """
+        if index.scales is not None or index.int4:
+            raise ValueError(
+                "AsyncIndexRefresher updates full-precision rows in place; "
+                "quantized (int8/int4) indexes are rebuilt instead — "
+                "ShardedDenseIndex.build(quantize=...) with fresh embeddings "
+                "(RagPipeline.refresh does this automatically)"
+            )
         self.index = index
         self.embed_fn = embed_fn
         self.ids = np.asarray(passage_input_ids, np.int32)

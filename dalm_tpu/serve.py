@@ -61,6 +61,7 @@ class RagPipeline:
         max_new_tokens: int = 64,
         embed_batch: int = 64,
         index_kernel: str = "auto",  # pallas on TPU, xla elsewhere
+        index_quantize: "bool | str" = False,  # True/"int8" = int8 rows, "int4" = nibble rows
         quantize_generator: "bool | str" = False,  # True = int8, "int4" = 4-bit
         sampler=None,  # models.sampling.SamplerConfig; None = greedy
         speculative: bool = False,  # prompt-lookup speculative decode (greedy only)
@@ -126,7 +127,11 @@ class RagPipeline:
                 sampler=self.sampler,
             )
         embs = self._embed_texts([f"#passage# {p}" for p in self.passages], max_passage_len)
-        self.index = ShardedDenseIndex.build(self.mesh, embs, kernel=index_kernel)
+        if index_quantize == "int8":
+            index_quantize = True
+        self.index = ShardedDenseIndex.build(
+            self.mesh, embs, kernel=index_kernel, quantize=index_quantize
+        )
         self.refresher = None
 
     # ---- construction ----------------------------------------------------
@@ -304,11 +309,24 @@ class RagPipeline:
 
     def refresh(self, new_retriever_params, slice_size: int = 256) -> None:
         """Swap in updated retriever weights and re-embed the corpus
-        (incremental; serving continues from the previous snapshot)."""
+        (incremental; serving continues from the previous snapshot).
+
+        Quantized (int8/int4) indexes can't be row-patched in place —
+        they are re-embedded and rebuilt in one pass (serving answers
+        from the old index until the pointer swap)."""
         from dalm_tpu.index.refresh import AsyncIndexRefresher
 
         self.r_params = new_retriever_params
         self._embed = build_embed_fn(self.retriever, self.r_params)
+        if self.index.scales is not None or self.index.int4:
+            embs = self._embed_texts(
+                [f"#passage# {p}" for p in self.passages], self.max_passage_len
+            )
+            quantize = "int4" if self.index.int4 else True
+            self.index = ShardedDenseIndex.build(
+                self.mesh, embs, kernel=self.index.kernel, quantize=quantize
+            )
+            return
         texts = [f"#passage# {p}" for p in self.passages]
         toks = self.r_tok(texts, padding="max_length", max_length=self.max_passage_len, truncation=True)
         ids = np.asarray(toks["input_ids"], np.int32)
