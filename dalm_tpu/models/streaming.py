@@ -109,10 +109,15 @@ class StreamingEngine:
     The engine must not be used by anything else while the server runs
     (the scheduler owns ``engine.state``). ``submit`` is thread-safe.
 
-    A ``speculative_gamma`` engine still streams correctly here but in
-    single-token steps (the streaming scheduler optimizes time-to-first-
-    token; the speculative multi-token commits live in
-    ``DecodeEngine.generate`` / ``generate_fused``).
+    A ``speculative_gamma`` engine runs the host-draft verification
+    rounds online (``_speculative_scheduler_loop``): each round the host
+    drafts gamma prompt-lookup tokens per active slot from its own
+    bookkeeping, the device verifies them in one forward, and 1..gamma+1
+    tokens stream out per slot per round — with mid-flight admission and
+    cancellation intact. Rounds are synchronous (no one-deep pipeline):
+    drafts must reflect the device's true position, and the multi-token
+    commit amortizes the RTT the pipeline existed to hide (same
+    trade-off as ``DecodeEngine._generate_speculative``).
     """
 
     def __init__(self, engine: DecodeEngine, idle_poll_s: float = 0.02):
@@ -217,6 +222,8 @@ class StreamingEngine:
             raise
 
     def _scheduler_loop(self) -> None:
+        if self.engine.spec_gamma:
+            return self._speculative_scheduler_loop()
         eng = self.engine
         B = eng.num_slots
         pending: deque = deque()  # (handle, ids, mask)
@@ -358,3 +365,135 @@ class StreamingEngine:
             harvest(in_flight)
             unsettled = admit()
             in_flight = next_flight
+
+    def _speculative_scheduler_loop(self) -> None:
+        """Online speculative serving: host-draft verification rounds
+        (`DecodeEngine._generate_speculative` semantics) with streaming
+        emits and mid-flight admission. Every request's tokens are
+        exactly the lockstep greedy output (verification is exact;
+        tested in tests/test_streaming.py)."""
+        eng = self.engine
+        B, G = eng.num_slots, eng.spec_gamma
+        pending: deque = deque()  # (handle, ids, mask)
+        slot_req: List[Optional[StreamHandle]] = [None] * B
+        slot_prompt: List[Optional[np.ndarray]] = [None] * B  # unpadded ids
+
+        def drain_inbox(block: bool) -> None:
+            try:
+                item = self._inbox.get(timeout=self._idle_poll) if block else self._inbox.get_nowait()
+            except queue.Empty:
+                return
+            while True:
+                if item is not None:
+                    pending.append(item)
+                    self._live_handles.append(item[0])
+                try:
+                    item = self._inbox.get_nowait()
+                except queue.Empty:
+                    return
+
+        def finish(slot: int) -> None:
+            h = slot_req[slot]
+            slot_req[slot] = None
+            slot_prompt[slot] = None
+            if h in self._live_handles:
+                self._live_handles.remove(h)
+            h._finish()
+
+        def admit_sync() -> None:
+            """Fill free slots in one device dispatch; banks the first
+            tokens synchronously (the next verification round's drafts
+            must include them in the slot histories)."""
+            while pending and pending[0][0]._cancelled.is_set():
+                h = pending.popleft()[0]
+                if h in self._live_handles:
+                    self._live_handles.remove(h)
+                h._finish()
+            free = [s for s in range(B) if slot_req[s] is None]
+            m = min(len(free), len(pending))
+            if m == 0:
+                return
+            batch = [pending.popleft() for _ in range(m)]
+            slots = free[:m]
+            ids = np.zeros((B, eng.P), np.int32)
+            mask = np.zeros((B, eng.P), np.int32)
+            mask[:, -1] = 1  # padding rows: one valid token (finite fwd)
+            slot_ids = np.full((B,), B, np.int32)
+            valid = np.zeros((B,), bool)
+            req_arr = np.zeros((B,), np.int32)
+            for j, ((h, r_ids, r_mask), slot) in enumerate(zip(batch, slots)):
+                ids[j] = r_ids
+                mask[j] = r_mask
+                slot_ids[j] = slot
+                valid[j] = True
+                req_arr[j] = h.req_index
+            eng.state, first_tok = eng._admit_jit(
+                eng._vars, eng.state,
+                jnp.asarray(ids), jnp.asarray(mask),
+                jnp.asarray(slot_ids), jnp.asarray(valid), jnp.asarray(req_arr),
+            )
+            first_tok = np.asarray(first_tok)
+            for j, ((h, r_ids, r_mask), slot) in enumerate(zip(batch, slots)):
+                slot_req[slot] = h
+                slot_prompt[slot] = r_ids[r_mask > 0]
+                first = int(first_tok[j])
+                if h._cancelled.is_set():
+                    finish(slot)
+                    continue
+                if eng.eos is not None and first == eng.eos:
+                    finish(slot)
+                    continue
+                h._emit(first)
+                if len(h._tokens) >= h.budget:
+                    finish(slot)
+
+        while True:
+            busy = any(s is not None for s in slot_req) or pending
+            if not busy:
+                if self._stop.is_set():
+                    break
+                drain_inbox(block=True)
+                if not pending:
+                    continue
+            else:
+                drain_inbox(block=False)
+            if self._stop.is_set() and not self._drain:
+                for item in pending:
+                    item[0]._finish()
+                    if item[0] in self._live_handles:
+                        self._live_handles.remove(item[0])
+                pending.clear()
+                for slot in range(B):
+                    if slot_req[slot] is not None:
+                        finish(slot)
+                continue
+            admit_sync()
+            active_mask = np.array([h is not None for h in slot_req])
+            if not active_mask.any():
+                continue
+            drafts = np.zeros((B, G), np.int32)
+            rem = np.zeros((B,), np.int32)
+            for slot in np.flatnonzero(active_mask):
+                h = slot_req[slot]
+                hist = np.concatenate([slot_prompt[slot], np.asarray(h._tokens, np.int32)])
+                drafts[slot] = eng.host_draft(hist)
+                rem[slot] = h.budget - len(h._tokens)
+            eng.state, emit, m = eng._verify(
+                eng._vars, eng.state, jnp.asarray(active_mask),
+                jnp.asarray(drafts), jnp.asarray(rem),
+            )
+            emit, m = np.asarray(emit), np.asarray(m)
+            for slot in np.flatnonzero(active_mask):
+                h = slot_req[slot]
+                if h._cancelled.is_set():
+                    finish(slot)
+                    continue
+                for t in emit[slot][: m[slot]]:
+                    t = int(t)
+                    if eng.eos is not None and t == eng.eos:
+                        finish(slot)
+                        break
+                    h._emit(t)
+                    if len(h._tokens) >= h.budget:
+                        finish(slot)
+                        break

@@ -286,7 +286,11 @@ class RagPipeline:
         """Online serving: a context-managed session whose ``submit(query)``
         returns immediately with a handle that streams answer tokens as
         they decode. Requests arriving mid-flight join the slot pool via
-        continuous batching (models/streaming.py)::
+        continuous batching (models/streaming.py).
+
+        A pipeline built with ``speculative=True`` streams through the
+        online host-draft verification rounds (multi-token commits per
+        round; exact greedy output)::
 
             with pipe.stream(num_slots=32) as session:
                 h = session.submit("what is ..?")
@@ -304,6 +308,7 @@ class RagPipeline:
             decode_chunk=decode_chunk,
             extra_collections=self._g_extra,
             sampler=self.sampler,
+            speculative_gamma=self._spec_gamma,
         )
         return RagStreamSession(self, engine)
 

@@ -175,6 +175,69 @@ def test_future_is_asyncio_compatible(decoder_and_params):
         assert asyncio.run(wait()) == expected
 
 
+def _spec_engine(decoder, params, num_slots=2, max_new=8, eos=None, gamma=3):
+    return DecodeEngine(
+        decoder, params, num_slots=num_slots, max_prompt_len=P,
+        max_new_tokens=max_new, eos_token_id=eos, pad_token_id=0,
+        speculative_gamma=gamma,
+    )
+
+
+def test_speculative_streaming_matches_lockstep(decoder_and_params):
+    """Speculative verification rounds online: exact greedy output with
+    mid-flight arrivals (VERDICT r1 item 6)."""
+    decoder, params = decoder_and_params
+    ids, mask = _prompts(9, rng_seed=11)
+    expected = _lockstep(decoder, params, ids, mask, 8)
+    with StreamingEngine(_spec_engine(decoder, params, num_slots=2)) as srv:
+        first = [srv.submit(ids[i], mask[i]) for i in range(3)]
+        first[0].result(timeout=120)  # wave 1 mid-flight or finishing
+        second = [srv.submit(ids[i], mask[i]) for i in range(3, 9)]
+        for i, h in enumerate(first + second):
+            assert h.result(timeout=120) == [int(t) for t in expected[i]], f"req {i}"
+
+
+def test_speculative_streaming_eos_and_budgets(decoder_and_params):
+    decoder, params = decoder_and_params
+    ids, mask = _prompts(8, rng_seed=12)
+    max_new = 8
+    ref = _lockstep(decoder, params, ids, mask, max_new)
+    vals, counts = np.unique(ref[:, 1:], return_counts=True)
+    eos = int(vals[np.argmax(counts)])
+    budgets = [8, 3, 0, 5, 1, 8, 2, 8]
+
+    def trim(row, cap):
+        out = []
+        for t in row:
+            if int(t) == eos or len(out) >= cap:
+                break
+            out.append(int(t))
+        return out
+
+    with StreamingEngine(
+        _spec_engine(decoder, params, num_slots=3, max_new=max_new, eos=eos)
+    ) as srv:
+        handles = [srv.submit(ids[i], mask[i], budget=budgets[i]) for i in range(8)]
+        for i, h in enumerate(handles):
+            assert h.result(timeout=120) == trim(ref[i], budgets[i]), f"req {i}"
+
+
+def test_speculative_streaming_is_incremental(decoder_and_params):
+    """Multi-token commits still stream before the request finishes."""
+    decoder, params = decoder_and_params
+    ids, mask = _prompts(1, rng_seed=13)
+    expected = [int(t) for t in _lockstep(decoder, params, ids, mask, 12)[0]]
+    with StreamingEngine(_spec_engine(decoder, params, max_new=12, gamma=2)) as srv:
+        h = srv.submit(ids[0], mask[0])
+        streamed, saw_undone = [], False
+        for tok in h.tokens():
+            streamed.append(tok)
+            if not h.done:
+                saw_undone = True
+        assert streamed == expected
+        assert saw_undone
+
+
 @pytest.mark.slow
 def test_rag_stream_session_matches_answer():
     from dalm_tpu.serve import RagPipeline
@@ -192,3 +255,23 @@ def test_rag_stream_session_matches_answer():
         ctx = [h.passages for h in handles]
     assert answers == [a.answer for a in lockstep]
     assert ctx == [a.passages for a in lockstep]
+
+
+@pytest.mark.slow
+def test_rag_stream_session_speculative_matches_plain():
+    """speculative=True pipelines stream through verification rounds
+    and still produce the exact greedy answers."""
+    from dalm_tpu.serve import RagPipeline
+
+    passages = [f"passage about topic {i} with unique content {i}" for i in range(10)]
+    kw = dict(max_passage_len=32, max_prompt_len=64, max_new_tokens=6, embed_batch=8)
+    plain = RagPipeline.from_pretrained("tiny", "tiny", passages, **kw)
+    spec = RagPipeline.from_pretrained(
+        "tiny", "tiny", passages, speculative=True, speculative_gamma=3, **kw
+    )
+    queries = [f"what is topic {i}" for i in range(4)]
+    expected = [a.answer for a in plain.answer(queries, top_k=2)]
+    with spec.stream(num_slots=2) as session:
+        handles = [session.submit(q, top_k=2) for q in queries]
+        answers = [h.answer(timeout=120) for h in handles]
+    assert answers == expected
