@@ -92,6 +92,16 @@ def _common_train_options(fn):
               help=">0: top-k hard negatives from the live index each step")
 @click.option("--marginalize-k", default=0, show_default=True,
               help=">0: TRUE top-k RAG marginalization over gold+retrieved (k x generator cost)")
+@click.option("--marginalize-mode", default="token",
+              type=click.Choice(["token", "sequence"]), show_default=True,
+              help="RAG-token (per-answer-token posterior; strongest retrieval "
+              "signal) or RAG-sequence marginalization")
+@click.option("--marginalize-scale", default=None, type=float, show_default=True,
+              help="candidate-posterior temperature (default: logit-scale; O(10) "
+              "lets the answer likelihood steer retrieval)")
+@click.option("--marginalize-warmup-steps", default=0, show_default=True,
+              help=">0: first W steps use the diagonal loss (generator warmup) "
+              "before TRUE top-k marginalization")
 @click.option("--export-peft", is_flag=True, default=False,
               help="also write a torch-PEFT adapter next to the native one")
 @click.option("--int8-compute", default="none", type=click.Choice(["none", "fwd", "all"]),

@@ -2,10 +2,30 @@
 deferred (`train_rage2e.py:461-462` TODO: its marginalization collapses
 to the matched passage's score).
 
-RAG-sequence likelihood over the retrieved candidate set::
+Two marginalization granularities (Lewis et al. 2020 terminology):
+
+**RAG-sequence** (`topk_marginal_loss`) — one posterior per sequence::
 
     p(y | q) = Σ_j softmax_j(s(q, z_j)) · p(y | q, z_j)
     loss     = - Σ_i log p(y_i | q_i) / Σ_i |y_i|
+
+**RAG-token** (`topk_marginal_token_loss`) — one posterior per answer
+token::
+
+    loss = - Σ_i Σ_t log Σ_j softmax_j(s_ij) · p(y_it | y_i<t, q_i, z_j)
+           / Σ_i |y_i|
+
+The choice matters for the RETRIEVER far more than for the generator:
+per answer token the score gradient is ``(posterior − softmax(s))``, so
+RAG-token accumulates |y| such pushes per sample while RAG-sequence gets
+exactly one (then divides by Σ|y| anyway) — its retrieval signal is
+~|y|× weaker and is easily drowned by the co-trained contrastive loss
+(measured: no label-noise recovery in experiments/quality_directional.py
+under RAG-sequence, decisive recovery under RAG-token). RAG-token is
+also structurally what the reference's diagonal shortcut does
+(`train_utils.py:96-110` adds the doc log-score to every answer token's
+log-prob). Prefer RAG-token for retrieval adaptation; RAG-sequence for
+sequence-level answer consistency with a frozen-ish retriever.
 
 The generator runs once per (sample, candidate) — k× decoder cost —
 over inputs assembled ON DEVICE from tokenized segments, so retrieved
@@ -88,21 +108,34 @@ def answer_loglik(
       the segment head (scored region starts after it).
     Returns (ll (B, K), n_answer_labels (B,) — identical across K).
     """
+    ll_tok, is_answer = answer_token_loglik(logits, ids, mask, boundary, marker_len)
+    ll = (ll_tok * is_answer).sum(axis=2)  # (B, K)
+    n = is_answer[:, 0, :].sum(axis=1)  # same count for every candidate
+    return ll, n
+
+
+def answer_token_loglik(
+    logits: jax.Array, ids: jax.Array, mask: jax.Array, boundary: jax.Array,
+    marker_len: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Per-(candidate, position) answer log-likelihoods.
+
+    Same arguments as :func:`answer_loglik`. Returns
+    ``(ll_tok (B, K, L-1), is_answer (B, K, L-1) bool)`` — label position
+    ``t`` predicts token ``t+1``; answer-text labels start after the
+    ``#answer#`` marker.
+    """
     lp = logits[:, :, :-1, :].astype(jnp.float32)
     labels = ids[:, :, 1:]
     label_lp = jnp.take_along_axis(lp, labels[..., None], axis=-1)[..., 0]
     lse = jax.scipy.special.logsumexp(lp, axis=-1)
     ll_tok = label_lp - lse  # (B, K, L-1)
 
-    # label position t predicts token t+1; answer-text tokens start at
-    # boundary + marker_len.
     pos_next = jnp.arange(1, ids.shape[2])[None, None, :]
     is_answer = (pos_next >= (boundary + marker_len)[:, :, None]) & (
         mask[:, :, 1:] > 0
     )
-    ll = (ll_tok * is_answer).sum(axis=2)  # (B, K)
-    n = is_answer[:, 0, :].sum(axis=1)  # same count for every candidate
-    return ll, n
+    return ll_tok, is_answer
 
 
 def topk_marginal_loss(
@@ -110,8 +143,58 @@ def topk_marginal_loss(
     answer_ll: jax.Array,  # (B, K)
     n_answer_tokens: jax.Array,  # (B,)
 ) -> jax.Array:
-    """``-Σ_i logsumexp_j(log softmax_j(s_ij) + ll_ij) / Σ_i |y_i|``."""
+    """RAG-sequence: ``-Σ_i logsumexp_j(log softmax_j(s_ij) + ll_ij) / Σ_i |y_i|``."""
     d = jax.nn.log_softmax(candidate_scores.astype(jnp.float32), axis=1)
     marg = jax.scipy.special.logsumexp(d + answer_ll, axis=1)  # (B,)
     total = jnp.maximum(n_answer_tokens.sum(), 1)
     return -(marg.sum()) / total
+
+
+def aligned_answer_token_loglik(
+    logits: jax.Array, ids: jax.Array, mask: jax.Array, boundary: jax.Array,
+    marker_len: int, max_answer_tokens: int,
+) -> jax.Array:
+    """Answer log-likelihoods gathered BY ANSWER-TOKEN ORDINAL.
+
+    Candidates place the (shared) answer at different sequence positions
+    (passage lengths differ), so RAG-token marginalization must compare
+    candidates at the same answer-token index, not the same sequence
+    position. Returns ``ll (B, K, A)`` with ``A = max_answer_tokens``;
+    ordinal ``a`` of candidate ``j`` lives at label position
+    ``boundary_ij + marker_len - 1 + a`` (never truncated —
+    `assemble_generator_inputs` sizes L = Lq+Lp+La). Entries past a
+    sample's real answer length are garbage; mask them with
+    ``answer_token_mask``.
+    """
+    ll_tok, _ = answer_token_loglik(logits, ids, mask, boundary, marker_len)
+    Lm1 = ll_tok.shape[2]
+    a = jnp.arange(max_answer_tokens)[None, None, :]
+    idx = jnp.clip(boundary[:, :, None] + marker_len - 1 + a, 0, Lm1 - 1)
+    return jnp.take_along_axis(ll_tok, idx, axis=2)  # (B, K, A)
+
+
+def answer_token_mask(
+    a_len: jax.Array, marker_len: int, max_answer_tokens: int
+) -> jax.Array:
+    """(B, A) bool: ordinal ``a`` is a real answer-text token (the
+    ``#answer#`` marker at the segment head is excluded)."""
+    a = jnp.arange(max_answer_tokens)[None, :]
+    return a < (a_len - marker_len)[:, None]
+
+
+def topk_marginal_token_loss(
+    candidate_scores: jax.Array,  # (B, K) fresh similarity logits
+    ll_tok: jax.Array,  # (B, K, A) aligned per-ordinal answer log-liks
+    valid: jax.Array,  # (B, A) bool answer-token mask
+) -> jax.Array:
+    """RAG-token: ``-Σ_i Σ_t logsumexp_j(log softmax_j(s_ij) + ll_ijt) / Σ|y|``.
+
+    Per answer token the score gradient is ``posterior_t − softmax(s)``,
+    so the retrieval signal scales with answer length — the property
+    that lets generator feedback override noisy contrastive labels (see
+    module docstring).
+    """
+    d = jax.nn.log_softmax(candidate_scores.astype(jnp.float32), axis=1)
+    marg_t = jax.scipy.special.logsumexp(d[:, :, None] + ll_tok, axis=1)  # (B, A)
+    v = valid.astype(jnp.float32)
+    return -(marg_t * v).sum() / jnp.maximum(v.sum(), 1.0)

@@ -121,6 +121,21 @@ def train_e2e(
     index_refresh_slice: int = 256,
     live_negatives_k: int = 0,  # >0: top-k hard negatives from the live index
     marginalize_k: int = 0,  # >0: TRUE top-k RAG marginalization (k× generator cost)
+    marginalize_mode: str = "token",  # "token" (RAG-token) | "sequence" (RAG-sequence)
+    # Posterior temperature for the candidate softmax; None = logit_scale.
+    # The contrastive scale (reference default 100) makes the candidate
+    # posterior near-one-hot, which (a) starves the generator of gold-
+    # passage training signal early and (b) in token mode puts the
+    # per-token score gap far above any per-token likelihood gap, so
+    # generator feedback can never flip the posterior. O(1..20) scales
+    # let the answer likelihood actually steer retrieval.
+    marginalize_scale: Optional[float] = None,
+    # >0: train the first W optimizer steps with the standard diagonal
+    # marginalized loss (generator sees the GOLD passage only), then
+    # switch to the TRUE top-k marginal — the from-scratch analogue of
+    # RAG's pretrained-generator assumption (p(y|q,z) must be
+    # informative before its feedback can rank candidates).
+    marginalize_warmup_steps: int = 0,
     lora_runtime: str = "merge",  # "merge" (<=1B) | "fused" (QLoRA, 7B-scale)
     int8_compute: str = "none",  # "fwd"|"all": int8 MXU matmuls for the fused frozen base
     export_peft: bool = False,  # also write torch-PEFT adapter_model.bin
@@ -415,9 +430,14 @@ def train_e2e(
     def _marginal_gen_loss(q_emb, batch, frozen, index_embs, embed_fn, gen_fn):
         """TRUE top-k marginalization (losses/marginal_topk.py): gold +
         (k-1) retrieved candidates; fresh retriever scores; generator runs
-        per candidate on inputs assembled on device."""
+        per candidate on inputs assembled on device. ``marginalize_mode``
+        picks RAG-sequence (one posterior per sample) or RAG-token (one
+        per answer token — ~|answer|× stronger retrieval gradient; see
+        the loss module docstring for when each applies)."""
         from dalm_tpu.losses.marginal_topk import (
-            answer_loglik, assemble_generator_inputs, topk_marginal_loss,
+            aligned_answer_token_loglik, answer_loglik, answer_token_mask,
+            assemble_generator_inputs, topk_marginal_loss,
+            topk_marginal_token_loss,
         )
 
         marg = frozen["marg"]
@@ -439,7 +459,8 @@ def train_e2e(
         flat = cand.reshape(-1)
         z = embed_fn(marg["retr_p_ids"][flat], marg["retr_p_mask"][flat])
         z = z.reshape(B, K, -1).astype(jnp.float32)
-        s = jnp.einsum("bd,bkd->bk", qf, z) * float(logit_scale)
+        marg_scale = float(logit_scale if marginalize_scale is None else marginalize_scale)
+        s = jnp.einsum("bd,bkd->bk", qf, z) * marg_scale
 
         ids, attn, boundary = assemble_generator_inputs(
             batch["marg_q_ids"], batch["marg_q_len"],
@@ -450,10 +471,17 @@ def train_e2e(
         L = ids.shape[2]
         logits = gen_fn(ids.reshape(B * K, L), attn.reshape(B * K, L))
         logits = logits.reshape(B, K, L, -1)
+        if marginalize_mode == "token":
+            A = batch["marg_a_ids"].shape[1]
+            ll_tok = aligned_answer_token_loglik(
+                logits, ids, attn, boundary, marg_meta["marker_len"], A
+            )
+            valid = answer_token_mask(batch["marg_a_len"], marg_meta["marker_len"], A)
+            return topk_marginal_token_loss(s, ll_tok, valid)
         ll, n = answer_loglik(logits, ids, attn, boundary, marg_meta["marker_len"])
         return topk_marginal_loss(s, ll, n)
 
-    def loss_fn(train_params, frozen, batch, step_rng, index_embs=None):
+    def loss_fn(train_params, frozen, batch, step_rng, index_embs=None, use_marg=True):
         if fused and lora_specs:
             r_vars = (
                 _sub_variables(train_params, frozen, "retriever") if "retriever" in lora_specs
@@ -478,7 +506,7 @@ def train_e2e(
                 _sub_variables(train_params, frozen, "generator") if "generator" in lora_specs
                 else {"params": train_params["generator"]}
             )
-            if marginalize_k:
+            if marginalize_k and use_marg:
                 gen_loss = _marginal_gen_loss(
                     q_emb, batch, frozen, index_embs,
                     embed_fn=lambda i, m: rag.embed_with(r_vars, i, m),
@@ -518,7 +546,7 @@ def train_e2e(
             q_emb.astype(jnp.float32), p_emb.astype(jnp.float32), float(logit_scale),
             local_negatives_block=block, extra_negative_logits=extra,
         )
-        if marginalize_k:
+        if marginalize_k and use_marg:
             gen_loss = _marginal_gen_loss(
                 q_emb, batch, frozen, index_embs,
                 embed_fn=lambda i, m: rag.embed(params, i, m, deterministic=True),
@@ -544,13 +572,26 @@ def train_e2e(
     # gigabytes of weights into the compiled program as constants.
     frozen_trees = {"base": base_frozen, "quant": fused_quant}
 
-    @partial(jax.jit, donate_argnums=(0,))
-    def train_step(state, frozen, batch, step_rng, index_embs=None):
-        (loss, (r_loss, g_loss)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, frozen, batch, step_rng, index_embs
-        )
-        new_state = state.apply_gradients(grads)
-        return new_state, loss, r_loss, g_loss
+    def _make_train_step(use_marg: bool):
+        lf = partial(loss_fn, use_marg=use_marg)
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def train_step(state, frozen, batch, step_rng, index_embs=None):
+            (loss, (r_loss, g_loss)), grads = jax.value_and_grad(lf, has_aux=True)(
+                state.params, frozen, batch, step_rng, index_embs
+            )
+            new_state = state.apply_gradients(grads)
+            return new_state, loss, r_loss, g_loss
+
+        return train_step
+
+    train_step = _make_train_step(True)
+    # marginalize warmup: a second compiled program with the standard
+    # diagonal loss (host-side per-step selection — lax.cond would carry
+    # both branches' cost into one program).
+    warmup_train_step = (
+        _make_train_step(False) if (marginalize_k and marginalize_warmup_steps) else None
+    )
 
     # Live retrieval index (north-star subsystem): the training corpus's
     # passages live as a sharded on-device index, continuously re-embedded
@@ -564,6 +605,8 @@ def train_e2e(
         raise ValueError("live_negatives_k > 0 requires live_index=True")
     if marginalize_k and not live_index:
         raise ValueError("marginalize_k > 0 requires live_index=True")
+    if marginalize_mode not in ("token", "sequence"):
+        raise ValueError(f"marginalize_mode must be 'token' or 'sequence', got {marginalize_mode!r}")
     refresher = None
     num_real_passages = 0
     if live_index:
@@ -723,7 +766,12 @@ def train_e2e(
             index_arg = (
                 refresher.index.embeddings if (live_negatives_k or marginalize_k) else None
             )
-            state, loss, r_loss, g_loss = train_step(
+            step_fn = (
+                warmup_train_step
+                if warmup_train_step is not None and completed_steps < marginalize_warmup_steps
+                else train_step
+            )
+            state, loss, r_loss, g_loss = step_fn(
                 state, frozen_trees, batch, step_rng, index_arg
             )
             if refresher is not None:

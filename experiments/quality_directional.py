@@ -86,6 +86,65 @@ def make_corpus(
     return rows
 
 
+def make_corpus_chars(
+    n_passages: int, seed: int = 0, vocab_size: int = 30, kws_per_doc: int = 6,
+    answer_repeats: int = 1,
+):
+    """Single-byte-token pairing corpus (the decisive-regime testbed).
+
+    Same schema and pairing structure as :func:`make_corpus`, but each
+    keyword/synonym is ONE byte token (keywords = lowercase/digits,
+    synonyms = uppercase/punctuation, a global bijection): the encoder
+    can solve the task at the embedding-table level, so the 2-layer
+    tiny model trains to high recall and the learning curve is steep —
+    the regime where loss-level differences (e2e's extra doc-logprob
+    push, TRUE top-k marginalization under label noise) separate out of
+    seed noise instead of drowning in a task the model can't learn
+    (round-1 synonym task plateaued at recall ~0.06; VERDICT r1 item 2).
+
+    The Answer is a verbatim copy of the passage's keyword tokens in
+    passage order, so the generator's answer likelihood *identifies the
+    true passage* among candidates — the mechanism the marginalized
+    loss exists to reward (and the property VERDICT r1 asked for:
+    "passage identity actually informs answer tokens").
+    """
+    rng = np.random.default_rng(seed)
+    kw_pool = string.ascii_lowercase + string.digits
+    syn_pool = string.ascii_uppercase + "!@#$%^&*()[]{}<>?~/+=;:"
+    vocab_size = min(vocab_size, len(kw_pool), len(syn_pool))
+    keywords = list(kw_pool[:vocab_size])
+    synonyms = [syn_pool[int(j)] for j in rng.permutation(vocab_size)]
+    rows = []
+    for i in range(n_passages):
+        kw_idx = rng.choice(vocab_size, size=kws_per_doc, replace=False)
+        kws = [keywords[j] for j in kw_idx]
+        # Fixed-width shells: every query/passage/answer has IDENTICAL
+        # token positions, so the generator's copy task is a positional
+        # lookup a 2-layer decoder learns quickly — a sharp
+        # p(answer|passage) is the precondition for marginalization to
+        # carry retrieval signal (diagnosed round 2: variable filler
+        # made copying positional-shift-dependent; the tiny generator's
+        # ll gap stayed ~0.02 nats/token and the posterior never moved).
+        passage = (
+            f"{kws[0]} {kws[1]} apparatus comprising {kws[2]} and {kws[3]} "
+            f"wherein {kws[4]} connects to {kws[5]} ."
+        )
+        q_idx = rng.permutation(kw_idx)[:3]
+        syns = [synonyms[j] for j in q_idx]
+        query = f"what of {syns[0]} {syns[1]} {syns[2]}"
+        # Copy task: all keywords, passage order. ``answer_repeats``
+        # lengthens the answer region — the marginalized loss's
+        # doc-logprob term carries weight (answer tokens / total
+        # unmasked tokens), so longer answers mean more retrieval
+        # gradient per step (mirrors the reference's sentence-length
+        # patent answers vs these 11-byte ones).
+        answer = " ".join(kws * answer_repeats)
+        rows.append(
+            {"Title": f"doc {i}", "Question": query, "Abstract": passage, "Answer": answer}
+        )
+    return rows
+
+
 def mislabel(train_rows, rho: float, seed: int = 0):
     """Swap the Abstracts of a ``rho`` fraction of train rows, pairwise.
 
@@ -173,11 +232,28 @@ def main():
                     "contrastive labels don't")
     ap.add_argument("--kw-len", default="6,9",
                     help="min,max keyword length (shorter = easier byte-level task)")
+    ap.add_argument("--answer-repeats", type=int, default=1,
+                    help="chars task: repeat the keyword answer N times (longer "
+                    "answer region = proportionally more doc-logprob gradient)")
+    ap.add_argument("--task", default="synonym", choices=["synonym", "chars"],
+                    help="synonym = round-1 multi-char pairing (weakly learnable "
+                    "by the tiny model); chars = single-byte-token pairing with "
+                    "copy answers (steep curve, decisive regime)")
     ap.add_argument("--arms", default="ro,e2e",
                     help="comma list of training arms: ro,e2e (marg arm auto-added "
                     "when --marginalize-k > 0)")
     ap.add_argument("--marginalize-k", type=int, default=0,
                     help="also run a rag-e2e arm with TRUE top-k marginalization")
+    ap.add_argument("--marginalize-mode", default="token",
+                    choices=["token", "sequence"],
+                    help="RAG-token (per-answer-token posterior, ~|y|x stronger "
+                    "retrieval gradient) or RAG-sequence marginalization")
+    ap.add_argument("--marginalize-scale", type=float, default=None,
+                    help="candidate-posterior temperature (None = logit_scale; "
+                    "O(10) lets answer likelihood flip the posterior)")
+    ap.add_argument("--marginalize-warmup-frac", type=float, default=0.0,
+                    help="fraction of total steps trained with the diagonal loss "
+                    "before switching to TRUE top-k (generator warmup)")
     ap.add_argument("--fused-compare", action="store_true",
                     help="A/B the fused-QLoRA runtime's compute dtype: rag-e2e with "
                     "bf16-dequant vs W8A8 int8 MXU compute (int8_compute='all'), "
@@ -207,7 +283,13 @@ def main():
     arms = set(args.arms.split(","))
     if args.marginalize_k:
         arms.add("marg")
-    rows = make_corpus(args.passages, vocab_size=args.pair_vocab, kw_len=kw_len)
+    if args.task == "chars":
+        rows = make_corpus_chars(
+            args.passages, vocab_size=args.pair_vocab,
+            answer_repeats=args.answer_repeats,
+        )
+    else:
+        rows = make_corpus(args.passages, vocab_size=args.pair_vocab, kw_len=kw_len)
     train_rows, test_rows = title_split(rows)
     n_noisy = mislabel(train_rows, args.label_noise, seed=1)
     train_ds = Dataset.from_list(train_rows)
@@ -291,6 +373,12 @@ def main():
                 output_dir=marg_out, with_tracking=False, use_dropout=False,
                 num_warmup_steps=args.warmup,
                 live_index=True, marginalize_k=args.marginalize_k,
+                marginalize_mode=args.marginalize_mode,
+                marginalize_scale=args.marginalize_scale,
+                marginalize_warmup_steps=int(
+                    args.marginalize_warmup_frac
+                    * args.epochs * (len(train_rows) // args.batch)
+                ),
             )
             ev = eval_dir(os.path.join(marg_out, "retriever"), f"rag-e2e-marg{args.marginalize_k}[s{seed}]")
             marg_recalls.append(ev.recall)

@@ -185,10 +185,12 @@ def test_train_e2e_streamed_hf_7b_lifecycle(toy_csv, tmp_path):
 
 
 @pytest.mark.slow
-def test_train_e2e_true_topk_marginalization(toy_csv, tmp_path):
-    """marginalize_k: the generator loss becomes the TRUE RAG-sequence
-    marginal over gold + retrieved candidates (k x generator cost), with
-    prompts assembled on device from tokenized segments."""
+@pytest.mark.parametrize("mode", ["token", "sequence"])
+def test_train_e2e_true_topk_marginalization(toy_csv, tmp_path, mode):
+    """marginalize_k: the generator loss becomes the TRUE RAG marginal
+    over gold + retrieved candidates (k x generator cost), with prompts
+    assembled on device from tokenized segments — RAG-token or
+    RAG-sequence granularity (losses/marginal_topk.py)."""
     result = train_e2e(
         toy_csv,
         "tiny",
@@ -204,10 +206,22 @@ def test_train_e2e_true_topk_marginalization(toy_csv, tmp_path):
         live_index=True,
         index_refresh_slice=8,
         marginalize_k=2,
+        marginalize_mode=mode,
     )
     assert np.isfinite(result["final_loss"])
     assert np.isfinite(result["final_generator_loss"])
     assert result["steps"] >= 2
+
+
+@pytest.mark.slow
+def test_marginalize_mode_validated(toy_csv):
+    with pytest.raises(ValueError, match="marginalize_mode"):
+        train_e2e(
+            toy_csv, "tiny", "tiny", per_device_train_batch_size=2,
+            num_train_epochs=1, query_max_len=16, passage_max_len=16,
+            generator_max_len=32, with_tracking=False, live_index=True,
+            marginalize_k=2, marginalize_mode="bogus",
+        )
 
 
 @pytest.mark.slow
