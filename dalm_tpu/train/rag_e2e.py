@@ -136,6 +136,12 @@ def train_e2e(
     # RAG's pretrained-generator assumption (p(y|q,z) must be
     # informative before its feedback can rank candidates).
     marginalize_warmup_steps: int = 0,
+    # Weight of the contrastive term in the joint loss (reference parity
+    # = 1.0, `train_rage2e.py:467`). 0.0 trains the retriever purely
+    # from generator feedback (marginalized loss) — the ablation that
+    # isolates how much retrieval signal the generator carries, and the
+    # right setting when positive labels are too noisy to trust.
+    contrastive_weight: float = 1.0,
     lora_runtime: str = "merge",  # "merge" (<=1B) | "fused" (QLoRA, 7B-scale)
     int8_compute: str = "none",  # "fwd"|"all": int8 MXU matmuls for the fused frozen base
     export_peft: bool = False,  # also write torch-PEFT adapter_model.bin
@@ -524,7 +530,7 @@ def train_e2e(
                     sim,
                     batch["query_passage_input_len"],
                 )
-            total = retriever_loss + gen_loss
+            total = float(contrastive_weight) * retriever_loss + gen_loss
             return total, (retriever_loss, gen_loss)
 
         params = effective_params(train_params, frozen, step_rng)
@@ -563,7 +569,7 @@ def train_e2e(
                 sim,
                 batch["query_passage_input_len"],
             )
-        total = retriever_loss + gen_loss
+        total = float(contrastive_weight) * retriever_loss + gen_loss
         return total, (retriever_loss, gen_loss)
 
     from functools import partial

@@ -334,6 +334,7 @@ def main():
     eval_dir(base_dir, "base (random init)")
 
     ro_recalls, e2e_recalls, marg_recalls = [], [], []
+    margonly_recalls = []
     fused_bf16_recalls, fused_int8_recalls = [], []
     for seed in range(42, 42 + args.seeds):
         if "ro" in arms:
@@ -362,6 +363,34 @@ def main():
             )
             ev = eval_dir(os.path.join(e2e_out, "retriever"), f"rag-e2e[s{seed}]")
             e2e_recalls.append(ev.recall)
+
+        if "margonly" in arms and args.marginalize_k:
+            # Generator-feedback-only retriever training: contrastive
+            # weight 0 — isolates how much retrieval signal the
+            # marginalized loss alone carries (and under label noise,
+            # whether generator feedback beats corrupted contrastive
+            # labels, which it can only do un-opposed: the marg
+            # candidates rank the true passage top already, so there is
+            # no gradient left to cancel contrastive's wrong pushes).
+            mo_out = os.path.join(args.out, f"marg_only_s{seed}")
+            train_e2e(
+                train_ds, base_dir, args.generator, seed=seed,
+                per_device_train_batch_size=args.batch, num_train_epochs=args.epochs,
+                learning_rate=args.lr, query_max_len=args.query_len,
+                passage_max_len=args.passage_len, generator_max_len=args.gen_len,
+                output_dir=mo_out, with_tracking=False, use_dropout=False,
+                num_warmup_steps=args.warmup,
+                live_index=True, marginalize_k=args.marginalize_k,
+                marginalize_mode=args.marginalize_mode,
+                marginalize_scale=args.marginalize_scale,
+                marginalize_warmup_steps=int(
+                    args.marginalize_warmup_frac
+                    * args.epochs * (len(train_rows) // args.batch)
+                ),
+                contrastive_weight=0.0,
+            )
+            ev = eval_dir(os.path.join(mo_out, "retriever"), f"marg-only{args.marginalize_k}[s{seed}]")
+            margonly_recalls.append(ev.recall)
 
         if "marg" in arms and args.marginalize_k:
             marg_out = os.path.join(args.out, f"rag_e2e_marg_s{seed}")
@@ -418,6 +447,10 @@ def main():
         results[f"rag-e2e-marg{args.marginalize_k}"] = {
             "recall@10_mean": float(np.mean(marg_recalls)), "per_seed": marg_recalls,
         }
+    if margonly_recalls:
+        results[f"marg-only{args.marginalize_k}"] = {
+            "recall@10_mean": float(np.mean(margonly_recalls)), "per_seed": margonly_recalls,
+        }
 
     # Paired per-seed statistics: the decisive evidence (bootstrap 95% CI
     # of the mean delta must exclude zero; sign test as a backstop).
@@ -428,6 +461,10 @@ def main():
         stats["marg_vs_e2e"] = paired_stats(marg_recalls, e2e_recalls)
     if marg_recalls and ro_recalls:
         stats["marg_vs_ro"] = paired_stats(marg_recalls, ro_recalls)
+    if margonly_recalls and ro_recalls:
+        stats["margonly_vs_ro"] = paired_stats(margonly_recalls, ro_recalls)
+    if margonly_recalls and marg_recalls:
+        stats["margonly_vs_marg"] = paired_stats(margonly_recalls, marg_recalls)
     if fused_bf16_recalls and fused_int8_recalls:
         stats["int8_vs_bf16"] = paired_stats(fused_int8_recalls, fused_bf16_recalls)
     if stats:

@@ -318,3 +318,19 @@ def test_train_e2e_fused_runtime_resume(toy_csv, tmp_path):
     assert abs(resumed["final_loss"] - straight["final_loss"]) < 1e-4, (
         resumed["final_loss"], straight["final_loss"],
     )
+
+
+@pytest.mark.slow
+def test_train_e2e_contrastive_weight_zero(toy_csv):
+    """contrastive_weight=0: the retriever trains purely from generator
+    feedback (the marginalized loss) — the ablation isolating how much
+    retrieval signal the generator carries."""
+    result = train_e2e(
+        toy_csv, "tiny", "tiny", per_device_train_batch_size=2,
+        num_train_epochs=2, output_dir=None, query_max_len=16,
+        passage_max_len=24, generator_max_len=64, with_tracking=False,
+        use_dropout=False, live_index=True, index_refresh_slice=8,
+        marginalize_k=2, contrastive_weight=0.0,
+    )
+    assert np.isfinite(result["final_loss"])
+    assert result["steps"] >= 2
