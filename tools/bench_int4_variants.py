@@ -1,0 +1,214 @@
+"""Micro-bench: int4 dequant-matmul kernel variants (VERDICT r1 item 4).
+
+The shipped kernel (`kernels/int4_matmul.py`) is VPU-bound: per packed
+byte it does mask/shift/sub x2, int->f32 convert x2, scale-mul x2,
+f32->bf16 cast x2, plus a broadcast-reshape scale expand (~11 vector
+ops/byte).  Variants measured here, all EXACT (no activation quant):
+
+  base   — the shipped kernel.
+  groupmm— per-group (64-row) matmul chunks; scales applied to the
+           (M, bn) partial AFTER the MXU, weights converted
+           int32->bf16 directly (no f32 intermediate, no expand).
+           ~6 ops/byte -> ~4 ops/byte, scale cost moves from
+           O(K*N) to O(K/group * M * N).
+  decomp — nibble decomposition: only the HI nibble is expanded
+           (shift/sub/convert); the LO contribution is recovered on
+           the MXU as  x@lo = x@p - 16*(x@hi) - 136*rowsum(x)
+           (p = packed byte = (q_hi+8)<<4 | (q_lo+8); both nibbles
+           biased +8; p and hi exact in bf16).  ~2 ops/byte at the
+           cost of 1.5x MXU work (irrelevant: decode is not
+           MXU-bound).  Scales still per-group post-matmul.
+
+Run ON THE REAL CHIP:  python tools/bench_int4_variants.py
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from dalm_tpu.kernels.int4_matmul import int4_matmul  # noqa: E402
+from dalm_tpu.models.quant import (  # noqa: E402
+    dequantize_tensor_int4,
+    quantize_tensor_int4,
+)
+
+
+# ---------------------------------------------------------------- groupmm
+def _groupmm_kernel(x_lo_ref, x_hi_ref, q_ref, s_lo_ref, s_hi_ref, out_ref, acc, *, group: int):
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _init():
+        acc[:] = jnp.zeros_like(acc)
+
+    p32 = q_ref[:].astype(jnp.int32)
+    lo = ((p32 & 0xF) - 8).astype(jnp.bfloat16)  # direct int->bf16
+    hi = ((p32 >> 4) - 8).astype(jnp.bfloat16)
+
+    bh = q_ref.shape[0]
+    for g in range(bh // group):
+        sl = slice(g * group, (g + 1) * group)
+        p_lo = jax.lax.dot_general(
+            x_lo_ref[:, sl], lo[sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        p_hi = jax.lax.dot_general(
+            x_hi_ref[:, sl], hi[sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc[:] += p_lo * s_lo_ref[g : g + 1, :] + p_hi * s_hi_ref[g : g + 1, :]
+
+    @pl.when(i == pl.num_programs(1) - 1)
+    def _write():
+        out_ref[:] = acc[:].astype(out_ref.dtype)
+
+
+# ---------------------------------------------------------------- decomp
+def _decomp_kernel(x_lo_ref, x_hi_ref, q_ref, s_lo_ref, s_hi_ref, out_ref, acc, *, group: int):
+    """x@lo = x@p - 16*(x@hi+8-term) ... worked out:
+    stored byte p = (q_hi+8)*16 + (q_lo+8);  q_lo = p - 16*h - 8 where
+    h = p>>4 = q_hi+8;  q_hi = h - 8.
+    So with hb = h (bf16, exact) and pb = p (bf16, exact):
+      x@q_lo = x@pb - 16*(x@hb) - 8*rowsum(x)
+      x@q_hi = x@hb - 8*rowsum(x)
+    Only ONE elementwise expansion (h = p>>4) + two converts per byte.
+    """
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _init():
+        acc[:] = jnp.zeros_like(acc)
+
+    p32 = q_ref[:].astype(jnp.int32)
+    pb = p32.astype(jnp.bfloat16)          # exact: 0..255
+    hb = (p32 >> 4).astype(jnp.bfloat16)   # exact: 0..15
+
+    bh = q_ref.shape[0]
+    for g in range(bh // group):
+        sl = slice(g * group, (g + 1) * group)
+        xl, xh = x_lo_ref[:, sl], x_hi_ref[:, sl]
+        dims = (((1,), (0,)), ((), ()))
+        xp = jax.lax.dot_general(xl, pb[sl], dims, preferred_element_type=jnp.float32)
+        xlh = jax.lax.dot_general(xl, hb[sl], dims, preferred_element_type=jnp.float32)
+        xhh = jax.lax.dot_general(xh, hb[sl], dims, preferred_element_type=jnp.float32)
+        rs_lo = jnp.sum(xl.astype(jnp.float32), axis=1, keepdims=True)  # (M,1)
+        rs_hi = jnp.sum(xh.astype(jnp.float32), axis=1, keepdims=True)
+        q_lo_mm = xp - 16.0 * xlh - 8.0 * rs_lo
+        q_hi_mm = xhh - 8.0 * rs_hi
+        acc[:] += q_lo_mm * s_lo_ref[g : g + 1, :] + q_hi_mm * s_hi_ref[g : g + 1, :]
+
+    @pl.when(i == pl.num_programs(1) - 1)
+    def _write():
+        out_ref[:] = acc[:].astype(out_ref.dtype)
+
+
+def _run_variant(kernel, x, q4, scale4, *, block_k=512, block_n=512, interpret=False):
+    M, K = x.shape
+    half, N = q4.shape
+    group = K // scale4.shape[0]
+    unit = 8 * group  # scale tiles need >=8 sublanes
+    bh = max(block_k // 2, unit)
+    bh -= bh % unit
+    while bh > unit and half % bh:
+        bh -= unit
+    assert half % bh == 0, (half, bh, group)
+    bn = block_n
+    while N % bn:
+        bn //= 2
+    nk, nn = half // bh, N // bn
+    x_bf = x.astype(jnp.bfloat16)
+    return pl.pallas_call(
+        partial(kernel, group=group),
+        grid=(nn, nk),
+        in_specs=[
+            pl.BlockSpec((M, bh), lambda j, i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((M, bh), lambda j, i, nk=nk: (0, i + nk), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bh, bn), lambda j, i: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bh // group, bn), lambda j, i: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bh // group, bn), lambda j, i, nk=nk: (i + nk, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((M, bn), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, N), x.dtype),
+        scratch_shapes=[pltpu.VMEM((M, bn), jnp.float32)],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(x_bf, x_bf, q4, scale4, scale4)
+
+
+def _time(fn, *args, iters=30, verbose=False):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    reps = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        reps.append((time.perf_counter() - t0) / iters)
+    if verbose:
+        print("   reps:", " ".join(f"{r*1e3:.3f}" for r in reps))
+    return min(reps), out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--m", type=int, default=32)
+    ap.add_argument("--iters", type=int, default=30)
+    args = ap.parse_args()
+
+    shapes = [(4096, 4096), (4096, 11008), (11008, 4096)]
+    rng = np.random.default_rng(0)
+    print(f"backend={jax.default_backend()}  M={args.m}")
+    header = f"{'KxN':>14} {'base ms':>9} {'groupmm ms':>11} {'decomp ms':>10} {'hbm-floor':>10}  err(g) err(d)"
+    print(header)
+    totals = dict.fromkeys(["base", "groupmm", "decomp", "floor"], 0.0)
+    for K, N in shapes:
+        w = jnp.asarray(rng.standard_normal((K, N)) * 0.02, jnp.float32)
+        d = quantize_tensor_int4(w, group=64)
+        q4, s4 = d["q4"], d["scale4"]
+        x = jnp.asarray(rng.standard_normal((args.m, K)) * 0.5, jnp.bfloat16)
+        ref = (x.astype(jnp.float32) @ dequantize_tensor_int4(d, jnp.float32)).astype(jnp.bfloat16)
+
+        base_fn = jax.jit(lambda x, q, s: int4_matmul(x, q, s))
+        gm_fn = jax.jit(partial(_run_variant, _groupmm_kernel))
+        dc_fn = jax.jit(partial(_run_variant, _decomp_kernel))
+
+        tb, _ = _time(base_fn, x, q4, s4, iters=args.iters, verbose=True)
+        tg, og = _time(gm_fn, x, q4, s4, iters=args.iters)
+        td, od = _time(dc_fn, x, q4, s4, iters=args.iters)
+
+        def err(o):
+            return float(jnp.max(jnp.abs(o.astype(jnp.float32) - ref.astype(jnp.float32))))
+
+        bytes_ = q4.size + s4.size * 4 + x.size * 2
+        floor = bytes_ / 819e9 * 1e3  # v5e ~819 GB/s
+        totals["base"] += tb
+        totals["groupmm"] += tg
+        totals["decomp"] += td
+        totals["floor"] += floor
+        print(
+            f"{K:>6}x{N:<7} {tb*1e3:>9.3f} {tg*1e3:>11.3f} {td*1e3:>10.3f} {floor:>10.3f}"
+            f"  {err(og):.4f} {err(od):.4f}"
+        )
+    print(
+        f"{'TOTAL':>14} {totals['base']*1e3:>9.3f} {totals['groupmm']*1e3:>11.3f}"
+        f" {totals['decomp']*1e3:>10.3f} {totals['floor']*1e3:>10.3f}"
+    )
+
+
+if __name__ == "__main__":
+    main()
