@@ -75,9 +75,94 @@ def _int4_kernel(x_lo_ref, x_hi_ref, q_ref, s_lo_ref, s_hi_ref, out_ref, acc, *,
         out_ref[:] = acc[:].astype(out_ref.dtype)
 
 
-@partial(jax.jit, static_argnames=("block_k", "block_n", "interpret"))
+def _int4_kernel_groupmm(
+    x_lo_ref, x_hi_ref, q_ref, s_lo_ref, s_hi_ref, out_ref, acc, *, group: int
+):
+    """Variant: per-group MXU chunks, scales applied to the (M, bn)
+    partial AFTER the matmul; nibbles convert int32→bf16 directly (no
+    f32 intermediate, no broadcast-reshape scale expand). ~4 VPU
+    ops/byte vs the base kernel's ~11; scale cost moves from O(K·N)
+    elementwise to O(K/group · M · N) post-matmul."""
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _init():
+        acc[:] = jnp.zeros_like(acc)
+
+    p32 = q_ref[:].astype(jnp.int32)
+    lo = ((p32 & 0xF) - 8).astype(jnp.bfloat16)
+    hi = ((p32 >> 4) - 8).astype(jnp.bfloat16)
+
+    bh = q_ref.shape[0]
+    for g in range(bh // group):
+        sl = slice(g * group, (g + 1) * group)
+        dims = (((1,), (0,)), ((), ()))
+        p_lo = jax.lax.dot_general(
+            x_lo_ref[:, sl], lo[sl], dims, preferred_element_type=jnp.float32
+        )
+        p_hi = jax.lax.dot_general(
+            x_hi_ref[:, sl], hi[sl], dims, preferred_element_type=jnp.float32
+        )
+        acc[:] += p_lo * s_lo_ref[g : g + 1, :] + p_hi * s_hi_ref[g : g + 1, :]
+
+    @pl.when(i == pl.num_programs(1) - 1)
+    def _write():
+        out_ref[:] = acc[:].astype(out_ref.dtype)
+
+
+def _int4_kernel_decomp(
+    x_lo_ref, x_hi_ref, q_ref, s_lo_ref, s_hi_ref, out_ref, acc, *, group: int
+):
+    """Variant: nibble decomposition — only the HI nibble is expanded;
+    the LO contribution is recovered on the MXU from the packed byte:
+    with p = (q_hi+8)·16 + (q_lo+8) and h = p>>4 (both exact in bf16),
+    ``x@q_lo = x@p − 16·(x@h) − 8·rowsum(x)`` and
+    ``x@q_hi = x@h − 8·rowsum(x)``. ~2 VPU ops/byte at 1.5× MXU work
+    (irrelevant in the HBM-bound decode regime)."""
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _init():
+        acc[:] = jnp.zeros_like(acc)
+
+    p32 = q_ref[:].astype(jnp.int32)
+    pb = p32.astype(jnp.bfloat16)  # exact: 0..255
+    hb = (p32 >> 4).astype(jnp.bfloat16)  # exact: 0..15
+
+    bh = q_ref.shape[0]
+    for g in range(bh // group):
+        sl = slice(g * group, (g + 1) * group)
+        xl, xh = x_lo_ref[:, sl], x_hi_ref[:, sl]
+        dims = (((1,), (0,)), ((), ()))
+        xp = jax.lax.dot_general(xl, pb[sl], dims, preferred_element_type=jnp.float32)
+        xlh = jax.lax.dot_general(xl, hb[sl], dims, preferred_element_type=jnp.float32)
+        xhh = jax.lax.dot_general(xh, hb[sl], dims, preferred_element_type=jnp.float32)
+        rs_lo = jnp.sum(xl.astype(jnp.float32), axis=1, keepdims=True)
+        rs_hi = jnp.sum(xh.astype(jnp.float32), axis=1, keepdims=True)
+        q_lo_mm = xp - 16.0 * xlh - 8.0 * rs_lo
+        q_hi_mm = xhh - 8.0 * rs_hi
+        acc[:] += q_lo_mm * s_lo_ref[g : g + 1, :] + q_hi_mm * s_hi_ref[g : g + 1, :]
+
+    @pl.when(i == pl.num_programs(1) - 1)
+    def _write():
+        out_ref[:] = acc[:].astype(out_ref.dtype)
+
+
+_KERNEL_VARIANTS = {
+    "base": _int4_kernel,
+    "groupmm": _int4_kernel_groupmm,
+    "decomp": _int4_kernel_decomp,
+}
+
+# Selected by the on-chip A/B (tools/bench_int4_variants.py); all three
+# are exact to bf16 rounding (interpret-mode oracle test).
+DEFAULT_VARIANT = "base"
+
+
+@partial(jax.jit, static_argnames=("block_k", "block_n", "interpret", "variant"))
 def _int4_matmul_fwd_pallas(
-    x2, q4, scale4, *, block_k: int = 512, block_n: int = 512, interpret: bool = False
+    x2, q4, scale4, *, block_k: int = 512, block_n: int = 512,
+    interpret: bool = False, variant: str = "base",
 ):
     """(M, K) f* @ int4-packed (K/2, N) → (M, N) in x.dtype."""
     M, K = x2.shape
@@ -121,7 +206,7 @@ def _int4_matmul_fwd_pallas(
 
     x_bf = x2.astype(jnp.bfloat16)
     out = pl.pallas_call(
-        partial(_int4_kernel, group=group),
+        partial(_KERNEL_VARIANTS[variant], group=group),
         grid=(nn, nk),
         in_specs=[
             # x slice of the LOW half rows: block i covers [i*bh, (i+1)*bh)
@@ -185,7 +270,9 @@ def _int4_fwd(x, q4, scale4, interpret):
     group = K // scale4.shape[0]
     on_tpu = jax.default_backend() == "tpu" and _kernel_feasible(K // 2, group)
     if on_tpu or interpret:
-        y2 = _int4_matmul_fwd_pallas(x.reshape(M, K), q4, scale4, interpret=interpret)
+        y2 = _int4_matmul_fwd_pallas(
+            x.reshape(M, K), q4, scale4, interpret=interpret, variant=DEFAULT_VARIANT
+        )
     else:
         y2 = x.reshape(M, K) @ _dequant_xla(q4, scale4, x.dtype)
     return y2.reshape(*lead, q4.shape[1]), (q4, scale4)

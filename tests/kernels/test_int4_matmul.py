@@ -71,3 +71,28 @@ def test_no_grad_into_storage():
 
     g = jax.grad(f)(d["scale4"])
     assert float(jnp.abs(g).max()) == 0.0
+
+
+@pytest.mark.parametrize("variant", ["base", "groupmm", "decomp"])
+def test_variant_kernels_match_dequant_oracle(variant):
+    """All selectable kernel variants (base / groupmm post-matmul scales /
+    decomp nibble-decomposition) are exact to bf16 rounding."""
+    import jax.numpy as jnp
+
+    from dalm_tpu.kernels.int4_matmul import _int4_matmul_fwd_pallas
+    from dalm_tpu.models.quant import dequantize_tensor_int4, quantize_tensor_int4
+
+    rng = np.random.default_rng(3)
+    K, N, M = 1024, 256, 8
+    w = jnp.asarray(rng.standard_normal((K, N)) * 0.02, jnp.float32)
+    d = quantize_tensor_int4(w, group=64)
+    x = jnp.asarray(rng.standard_normal((M, K)) * 0.5, jnp.bfloat16)
+    ref = x.astype(jnp.float32) @ dequantize_tensor_int4(d, jnp.float32)
+    out = _int4_matmul_fwd_pallas(
+        x, d["q4"], d["scale4"], block_k=256, block_n=256,
+        interpret=True, variant=variant,
+    )
+    rel = float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref))) / float(
+        jnp.max(jnp.abs(ref))
+    )
+    assert rel < 0.02, (variant, rel)

@@ -37,80 +37,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
-from dalm_tpu.kernels.int4_matmul import int4_matmul  # noqa: E402
+from dalm_tpu.kernels.int4_matmul import (  # noqa: E402
+    _int4_kernel_decomp as _decomp_kernel,
+    _int4_kernel_groupmm as _groupmm_kernel,
+    int4_matmul,
+)
 from dalm_tpu.models.quant import (  # noqa: E402
     dequantize_tensor_int4,
     quantize_tensor_int4,
 )
-
-
-# ---------------------------------------------------------------- groupmm
-def _groupmm_kernel(x_lo_ref, x_hi_ref, q_ref, s_lo_ref, s_hi_ref, out_ref, acc, *, group: int):
-    i = pl.program_id(1)
-
-    @pl.when(i == 0)
-    def _init():
-        acc[:] = jnp.zeros_like(acc)
-
-    p32 = q_ref[:].astype(jnp.int32)
-    lo = ((p32 & 0xF) - 8).astype(jnp.bfloat16)  # direct int->bf16
-    hi = ((p32 >> 4) - 8).astype(jnp.bfloat16)
-
-    bh = q_ref.shape[0]
-    for g in range(bh // group):
-        sl = slice(g * group, (g + 1) * group)
-        p_lo = jax.lax.dot_general(
-            x_lo_ref[:, sl], lo[sl], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        p_hi = jax.lax.dot_general(
-            x_hi_ref[:, sl], hi[sl], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        acc[:] += p_lo * s_lo_ref[g : g + 1, :] + p_hi * s_hi_ref[g : g + 1, :]
-
-    @pl.when(i == pl.num_programs(1) - 1)
-    def _write():
-        out_ref[:] = acc[:].astype(out_ref.dtype)
-
-
-# ---------------------------------------------------------------- decomp
-def _decomp_kernel(x_lo_ref, x_hi_ref, q_ref, s_lo_ref, s_hi_ref, out_ref, acc, *, group: int):
-    """x@lo = x@p - 16*(x@hi+8-term) ... worked out:
-    stored byte p = (q_hi+8)*16 + (q_lo+8);  q_lo = p - 16*h - 8 where
-    h = p>>4 = q_hi+8;  q_hi = h - 8.
-    So with hb = h (bf16, exact) and pb = p (bf16, exact):
-      x@q_lo = x@pb - 16*(x@hb) - 8*rowsum(x)
-      x@q_hi = x@hb - 8*rowsum(x)
-    Only ONE elementwise expansion (h = p>>4) + two converts per byte.
-    """
-    i = pl.program_id(1)
-
-    @pl.when(i == 0)
-    def _init():
-        acc[:] = jnp.zeros_like(acc)
-
-    p32 = q_ref[:].astype(jnp.int32)
-    pb = p32.astype(jnp.bfloat16)          # exact: 0..255
-    hb = (p32 >> 4).astype(jnp.bfloat16)   # exact: 0..15
-
-    bh = q_ref.shape[0]
-    for g in range(bh // group):
-        sl = slice(g * group, (g + 1) * group)
-        xl, xh = x_lo_ref[:, sl], x_hi_ref[:, sl]
-        dims = (((1,), (0,)), ((), ()))
-        xp = jax.lax.dot_general(xl, pb[sl], dims, preferred_element_type=jnp.float32)
-        xlh = jax.lax.dot_general(xl, hb[sl], dims, preferred_element_type=jnp.float32)
-        xhh = jax.lax.dot_general(xh, hb[sl], dims, preferred_element_type=jnp.float32)
-        rs_lo = jnp.sum(xl.astype(jnp.float32), axis=1, keepdims=True)  # (M,1)
-        rs_hi = jnp.sum(xh.astype(jnp.float32), axis=1, keepdims=True)
-        q_lo_mm = xp - 16.0 * xlh - 8.0 * rs_lo
-        q_hi_mm = xhh - 8.0 * rs_hi
-        acc[:] += q_lo_mm * s_lo_ref[g : g + 1, :] + q_hi_mm * s_hi_ref[g : g + 1, :]
-
-    @pl.when(i == pl.num_programs(1) - 1)
-    def _write():
-        out_ref[:] = acc[:].astype(out_ref.dtype)
 
 
 def _run_variant(kernel, x, q4, scale4, *, block_k=512, block_n=512, interpret=False):
