@@ -56,6 +56,14 @@ class DecoderConfig:
     sliding_window: Optional[int] = None
     # Q/K/V projection bias (Qwen2-family); o_proj and MLP stay bias-free.
     attention_bias: bool = False
+    # Gemma-family knobs: head_dim decoupled from hidden/heads (gemma-7b:
+    # 16 heads x 256 = 4096 != hidden 3072), GeGLU MLP activation,
+    # sqrt(hidden)-scaled token embeddings, and RMSNorm's (1 + w) scale
+    # parameterization (HF stores zero-centered weights).
+    head_dim_override: Optional[int] = None
+    hidden_act: str = "silu"  # or "gelu_tanh"
+    scale_embeddings: bool = False
+    rmsnorm_unit_offset: bool = False
     # int8 MXU compute for packed frozen kernels ("none"|"fwd"|"all") —
     # see kernels/int8_matmul.py; no effect without int8 quant storage.
     int8_compute: str = "none"
@@ -64,11 +72,24 @@ class DecoderConfig:
 
     @property
     def head_dim(self) -> int:
-        return self.hidden_size // self.num_heads
+        return self.head_dim_override or self.hidden_size // self.num_heads
 
     @property
     def kv_heads(self) -> int:
         return self.num_kv_heads or self.num_heads
+
+    @staticmethod
+    def gemma_2b() -> "DecoderConfig":
+        """Gemma-2B: MQA (1 kv head), head_dim 256, GeGLU, tied
+        embeddings, sqrt(hidden)-scaled embeds, (1+w) RMSNorm."""
+        return DecoderConfig(
+            vocab_size=256000, hidden_size=2048, num_layers=18, num_heads=8,
+            num_kv_heads=1, head_dim_override=256, intermediate_size=16384,
+            max_position_embeddings=8192, rms_norm_eps=1e-6,
+            tie_embeddings=True, hidden_act="gelu_tanh",
+            scale_embeddings=True, rmsnorm_unit_offset=True,
+            remat=True, param_dtype=jnp.bfloat16,
+        )
 
     @staticmethod
     def tiny(vocab_size: int = 512) -> "DecoderConfig":
@@ -154,19 +175,24 @@ class RMSNorm(nn.Module):
     eps: float = 1e-5
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    # Gemma parameterization: effective scale = 1 + w (HF checkpoints
+    # store zero-centered weights; fresh init zeros → effective ones).
+    unit_offset: bool = False
 
     @nn.compact
     def __call__(self, x):
+        init = nn.initializers.zeros_init() if self.unit_offset else nn.initializers.ones_init()
         scale = self.param(
             "scale",
-            nn.with_logical_partitioning(nn.initializers.ones_init(), ("embed",)),
+            nn.with_logical_partitioning(init, ("embed",)),
             (x.shape[-1],),
             self.param_dtype,
         )
         x32 = x.astype(jnp.float32)
         var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
         normed = x32 * jax.lax.rsqrt(var + self.eps)
-        return (normed * scale.astype(jnp.float32)).astype(self.dtype)
+        s = scale.astype(jnp.float32) + (1.0 if self.unit_offset else 0.0)
+        return (normed * s).astype(self.dtype)
 
 
 def _proj(features, name, cfg, kernel_axes, use_bias=False):
@@ -309,16 +335,19 @@ class DecoderLayer(nn.Module):
     @nn.compact
     def __call__(self, hidden, mask, cos, sin, kv_cache=None, cache_index=None, segment_mask=None):
         cfg = self.cfg
-        normed = RMSNorm(cfg.rms_norm_eps, cfg.dtype, cfg.param_dtype, name="input_norm")(hidden)
+        normed = RMSNorm(cfg.rms_norm_eps, cfg.dtype, cfg.param_dtype,
+                     unit_offset=cfg.rmsnorm_unit_offset, name="input_norm")(hidden)
         attn_out, new_cache = DecoderAttention(cfg, name="attention")(
             normed, mask, cos, sin, kv_cache, cache_index, segment_mask
         )
         hidden = hidden + attn_out
 
-        normed = RMSNorm(cfg.rms_norm_eps, cfg.dtype, cfg.param_dtype, name="post_attention_norm")(hidden)
+        normed = RMSNorm(cfg.rms_norm_eps, cfg.dtype, cfg.param_dtype,
+                     unit_offset=cfg.rmsnorm_unit_offset, name="post_attention_norm")(hidden)
         gate = _proj(cfg.intermediate_size, "gate_proj", cfg, ("embed", "mlp"))(normed)
         up = _proj(cfg.intermediate_size, "up_proj", cfg, ("embed", "mlp"))(normed)
-        down = _proj(cfg.hidden_size, "down_proj", cfg, ("mlp", "embed"))(nn.silu(gate) * up)
+        act = nn.silu if cfg.hidden_act == "silu" else (lambda z: nn.gelu(z, approximate=True))
+        down = _proj(cfg.hidden_size, "down_proj", cfg, ("mlp", "embed"))(act(gate) * up)
         return hidden + down, new_cache
 
 
@@ -370,6 +399,10 @@ class Decoder(nn.Module):
                 nn.initializers.normal(0.02), ("vocab", "embed")
             ),
         )(input_ids)
+        if cfg.scale_embeddings:
+            # Gemma: normalizer cast to the embed dtype BEFORE multiplying
+            # (HF GemmaModel semantics — matters for bf16 parity).
+            hidden = hidden * jnp.asarray(cfg.hidden_size**0.5, cfg.dtype)
 
         if neftune_alpha > 0.0 and noise_rng is not None:
             # NEFTune (generator SFT, reference `generator_only/trainer.py:219`
@@ -426,7 +459,8 @@ class Decoder(nn.Module):
             if new_cache is not None:
                 new_cache[f"layer_{i}"] = layer_new
 
-        hidden = RMSNorm(cfg.rms_norm_eps, cfg.dtype, cfg.param_dtype, name="final_norm")(hidden)
+        hidden = RMSNorm(cfg.rms_norm_eps, cfg.dtype, cfg.param_dtype,
+                         unit_offset=cfg.rmsnorm_unit_offset, name="final_norm")(hidden)
         if return_hidden:
             return hidden
 

@@ -144,7 +144,8 @@ def load_hf_decoder(path: str, dtype=None) -> Tuple[DecoderConfig, Any]:
         max_position_embeddings=hf.get("max_position_embeddings", 4096),
         rope_theta=hf.get("rope_theta", 10000.0),
         rms_norm_eps=hf.get("rms_norm_eps", 1e-5),
-        tie_embeddings=hf.get("tie_word_embeddings", False),
+        # Gemma serializes no tie_word_embeddings key (always tied).
+        tie_embeddings=hf.get("tie_word_embeddings", hf.get("model_type") == "gemma"),
         # Qwen2-family configs gate the window behind use_sliding_window
         # (shipped false on most checkpoints even when sliding_window is
         # set); Mistral-family configs have no gate — default True.
@@ -157,6 +158,17 @@ def load_hf_decoder(path: str, dtype=None) -> Tuple[DecoderConfig, Any]:
         attention_bias=bool(
             hf.get("attention_bias", False) or hf.get("model_type") == "qwen2"
         ),
+        # Gemma family: decoupled head_dim, GeGLU, scaled embeddings,
+        # (1 + w) RMSNorm — same weight names as Llama otherwise.
+        head_dim_override=hf.get("head_dim"),
+        hidden_act=(
+            "gelu_tanh"
+            if hf.get("hidden_act", hf.get("hidden_activation"))
+            in ("gelu_pytorch_tanh", "gelu")
+            else "silu"
+        ),
+        scale_embeddings=hf.get("model_type") == "gemma",
+        rmsnorm_unit_offset=hf.get("model_type") == "gemma",
     )
     if dtype is not None:
         import dataclasses

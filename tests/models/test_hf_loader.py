@@ -194,3 +194,75 @@ def test_qwen2_logits_parity(qwen2_dir):
         model.apply({"params": params}, jnp.asarray(ids, jnp.int32), jnp.ones((2, 12), jnp.int32))
     )
     np.testing.assert_allclose(got, expected, atol=2e-4, rtol=2e-3)
+
+
+@pytest.fixture(scope="module")
+def gemma_dir(tmp_path_factory):
+    transformers = pytest.importorskip("transformers")
+    cfg = transformers.GemmaConfig(
+        vocab_size=256, hidden_size=48, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=1, head_dim=16,
+        intermediate_size=96, max_position_embeddings=64,
+        rms_norm_eps=1e-6, tie_word_embeddings=True,
+        hidden_act="gelu_pytorch_tanh",
+    )
+    model = transformers.GemmaForCausalLM(cfg)
+    model.eval()
+    d = tmp_path_factory.mktemp("hf_gemma")
+    model.save_pretrained(d, safe_serialization=True)
+    return str(d), model
+
+
+def test_gemma_logits_parity(gemma_dir):
+    """Gemma family: MQA + decoupled head_dim (4x16 != hidden 48) +
+    GeGLU + sqrt(hidden)-scaled embeddings + (1+w) RMSNorm + tied
+    embeddings — converted forward matches the torch model."""
+    import torch
+
+    path, hf_model = gemma_dir
+    cfg, params = load_hf_decoder(path)
+    assert cfg.head_dim == 16 and cfg.head_dim_override == 16
+    assert cfg.hidden_act == "gelu_tanh"
+    assert cfg.scale_embeddings and cfg.rmsnorm_unit_offset
+    assert cfg.tie_embeddings
+    model = Decoder(cfg)
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(1, 250, size=(2, 12)).astype(np.int64)
+    with torch.no_grad():
+        expected = hf_model(torch.tensor(ids)).logits.numpy()
+    got = np.asarray(
+        model.apply({"params": params}, jnp.asarray(ids, jnp.int32), jnp.ones((2, 12), jnp.int32))
+    )
+    np.testing.assert_allclose(got, expected, atol=2e-4, rtol=2e-3)
+
+
+def test_gemma_decode_matches_full_forward(gemma_dir):
+    """KV-cache greedy decode through the Gemma config (MQA path with
+    head_dim override) matches lockstep full-sequence argmax."""
+    path, _ = gemma_dir
+    cfg, params = load_hf_decoder(path)
+    from dalm_tpu.models.generate import build_greedy_generate
+
+    rng = np.random.default_rng(1)
+    P, new = 8, 4
+    ids = np.zeros((2, P), np.int32)
+    mask = np.zeros((2, P), np.int32)
+    for i in range(2):
+        real = int(rng.integers(4, P))
+        ids[i, P - real:] = rng.integers(1, 250, size=real)
+        mask[i, P - real:] = 1
+    model = Decoder(cfg)
+    gen = build_greedy_generate(model, new, eos_token_id=None, pad_token_id=0)
+    out = np.asarray(gen(params, jnp.asarray(ids), jnp.asarray(mask)))
+
+    # lockstep oracle: argmax of the full forward, fed back token by token
+    cur_ids, cur_mask = ids.copy(), mask.copy()
+    for t in range(new):
+        logits = np.asarray(model.apply(
+            {"params": params}, jnp.asarray(cur_ids), jnp.asarray(cur_mask)
+        ))
+        nxt = logits[np.arange(2), -1].argmax(-1).astype(np.int32)
+        assert (nxt == out[:, t]).all(), f"token {t}"
+        cur_ids = np.concatenate([cur_ids, nxt[:, None]], axis=1)
+        cur_mask = np.concatenate([cur_mask, np.ones((2, 1), np.int32)], axis=1)
