@@ -261,6 +261,58 @@ def main() -> None:
         )
     )
 
+    # ---- streaming + speculative: same open-loop workload --------------
+    # The online scheduler now runs host-draft verification rounds
+    # (models/streaming.py:_speculative_scheduler_loop); same arrival
+    # rate, so the TTFT/latency deltas are directly comparable to the
+    # single-token streaming numbers above. Outputs are exact greedy —
+    # verified per-request against the non-speculative run.
+    spec_eng = DecodeEngine(
+        generator, g_params, num_slots=64, max_prompt_len=pipe.max_prompt_len,
+        max_new_tokens=64, eos_token_id=None, pad_token_id=0,
+        speculative_gamma=8,
+    )
+    _ = spec_eng.generate(p_ids[:64], p_mask[:64], budgets=budgets[:64])  # warm
+    with StreamingEngine(spec_eng) as srv:
+        t_start = time.perf_counter()
+        spec_handles = []
+        for i in range(len(queries)):
+            spec_handles.append(srv.submit(p_ids[i], p_mask[i], budget=int(budgets[i])))
+            target = t_start + (i + 1) / rate
+            delay = target - time.perf_counter()
+            if delay > 0:
+                time.sleep(delay)
+        for h in spec_handles:
+            h.result(timeout=600)
+        spec_dt = time.perf_counter() - t_start
+    mismatches = sum(
+        a.result() != b.result() for a, b in zip(handles, spec_handles)
+    )
+    assert mismatches == 0, f"{mismatches} requests deviate from greedy"
+    ttft_s = np.asarray([h.t_first_token - h.t_submit for h in spec_handles])
+    lat_s = np.asarray([h.t_done - h.t_submit for h in spec_handles])
+    tpr = np.asarray([
+        (len(h.result()) - 1) / h.spec_rounds  # first token comes from admit
+        for h in spec_handles if h.spec_rounds > 0
+    ])
+    print(
+        json.dumps(
+            {
+                "metric": "rag_serve_streaming_speculative_answers_per_sec_per_chip[open-loop-arrivals,64-slots,256-requests,ragged-budgets,gamma=8]",
+                "value": round(len(queries) / spec_dt / jax.device_count(), 2),
+                "unit": "answers/sec/chip",
+                "vs_baseline": None,
+                "arrival_rate_per_sec": round(rate, 1),
+                "ttft_p50_ms": round(float(np.percentile(ttft_s, 50)) * 1e3, 1),
+                "ttft_p95_ms": round(float(np.percentile(ttft_s, 95)) * 1e3, 1),
+                "latency_p50_ms": round(float(np.percentile(lat_s, 50)) * 1e3, 1),
+                "latency_p95_ms": round(float(np.percentile(lat_s, 95)) * 1e3, 1),
+                "tokens_per_verify_round_mean": round(float(tpr.mean()), 2) if len(tpr) else None,
+                "exact_match_vs_plain_streaming": True,
+            }
+        )
+    )
+
 
 if __name__ == "__main__":
     if "--7b" in sys.argv:

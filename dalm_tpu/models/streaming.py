@@ -60,6 +60,10 @@ class StreamHandle:
         self.t_submit: Optional[float] = None
         self.t_first_token: Optional[float] = None
         self.t_done: Optional[float] = None
+        # speculative serving only: verification rounds this request took
+        # (tokens-per-round = len(result()) / spec_rounds; the draft
+        # acceptance signal for tuning gamma)
+        self.spec_rounds: int = 0
 
     # ---- consumer side ---------------------------------------------------
     def tokens(self) -> Iterator[int]:
@@ -485,6 +489,7 @@ class StreamingEngine:
             emit, m = np.asarray(emit), np.asarray(m)
             for slot in np.flatnonzero(active_mask):
                 h = slot_req[slot]
+                h.spec_rounds += 1
                 if h._cancelled.is_set():
                     finish(slot)
                     continue
