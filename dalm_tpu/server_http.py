@@ -14,6 +14,17 @@ HTTP:
   the scheduler produces them; requests share the slot pool and join
   mid-flight — `models/streaming.py`).
 
+OpenAI-compatible surface (drop-in for openai-SDK clients pointed at
+``base_url=http://host:port/v1``; the RAG retrieval context rides along
+in the response's ``dalm`` extension field):
+
+- ``GET  /v1/models``             → one model, id ``dalm-rag``
+- ``POST /v1/chat/completions``   messages → the last user message is
+  the retrieval query; ``stream: true`` sends SSE delta chunks ending
+  with ``data: [DONE]``; ``max_tokens`` caps the decode budget; the
+  non-standard ``top_k`` passes through to retrieval.
+- ``POST /v1/completions``        ``prompt`` (string) as the query.
+
 Concurrency: ``ThreadingHTTPServer`` gives each request a thread; all of
 them submit into ONE streaming session whose scheduler thread owns the
 decode engine, so concurrent requests batch onto the device rather than
@@ -26,13 +37,40 @@ Start programmatically (:func:`serve_pipeline`) or via the CLI::
 
 from __future__ import annotations
 
+import itertools
 import json
 import logging
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
 logger = logging.getLogger(__name__)
+
+_MARKER = "#answer#"
+_request_ids = itertools.count()
+
+
+def _incremental_deltas(handle, tok, marker: str = _MARKER):
+    """Yield answer-text deltas as tokens decode; final item is
+    ``(None, n_tokens)``.
+
+    The full prefix re-decodes each flush (subword/byte tokenizers
+    cannot decode tokens independently) and a marker-sized tail is held
+    back so a partially decoded stop marker never reaches the wire
+    (sent bytes cannot be retracted)."""
+    ids, sent = [], 0
+    for t in handle.tokens():
+        ids.append(t)
+        text = tok.decode(ids, skip_special_tokens=True).split(marker)[0]
+        safe = max(sent, len(text) - (len(marker) - 1))
+        if safe > sent:
+            yield text[sent:safe]
+            sent = safe
+    text = tok.decode(ids, skip_special_tokens=True).split(marker)[0]
+    if len(text) > sent:
+        yield text[sent:]
+    yield (None, len(ids))
 
 
 class RagHTTPServer:
@@ -73,9 +111,22 @@ class RagHTTPServer:
                     return None
                 return req
 
+            def _chunk(self, data: bytes) -> None:
+                self.wfile.write(f"{len(data):X}\r\n".encode() + data + b"\r\n")
+                self.wfile.flush()
+
+            def _end_chunks(self) -> None:
+                self.wfile.write(b"0\r\n\r\n")
+
             def do_GET(self):
                 if self.path == "/healthz":
                     self._json(200, {"status": "ok", "passages": len(outer.pipe.passages)})
+                elif self.path == "/v1/models":
+                    self._json(200, {
+                        "object": "list",
+                        "data": [{"id": "dalm-rag", "object": "model",
+                                  "created": int(time.time()), "owned_by": "dalm-tpu"}],
+                    })
                 else:
                     self._json(404, {"error": "unknown path"})
 
@@ -105,38 +156,121 @@ class RagHTTPServer:
                     self.send_header("Content-Type", "text/plain; charset=utf-8")
                     self.send_header("Transfer-Encoding", "chunked")
                     self.end_headers()
-                    tok = outer.pipe.g_tok
-                    marker = "#answer#"
-                    sent = 0
-                    ids = []
                     try:
-                        for t in h.tokens():
-                            ids.append(t)
-                            # decode the full prefix each flush: subword/byte
-                            # tokenizers cannot decode tokens independently
-                            text = tok.decode(ids, skip_special_tokens=True)
-                            text = text.split(marker)[0]
-                            # hold back a marker-sized tail: a partially
-                            # decoded stop marker must never reach the wire
-                            # (sent bytes cannot be retracted)
-                            safe = max(sent, len(text) - (len(marker) - 1))
-                            delta = text[sent:safe]
-                            if delta:
-                                chunk = delta.encode("utf-8")
-                                self.wfile.write(f"{len(chunk):X}\r\n".encode() + chunk + b"\r\n")
-                                self.wfile.flush()
-                                sent = safe
-                        text = tok.decode(ids, skip_special_tokens=True).split(marker)[0]
-                        tail = text[sent:].encode("utf-8")
-                        if tail:
-                            self.wfile.write(f"{len(tail):X}\r\n".encode() + tail + b"\r\n")
-                        self.wfile.write(b"0\r\n\r\n")
+                        for delta in _incremental_deltas(h, outer.pipe.g_tok):
+                            if isinstance(delta, tuple):
+                                break
+                            self._chunk(delta.encode("utf-8"))
+                        self._end_chunks()
                     except (BrokenPipeError, ConnectionResetError):
                         # client went away: free the decode slot immediately
                         # instead of burning its remaining budget
                         h.cancel()
+                elif self.path in ("/v1/chat/completions", "/v1/completions"):
+                    self._openai(chat=self.path.endswith("chat/completions"))
                 else:
                     self._json(404, {"error": "unknown path"})
+
+            # ---- OpenAI-compatible surface -----------------------------
+            def _openai(self, chat: bool) -> None:
+                try:
+                    n = int(self.headers.get("Content-Length", "0"))
+                    req = json.loads(self.rfile.read(n) or b"{}")
+                    assert isinstance(req, dict)
+                except (ValueError, json.JSONDecodeError, AssertionError):
+                    self._json(400, {"error": {"message": "invalid JSON body",
+                                               "type": "invalid_request_error"}})
+                    return
+                if chat:
+                    msgs = req.get("messages")
+                    query = next(
+                        (m.get("content") for m in reversed(msgs or [])
+                         if isinstance(m, dict) and m.get("role") == "user"
+                         and isinstance(m.get("content"), str)),
+                        None,
+                    )
+                else:
+                    query = req.get("prompt")
+                    if isinstance(query, list) and query and isinstance(query[0], str):
+                        query = query[0]
+                if not isinstance(query, str) or not query:
+                    field = "messages (one user message)" if chat else "prompt"
+                    self._json(400, {"error": {"message": f"missing {field}",
+                                               "type": "invalid_request_error"}})
+                    return
+
+                budget = req.get("max_tokens")
+                h = outer.session.submit(
+                    query, top_k=int(req.get("top_k", 4)),
+                    budget=int(budget) if budget is not None else None,
+                )
+                rid = f"{'chatcmpl' if chat else 'cmpl'}-{next(_request_ids)}"
+                created = int(time.time())
+                model = req.get("model") or "dalm-rag"
+                prompt_toks = int(sum(
+                    outer.pipe.g_tok(
+                        [f"#query# {query} #passage# {h.passages[0]} #answer# "]
+                    )["attention_mask"][0]
+                ))
+                dalm_ext = {"passages": h.passages, "scores": h.scores}
+
+                if req.get("stream"):
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/event-stream")
+                    self.send_header("Cache-Control", "no-cache")
+                    self.send_header("Transfer-Encoding", "chunked")
+                    self.end_headers()
+
+                    def sse(payload: dict) -> None:
+                        self._chunk(b"data: " + json.dumps(payload).encode() + b"\n\n")
+
+                    def chunk_obj(delta: dict, finish=None) -> dict:
+                        if chat:
+                            return {"id": rid, "object": "chat.completion.chunk",
+                                    "created": created, "model": model,
+                                    "choices": [{"index": 0, "delta": delta,
+                                                 "finish_reason": finish}]}
+                        return {"id": rid, "object": "text_completion",
+                                "created": created, "model": model,
+                                "choices": [{"index": 0, "text": delta.get("content", ""),
+                                             "finish_reason": finish}]}
+
+                    try:
+                        if chat:
+                            sse(chunk_obj({"role": "assistant"}))
+                        for delta in _incremental_deltas(h, outer.pipe.g_tok):
+                            if isinstance(delta, tuple):
+                                break
+                            sse(chunk_obj({"content": delta}))
+                        sse(chunk_obj({}, finish="stop"))
+                        self._chunk(b"data: [DONE]\n\n")
+                        self._end_chunks()
+                    except (BrokenPipeError, ConnectionResetError):
+                        h.cancel()
+                    return
+
+                answer = h.answer()
+                n_tokens = len(h._handle.result())
+                usage = {"prompt_tokens": prompt_toks,
+                         "completion_tokens": n_tokens,
+                         "total_tokens": prompt_toks + n_tokens}
+                if chat:
+                    self._json(200, {
+                        "id": rid, "object": "chat.completion", "created": created,
+                        "model": model,
+                        "choices": [{"index": 0,
+                                     "message": {"role": "assistant", "content": answer},
+                                     "finish_reason": "stop"}],
+                        "usage": usage, "dalm": dalm_ext,
+                    })
+                else:
+                    self._json(200, {
+                        "id": rid, "object": "text_completion", "created": created,
+                        "model": model,
+                        "choices": [{"index": 0, "text": answer,
+                                     "finish_reason": "stop", "logprobs": None}],
+                        "usage": usage, "dalm": dalm_ext,
+                    })
 
         self.httpd = ThreadingHTTPServer((host, port), Handler)
         self.host, self.port = self.httpd.server_address[:2]

@@ -94,3 +94,69 @@ def test_concurrent_requests(server):
     expected = pipe.answer(queries, top_k=2)
     for q, e in zip(queries, expected):
         assert results[q] == e.answer
+
+
+def test_openai_models(server):
+    srv, _ = server
+    with urllib.request.urlopen(f"http://{srv.host}:{srv.port}/v1/models", timeout=30) as r:
+        payload = json.loads(r.read())
+    assert payload["object"] == "list"
+    assert payload["data"][0]["id"] == "dalm-rag"
+
+
+def test_openai_chat_completion(server):
+    srv, pipe = server
+    q = "what about metro-5"
+    body = {
+        "model": "dalm-rag",
+        "messages": [
+            {"role": "system", "content": "you answer from passages"},
+            {"role": "user", "content": q},
+        ],
+        "top_k": 2,
+    }
+    with _post(srv, "/v1/chat/completions", body) as r:
+        payload = json.loads(r.read())
+    expected = pipe.answer([q], top_k=2)[0]
+    assert payload["object"] == "chat.completion"
+    assert payload["choices"][0]["message"]["role"] == "assistant"
+    assert payload["choices"][0]["message"]["content"] == expected.answer
+    assert payload["choices"][0]["finish_reason"] == "stop"
+    assert payload["usage"]["total_tokens"] == (
+        payload["usage"]["prompt_tokens"] + payload["usage"]["completion_tokens"]
+    )
+    assert payload["dalm"]["passages"] == expected.passages
+
+
+def test_openai_text_completion(server):
+    srv, pipe = server
+    q = "what about metro-2"
+    with _post(srv, "/v1/completions", {"prompt": q, "top_k": 2}) as r:
+        payload = json.loads(r.read())
+    expected = pipe.answer([q], top_k=2)[0]
+    assert payload["object"] == "text_completion"
+    assert payload["choices"][0]["text"] == expected.answer
+
+
+def test_openai_chat_stream_sse(server):
+    srv, pipe = server
+    q = "what about metro-7"
+    body = {"messages": [{"role": "user", "content": q}], "stream": True, "top_k": 2}
+    with _post(srv, "/v1/chat/completions", body) as r:
+        raw = r.read().decode()
+    events = [ln[len("data: "):] for ln in raw.split("\n") if ln.startswith("data: ")]
+    assert events[-1] == "[DONE]"
+    chunks = [json.loads(e) for e in events[:-1]]
+    assert chunks[0]["choices"][0]["delta"].get("role") == "assistant"
+    text = "".join(c["choices"][0]["delta"].get("content", "") for c in chunks)
+    assert text == pipe.answer([q], top_k=2)[0].answer
+    assert chunks[-1]["choices"][0]["finish_reason"] == "stop"
+
+
+def test_openai_bad_request(server):
+    srv, _ = server
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(srv, "/v1/chat/completions", {"messages": []})
+    assert e.value.code == 400
