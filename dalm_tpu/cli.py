@@ -268,7 +268,9 @@ def serve_cmd(retriever_name_or_path, generator_name_or_path, passages_path,
               sampling_seed):
     """Serve RAG answers over HTTP (beyond the reference — it has no
     serving surface): POST /answer for full answers, POST /stream for
-    token streaming, GET /healthz."""
+    token streaming, GET /healthz; plus an OpenAI-compatible surface
+    (/v1/chat/completions incl. SSE streaming, /v1/completions,
+    /v1/models) for openai-SDK clients pointed at base_url=/v1."""
     if passages_path.endswith(".csv"):
         import csv as _csv
 
