@@ -225,6 +225,8 @@ def main():
     ap.add_argument("--out", default="experiments/results")
     ap.add_argument("--cpu-mesh", action="store_true", help="force 8-device CPU mesh")
     ap.add_argument("--seeds", type=int, default=1, help="training seeds to average over")
+    ap.add_argument("--seed-start", type=int, default=42,
+                    help="first training seed (contiguous range of --seeds from here)")
     ap.add_argument("--label-noise", type=float, default=0.0,
                     help="fraction of train rows with pairwise-swapped (wrong) positives; "
                     "answers stay tied to the TRUE passage — the regime where the "
@@ -281,7 +283,7 @@ def main():
     os.makedirs(args.out, exist_ok=True)
     kw_len = tuple(int(x) for x in args.kw_len.split(","))
     arms = set(args.arms.split(","))
-    if args.marginalize_k:
+    if args.marginalize_k and not ({"marg", "margonly"} & arms):
         arms.add("marg")
     if args.task == "chars":
         rows = make_corpus_chars(
@@ -336,7 +338,7 @@ def main():
     ro_recalls, e2e_recalls, marg_recalls = [], [], []
     margonly_recalls = []
     fused_bf16_recalls, fused_int8_recalls = [], []
-    for seed in range(42, 42 + args.seeds):
+    for seed in range(args.seed_start, args.seed_start + args.seeds):
         if "ro" in arms:
             # Run A: retriever-only contrastive.
             ro_out = os.path.join(args.out, f"retriever_only_s{seed}")
