@@ -57,8 +57,6 @@ def test_pipeline_quantized_index(mode):
 
 
 def test_async_refresher_refuses_quantized_index():
-    import jax
-
     from dalm_tpu.core.mesh import MeshConfig, make_mesh
     from dalm_tpu.index.dense import ShardedDenseIndex
     from dalm_tpu.index.refresh import AsyncIndexRefresher
