@@ -193,8 +193,6 @@ def eval_retriever_cmd(dataset_path, retriever_name_or_path, is_autoregressive, 
     """Evaluate retrieval recall / precision / hit-rate."""
     from dalm_tpu.eval.retriever import evaluate_retriever
 
-    if kwargs.get("index_quantize") == "none":
-        kwargs["index_quantize"] = False
     results = evaluate_retriever(
         dataset_or_path=dataset_path,
         retriever_name_or_path=retriever_name_or_path,
@@ -223,8 +221,6 @@ def eval_rag_cmd(dataset_path, retriever_name_or_path, generator_name_or_path, *
     """Evaluate retrieval + generator exact-match."""
     from dalm_tpu.eval.rag import evaluate_rag
 
-    if kwargs.get("index_quantize") == "none":
-        kwargs["index_quantize"] = False
     results = evaluate_rag(
         dataset_or_path=dataset_path,
         retriever_name_or_path=retriever_name_or_path,
@@ -298,7 +294,7 @@ def serve_cmd(retriever_name_or_path, generator_name_or_path, passages_path,
         generator_tokenizer=generator_tokenizer,
         max_prompt_len=max_prompt_len, max_new_tokens=max_new_tokens,
         quantize_generator=quantize_generator, sampler=sampler,
-        index_quantize=False if index_quantize == "none" else index_quantize,
+        index_quantize=index_quantize,
     )
     serve_pipeline(pipe, host=host, port=port, num_slots=num_slots)
 

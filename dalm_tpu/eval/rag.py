@@ -118,8 +118,7 @@ def evaluate_rag(
     )
     id_to_passage = {i: p for i, p in enumerate(unique_passages[passage_column_name])}
     index = ShardedDenseIndex.build(
-        mesh, passage_embs, kernel=index_kernel,
-        quantize=True if index_quantize == "int8" else index_quantize,
+        mesh, passage_embs, kernel=index_kernel, quantize=index_quantize
     )
 
     generate = build_greedy_generate(

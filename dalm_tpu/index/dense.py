@@ -79,13 +79,16 @@ class ShardedDenseIndex:
         kernel: str = "auto",
         quantize: "bool | str" = False,
     ) -> "ShardedDenseIndex":
-        """``quantize=True``: store rows as symmetric int8 + per-row f32
-        scale — 2× the corpus per HBM byte and half the scan DMA, at the
-        cost of int8 score resolution (top-k is exact w.r.t. the
-        quantized index). ``quantize="int4"``: half-split nibble packing
-        along D — 4× the corpus per HBM byte, quarter the DMA, int4
-        score resolution. Not compatible with the async refresher (which
-        updates full-precision rows in place)."""
+        """``quantize=True`` / ``"int8"``: store rows as symmetric int8 +
+        per-row f32 scale — 2× the corpus per HBM byte and half the scan
+        DMA, at the cost of int8 score resolution (top-k is exact w.r.t.
+        the quantized index). ``quantize="int4"``: half-split nibble
+        packing along D — 4× the corpus per HBM byte, quarter the DMA,
+        int4 score resolution. ``False``/``None``/``"none"`` = bf16/f32
+        rows. Not compatible with the async refresher (which updates
+        full-precision rows in place)."""
+        if quantize in (None, "none"):
+            quantize = False
         n, d = embeddings.shape
         shards = cls.num_shards(mesh)
         # Pad rows so every shard holds the same (8·lane-aligned) tile count.

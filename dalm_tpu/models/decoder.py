@@ -61,7 +61,7 @@ class DecoderConfig:
     # sqrt(hidden)-scaled token embeddings, and RMSNorm's (1 + w) scale
     # parameterization (HF stores zero-centered weights).
     head_dim_override: Optional[int] = None
-    hidden_act: str = "silu"  # or "gelu_tanh"
+    hidden_act: str = "silu"  # or "gelu_tanh" (Gemma) / "gelu" (exact erf)
     scale_embeddings: bool = False
     rmsnorm_unit_offset: bool = False
     # int8 MXU compute for packed frozen kernels ("none"|"fwd"|"all") —
@@ -346,7 +346,11 @@ class DecoderLayer(nn.Module):
                      unit_offset=cfg.rmsnorm_unit_offset, name="post_attention_norm")(hidden)
         gate = _proj(cfg.intermediate_size, "gate_proj", cfg, ("embed", "mlp"))(normed)
         up = _proj(cfg.intermediate_size, "up_proj", cfg, ("embed", "mlp"))(normed)
-        act = nn.silu if cfg.hidden_act == "silu" else (lambda z: nn.gelu(z, approximate=True))
+        act = {
+            "silu": nn.silu,
+            "gelu_tanh": lambda z: nn.gelu(z, approximate=True),
+            "gelu": lambda z: nn.gelu(z, approximate=False),
+        }[cfg.hidden_act]
         down = _proj(cfg.hidden_size, "down_proj", cfg, ("mlp", "embed"))(act(gate) * up)
         return hidden + down, new_cache
 

@@ -161,11 +161,19 @@ def load_hf_decoder(path: str, dtype=None) -> Tuple[DecoderConfig, Any]:
         # Gemma family: decoupled head_dim, GeGLU, scaled embeddings,
         # (1 + w) RMSNorm — same weight names as Llama otherwise.
         head_dim_override=hf.get("head_dim"),
+        # Gemma's config-level "gelu" means tanh-approx (HF remaps it);
+        # a non-Gemma "gelu" is exact-erf GeLU and loads as such.
         hidden_act=(
             "gelu_tanh"
-            if hf.get("hidden_act", hf.get("hidden_activation"))
-            in ("gelu_pytorch_tanh", "gelu")
-            else "silu"
+            if (
+                hf.get("hidden_act", hf.get("hidden_activation"))
+                == "gelu_pytorch_tanh"
+                or (hf.get("model_type") == "gemma"
+                    and hf.get("hidden_act", hf.get("hidden_activation")) == "gelu")
+            )
+            else {"silu": "silu", "gelu": "gelu"}.get(
+                hf.get("hidden_act", "silu"), "silu"
+            )
         ),
         scale_embeddings=hf.get("model_type") == "gemma",
         rmsnorm_unit_offset=hf.get("model_type") == "gemma",

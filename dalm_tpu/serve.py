@@ -127,8 +127,6 @@ class RagPipeline:
                 sampler=self.sampler,
             )
         embs = self._embed_texts([f"#passage# {p}" for p in self.passages], max_passage_len)
-        if index_quantize == "int8":
-            index_quantize = True
         self.index = ShardedDenseIndex.build(
             self.mesh, embs, kernel=index_kernel, quantize=index_quantize
         )

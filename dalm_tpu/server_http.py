@@ -181,38 +181,53 @@ class RagHTTPServer:
                     self._json(400, {"error": {"message": "invalid JSON body",
                                                "type": "invalid_request_error"}})
                     return
-                if chat:
-                    msgs = req.get("messages")
-                    query = next(
-                        (m.get("content") for m in reversed(msgs or [])
-                         if isinstance(m, dict) and m.get("role") == "user"
-                         and isinstance(m.get("content"), str)),
-                        None,
-                    )
-                else:
-                    query = req.get("prompt")
-                    if isinstance(query, list) and query and isinstance(query[0], str):
-                        query = query[0]
-                if not isinstance(query, str) or not query:
-                    field = "messages (one user message)" if chat else "prompt"
-                    self._json(400, {"error": {"message": f"missing {field}",
+                try:
+                    if chat:
+                        msgs = req.get("messages")
+                        if not isinstance(msgs, list):
+                            raise ValueError("messages must be a list")
+                        query = next(
+                            (m.get("content") for m in reversed(msgs)
+                             if isinstance(m, dict) and m.get("role") == "user"
+                             and isinstance(m.get("content"), str)),
+                            None,
+                        )
+                    else:
+                        query = req.get("prompt")
+                        if isinstance(query, list) and query and isinstance(query[0], str):
+                            query = query[0]
+                    if not isinstance(query, str) or not query:
+                        field = "messages (one user message)" if chat else "prompt"
+                        raise ValueError(f"missing {field}")
+                    budget = req.get("max_tokens")
+                    budget = int(budget) if budget is not None else None
+                    top_k = int(req.get("top_k", 4))
+                except (ValueError, TypeError) as e:
+                    self._json(400, {"error": {"message": str(e),
                                                "type": "invalid_request_error"}})
                     return
 
-                budget = req.get("max_tokens")
-                h = outer.session.submit(
-                    query, top_k=int(req.get("top_k", 4)),
-                    budget=int(budget) if budget is not None else None,
-                )
+                h = outer.session.submit(query, top_k=top_k, budget=budget)
                 rid = f"{'chatcmpl' if chat else 'cmpl'}-{next(_request_ids)}"
                 created = int(time.time())
                 model = req.get("model") or "dalm-rag"
+                # usage: re-tokenize with the SAME truncation submit applied
+                # (serve.py builds the prompt from the top passage, padded/
+                # truncated to max_prompt_len)
                 prompt_toks = int(sum(
                     outer.pipe.g_tok(
-                        [f"#query# {query} #passage# {h.passages[0]} #answer# "]
+                        [f"#query# {query} #passage# {h.passages[0]} #answer# "],
+                        truncation=True, max_length=outer.pipe.max_prompt_len,
                     )["attention_mask"][0]
                 ))
                 dalm_ext = {"passages": h.passages, "scores": h.scores}
+                # effective decode cap (StreamingEngine clamps to the
+                # engine's max_new): finish_reason must reflect truncation
+                max_new = outer.session._server.engine.max_new
+                cap = min(budget, max_new) if budget is not None else max_new
+
+                def finish_reason(n_tokens: int) -> str:
+                    return "length" if n_tokens >= cap else "stop"
 
                 if req.get("stream"):
                     self.send_response(200)
@@ -237,12 +252,24 @@ class RagHTTPServer:
 
                     try:
                         if chat:
-                            sse(chunk_obj({"role": "assistant"}))
+                            first = chunk_obj({"role": "assistant"})
+                            first["dalm"] = dalm_ext  # retrieval context
+                            sse(first)
+                        n_tokens = 0
                         for delta in _incremental_deltas(h, outer.pipe.g_tok):
                             if isinstance(delta, tuple):
+                                n_tokens = delta[1]
                                 break
                             sse(chunk_obj({"content": delta}))
-                        sse(chunk_obj({}, finish="stop"))
+                        final = chunk_obj({}, finish=finish_reason(n_tokens))
+                        final["usage"] = {
+                            "prompt_tokens": prompt_toks,
+                            "completion_tokens": n_tokens,
+                            "total_tokens": prompt_toks + n_tokens,
+                        }
+                        if not chat:
+                            final["dalm"] = dalm_ext
+                        sse(final)
                         self._chunk(b"data: [DONE]\n\n")
                         self._end_chunks()
                     except (BrokenPipeError, ConnectionResetError):
@@ -260,7 +287,7 @@ class RagHTTPServer:
                         "model": model,
                         "choices": [{"index": 0,
                                      "message": {"role": "assistant", "content": answer},
-                                     "finish_reason": "stop"}],
+                                     "finish_reason": finish_reason(n_tokens)}],
                         "usage": usage, "dalm": dalm_ext,
                     })
                 else:
@@ -268,7 +295,8 @@ class RagHTTPServer:
                         "id": rid, "object": "text_completion", "created": created,
                         "model": model,
                         "choices": [{"index": 0, "text": answer,
-                                     "finish_reason": "stop", "logprobs": None}],
+                                     "finish_reason": finish_reason(n_tokens),
+                                     "logprobs": None}],
                         "usage": usage, "dalm": dalm_ext,
                     })
 

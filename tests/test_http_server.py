@@ -121,7 +121,8 @@ def test_openai_chat_completion(server):
     assert payload["object"] == "chat.completion"
     assert payload["choices"][0]["message"]["role"] == "assistant"
     assert payload["choices"][0]["message"]["content"] == expected.answer
-    assert payload["choices"][0]["finish_reason"] == "stop"
+    # the tiny byte model has no EOS: decode always exhausts the cap
+    assert payload["choices"][0]["finish_reason"] == "length"
     assert payload["usage"]["total_tokens"] == (
         payload["usage"]["prompt_tokens"] + payload["usage"]["completion_tokens"]
     )
@@ -150,7 +151,7 @@ def test_openai_chat_stream_sse(server):
     assert chunks[0]["choices"][0]["delta"].get("role") == "assistant"
     text = "".join(c["choices"][0]["delta"].get("content", "") for c in chunks)
     assert text == pipe.answer([q], top_k=2)[0].answer
-    assert chunks[-1]["choices"][0]["finish_reason"] == "stop"
+    assert chunks[-1]["choices"][0]["finish_reason"] == "length"  # no EOS: cap always hit
 
 
 def test_openai_bad_request(server):
@@ -160,3 +161,39 @@ def test_openai_bad_request(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _post(srv, "/v1/chat/completions", {"messages": []})
     assert e.value.code == 400
+
+
+def test_openai_finish_reason_length(server):
+    srv, _ = server
+    body = {"messages": [{"role": "user", "content": "what about metro-1"}],
+            "max_tokens": 2, "top_k": 2}
+    with _post(srv, "/v1/chat/completions", body) as r:
+        payload = json.loads(r.read())
+    assert payload["choices"][0]["finish_reason"] == "length"
+    assert payload["usage"]["completion_tokens"] == 2
+
+
+def test_openai_bad_typed_fields_return_400(server):
+    srv, _ = server
+    import urllib.error
+
+    for body in (
+        {"messages": [{"role": "user", "content": "q"}], "max_tokens": "abc"},
+        {"messages": [{"role": "user", "content": "q"}], "top_k": [2]},
+        {"messages": 5},
+    ):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(srv, "/v1/chat/completions", body)
+        assert e.value.code == 400
+
+
+def test_openai_stream_carries_usage_and_dalm(server):
+    srv, pipe = server
+    q = "what about metro-4"
+    body = {"messages": [{"role": "user", "content": q}], "stream": True, "top_k": 2}
+    with _post(srv, "/v1/chat/completions", body) as r:
+        raw = r.read().decode()
+    events = [ln[len("data: "):] for ln in raw.split("\n") if ln.startswith("data: ")]
+    chunks = [json.loads(e) for e in events[:-1]]
+    assert "dalm" in chunks[0] and chunks[0]["dalm"]["passages"]
+    assert chunks[-1]["usage"]["completion_tokens"] > 0

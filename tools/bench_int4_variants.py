@@ -25,6 +25,7 @@ Run ON THE REAL CHIP:  python tools/bench_int4_variants.py
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 from functools import partial
@@ -32,56 +33,17 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from dalm_tpu.kernels.int4_matmul import (  # noqa: E402
-    _int4_kernel_decomp as _decomp_kernel,
-    _int4_kernel_groupmm as _groupmm_kernel,
+    _int4_matmul_fwd_pallas,
     int4_matmul,
 )
 from dalm_tpu.models.quant import (  # noqa: E402
     dequantize_tensor_int4,
     quantize_tensor_int4,
 )
-
-
-def _run_variant(kernel, x, q4, scale4, *, block_k=512, block_n=512, interpret=False):
-    M, K = x.shape
-    half, N = q4.shape
-    group = K // scale4.shape[0]
-    unit = 8 * group  # scale tiles need >=8 sublanes
-    bh = max(block_k // 2, unit)
-    bh -= bh % unit
-    while bh > unit and half % bh:
-        bh -= unit
-    assert half % bh == 0, (half, bh, group)
-    bn = block_n
-    while N % bn:
-        bn //= 2
-    nk, nn = half // bh, N // bn
-    x_bf = x.astype(jnp.bfloat16)
-    return pl.pallas_call(
-        partial(kernel, group=group),
-        grid=(nn, nk),
-        in_specs=[
-            pl.BlockSpec((M, bh), lambda j, i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((M, bh), lambda j, i, nk=nk: (0, i + nk), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bh, bn), lambda j, i: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bh // group, bn), lambda j, i: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bh // group, bn), lambda j, i, nk=nk: (i + nk, j), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((M, bn), lambda j, i: (0, j), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((M, N), x.dtype),
-        scratch_shapes=[pltpu.VMEM((M, bn), jnp.float32)],
-        compiler_params=None if interpret else pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-        interpret=interpret,
-    )(x_bf, x_bf, q4, scale4, scale4)
 
 
 def _time(fn, *args, iters=30, verbose=False):
@@ -119,8 +81,8 @@ def main():
         ref = (x.astype(jnp.float32) @ dequantize_tensor_int4(d, jnp.float32)).astype(jnp.bfloat16)
 
         base_fn = jax.jit(lambda x, q, s: int4_matmul(x, q, s))
-        gm_fn = jax.jit(partial(_run_variant, _groupmm_kernel))
-        dc_fn = jax.jit(partial(_run_variant, _decomp_kernel))
+        gm_fn = partial(_int4_matmul_fwd_pallas, variant="groupmm")
+        dc_fn = partial(_int4_matmul_fwd_pallas, variant="decomp")
 
         tb, _ = _time(base_fn, x, q4, s4, iters=args.iters, verbose=True)
         tg, og = _time(gm_fn, x, q4, s4, iters=args.iters)
