@@ -227,24 +227,74 @@ def _bench_small():
     }
 
 
+def _probe_accelerator(timeout_s: float = 150.0):
+    """Probe the default JAX backend in a SUBPROCESS with a hard timeout.
+
+    Round-2 post-mortem (BENCH_r02 rc=1, parsed=null): initializing the
+    axon/TPU backend in-process on a wedged tunnel either hangs ~25 min
+    or raises minutes in; either way the bench died with a stack trace
+    and no JSON record. A bounded child process takes that risk instead;
+    on ANY probe failure the parent forces the CPU platform before its
+    own first backend init and still emits one parseable JSON line.
+    Returns the platform string (e.g. "tpu") or None if unavailable.
+    """
+    import subprocess
+    import sys
+
+    code = "import jax; print('PLATFORM=' + jax.devices()[0].platform)"
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True, timeout=timeout_s
+        )
+    except subprocess.TimeoutExpired:
+        print(f"accelerator probe timed out after {timeout_s}s", file=sys.stderr)
+        return None
+    if out.returncode != 0:
+        tail = (out.stderr or "").strip().splitlines()[-1:] or [""]
+        print(f"accelerator probe failed (rc={out.returncode}): {tail[0]}", file=sys.stderr)
+        return None
+    for line in out.stdout.splitlines():
+        if line.startswith("PLATFORM="):
+            return line.split("=", 1)[1].strip() or None
+    return None
+
+
 def main() -> None:
     import logging
+    import sys
+    import traceback
 
     logging.disable(logging.WARNING)
+
+    platform = _probe_accelerator()
     import jax
 
+    if platform is None or platform == "cpu":
+        # Force CPU BEFORE any in-process backend init (sitecustomize pins
+        # platforms; only the config update overrides it — conftest recipe).
+        jax.config.update("jax_platforms", "cpu")
+
     result = None
-    if jax.devices()[0].platform != "cpu":
+    if platform is not None and platform != "cpu":
         try:
             result = _bench_flagship_7b()
         except Exception as e:  # OOM / unsupported → honest fallback
-            import sys
-            import traceback
-
             traceback.print_exc(file=sys.stderr)
             print(f"flagship 7B bench failed ({type(e).__name__}); falling back", file=sys.stderr)
     if result is None:
-        result = _bench_small()
+        try:
+            result = _bench_small()
+            if platform is None:
+                result["note"] = "tpu_unavailable; cpu fallback (probe failed/timed out)"
+        except Exception as e:  # even the fallback died — still emit JSON
+            traceback.print_exc(file=sys.stderr)
+            result = {
+                "metric": "skipped",
+                "value": 0.0,
+                "unit": "none",
+                "vs_baseline": 0.0,
+                "reason": f"{'tpu_unavailable; ' if platform is None else ''}{type(e).__name__}: {e}",
+            }
     print(json.dumps(result))
 
 
