@@ -28,10 +28,13 @@ Intentional fixes vs the reference (SURVEY.md §7.4):
 
 Templates here are first-party banks covering the same modes at
 comparable richness (NLI: 19 classify + 7 generate vs the reference's
-~30/7; cause-effect 9+8; paraphrase 6+8; word2text 8; summarize 7+7;
-completion 7; 5 intro lines): classify / generate / connective-choice /
-relation for NLI, cause↔effect QA, paraphrase classify+generate,
-keyword framing, title/summary tasks, and text-completion.
+~30/7; cause-effect 9+8; paraphrase 6+8; word2text 8; summarize: 7
+generate-title + 6 article-from-title + 7 untitled-summary; completion
+7; 5 intro lines): classify / generate / connective-choice / relation
+for NLI, cause↔effect QA, paraphrase classify+generate, keyword
+framing, title tasks in BOTH directions (mirroring the reference's
+two-way title bank, `regex_based.py:806-840`), summary tasks, and
+text-completion.
 
 Titles: the reference's summarize machinery supports document titles
 (`regex_based.py:778-806`) but its driver hardwires ``title=None``
@@ -352,7 +355,13 @@ class Word2TextMiner(BaseMiner):
 
 
 class SummarizeTask:
-    """Summary / title wrapper (reference `summarize` type; title may be None)."""
+    """Summary / title wrapper (reference `summarize` type; title may be None).
+
+    The titled bank covers BOTH directions of the reference's title family
+    (`regex_based.py:806-840`): generate-a-title-from-the-article
+    (``templates_with_title``) and write-the-article-from-its-title
+    (``templates_article_from_title``, where the answer is the context).
+    """
 
     templates_with_title = [
         ("{context}\n\nGive this article a short title.", "{title}"),
@@ -362,6 +371,14 @@ class SummarizeTask:
         ("Suggest a one-line heading for the following:\n{context}", "{title}"),
         ("{context}\n\nSummarize the article above in a few words.\nTitle:", "{title}"),
         ("{context}\n\nWhat is this document called?", "{title}"),
+    ]
+    templates_article_from_title = [
+        ('Write an article about "{title}".', "{context}"),
+        ('Draft a piece of text under the heading "{title}".', "{context}"),
+        ('The title of a document is "{title}". Write the document.', "{context}"),
+        ('Compose an article that fits the headline "{title}".', "{context}"),
+        ('Given the title "{title}", produce the article body.', "{context}"),
+        ('"{title}" — expand this title into a full passage.', "{context}"),
     ]
     templates_no_title = [
         ("{context}\n\nSummarize the article above in one or two sentences.", "{summary}"),
@@ -442,8 +459,24 @@ class ReadingComprehensionFormatter:
 
         if mode in ("summarize", "both"):
             if title:
-                q_t, a_t = rng.choice(SummarizeTask.templates_with_title)
-                summary_pair = chatml(q_t.format(context=context, title=title), a_t.format(title=title))
+                # Both directions of the title family: generate-title (the
+                # context sits in the user turn, demos slot between question
+                # and answer) and article-from-title (the context IS the
+                # assistant answer, so demos asking about "the text above"
+                # must come after it).
+                bank = (
+                    SummarizeTask.templates_with_title
+                    + SummarizeTask.templates_article_from_title
+                )
+                idx = rng.randrange(len(bank))
+                q_t, a_t = bank[idx]
+                summary_pair = chatml(
+                    q_t.format(context=context, title=title),
+                    a_t.format(title=title, context=context),
+                )
+                if idx >= len(SummarizeTask.templates_with_title):
+                    conversation = summary_pair + qa_demos + completion
+                    return conversation, counts
             else:
                 q_t, a_t = rng.choice(SummarizeTask.templates_no_title)
                 summary = " ".join(sents[: max(1, min(2, len(sents)))])

@@ -134,6 +134,26 @@ def _maybe_bias(entry: dict, arr, key: str, cfg) -> dict:
 
 def load_hf_decoder(path: str, dtype=None) -> Tuple[DecoderConfig, Any]:
     hf = _read_hf_config(path)
+    model_type = hf.get("model_type") or ""
+    # Gemma-family gating below keys on model_type == "gemma" exactly.
+    # gemma2/gemma3 checkpoints share the weight names but need logit
+    # softcapping and per-layer alternating attention we don't implement;
+    # loading them silently as gemma-1 would produce garbage outputs.
+    if model_type.startswith("gemma") and model_type != "gemma":
+        raise ValueError(
+            f"unsupported gemma-family model_type {model_type!r}: only "
+            "'gemma' (v1) is implemented (gemma2/3 need logit softcapping "
+            "and alternating local attention)"
+        )
+    # An absent hidden_act means the family default (silu); an explicitly
+    # null or unknown value must not fall through to silu silently.
+    act_present = "hidden_act" in hf or "hidden_activation" in hf
+    act = hf.get("hidden_act", hf.get("hidden_activation"))
+    if act_present and act not in ("silu", "gelu", "gelu_pytorch_tanh"):
+        raise ValueError(
+            f"unrecognized hidden_act {act!r}; supported: silu, gelu, "
+            "gelu_pytorch_tanh (refusing to default to silu silently)"
+        )
     cfg = DecoderConfig(
         vocab_size=hf["vocab_size"],
         hidden_size=hf["hidden_size"],

@@ -135,8 +135,11 @@ class RagHTTPServer:
                     req = self._read_request()
                     if req is None:
                         return
+                    # clamp to [1, corpus size]: oversized k surfaces padded
+                    # index rows with out-of-range global ids
+                    top_k = max(1, min(int(req.get("top_k", 4)), len(outer.pipe.passages)))
                     h = outer.session.submit(
-                        req["query"], top_k=int(req.get("top_k", 4)),
+                        req["query"], top_k=top_k,
                         budget=req.get("budget"),
                     )
                     self._json(200, {
@@ -148,8 +151,11 @@ class RagHTTPServer:
                     req = self._read_request()
                     if req is None:
                         return
+                    # clamp to [1, corpus size]: oversized k surfaces padded
+                    # index rows with out-of-range global ids
+                    top_k = max(1, min(int(req.get("top_k", 4)), len(outer.pipe.passages)))
                     h = outer.session.submit(
-                        req["query"], top_k=int(req.get("top_k", 4)),
+                        req["query"], top_k=top_k,
                         budget=req.get("budget"),
                     )
                     self.send_response(200)
@@ -194,7 +200,15 @@ class RagHTTPServer:
                         )
                     else:
                         query = req.get("prompt")
-                        if isinstance(query, list) and query and isinstance(query[0], str):
+                        if isinstance(query, list):
+                            # OpenAI batch-prompt semantics are not supported:
+                            # reject multi-prompt lists instead of silently
+                            # answering only the first element.
+                            if len(query) != 1 or not isinstance(query[0], str):
+                                raise ValueError(
+                                    "prompt lists with more than one element are "
+                                    "not supported; send one prompt per request"
+                                )
                             query = query[0]
                     if not isinstance(query, str) or not query:
                         field = "messages (one user message)" if chat else "prompt"
@@ -202,6 +216,11 @@ class RagHTTPServer:
                     budget = req.get("max_tokens")
                     budget = int(budget) if budget is not None else None
                     top_k = int(req.get("top_k", 4))
+                    if top_k < 1:
+                        raise ValueError("top_k must be >= 1")
+                    # > corpus size would surface padded index rows whose
+                    # global ids exceed len(passages); clamp to the corpus.
+                    top_k = min(top_k, len(outer.pipe.passages))
                 except (ValueError, TypeError) as e:
                     self._json(400, {"error": {"message": str(e),
                                                "type": "invalid_request_error"}})

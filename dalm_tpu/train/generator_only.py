@@ -309,6 +309,12 @@ def train_generator(
             return float("nan")
         losses = []
         ebs = per_device_eval_batch_size * mesh.shape["data"]
+        if multihost:
+            # host_batch_slice floor-divides by process_count; mirror the
+            # train loop's lcm rounding so a host-spanning model axis cannot
+            # silently drop rows and under-fill the assembled global batch.
+            div = math.lcm(mesh.shape["data"], jax.process_count())
+            ebs = max(div, ebs - ebs % div)
         for s in range(0, len(valid_blocks) - ebs + 1, ebs):
             blk = valid_blocks[s : s + ebs]
             msk = valid_masks[s : s + ebs]

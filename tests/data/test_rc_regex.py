@@ -128,6 +128,25 @@ def test_title_tasks_appear_with_title_column(tmp_path):
         " ".join(m["content"] for m in conv) for _, _, conv in with_title
     ]
     assert any("Distinct Headline Number" in j for j in joined)
+    # both directions of the title family must appear (the reference's bank
+    # has generate-title AND article-from-title, `regex_based.py:806-840`):
+    # (a) an assistant turn that IS the headline (generate-title) …
+    assert any(
+        any(m["role"] == "assistant" and m["content"].startswith("Distinct Headline") for m in conv)
+        for _, _, conv in with_title
+    )
+    # … and (b) a user turn naming the headline whose assistant reply is the
+    # article body (article-from-title).
+    assert any(
+        any(
+            m["role"] == "user"
+            and "Distinct Headline Number" in m["content"]
+            and i + 1 < len(conv)
+            and "retrieval" in conv[i + 1]["content"]
+            for i, m in enumerate(conv)
+        )
+        for _, _, conv in with_title
+    )
     # without title_column the same corpus never mentions headlines
     without = list(rc.dataset_generator(str(path), "body"))
     joined_no = [" ".join(m["content"] for m in conv) for _, _, conv in without]
@@ -152,6 +171,7 @@ def test_template_bank_richness():
     p_entry = para.mine(PARA_TEXT)["Paraphrase"][0]
     assert max(len(para.templates(p_entry, s)) for s in range(20)) >= 6
     assert len(SummarizeTask.templates_with_title) >= 7
+    assert len(SummarizeTask.templates_article_from_title) >= 6
     assert len(SummarizeTask.templates_no_title) >= 7
     assert len(TextCompletionTask.templates) >= 7
     w2t = Word2TextMiner({WORD_BOUNDARY + "x"})

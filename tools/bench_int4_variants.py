@@ -11,13 +11,17 @@ ops/byte).  Variants measured here, all EXACT (no activation quant):
            int32->bf16 directly (no f32 intermediate, no expand).
            ~6 ops/byte -> ~4 ops/byte, scale cost moves from
            O(K*N) to O(K/group * M * N).
-  decomp — nibble decomposition: only the HI nibble is expanded
-           (shift/sub/convert); the LO contribution is recovered on
-           the MXU as  x@lo = x@p - 16*(x@hi) - 136*rowsum(x)
-           (p = packed byte = (q_hi+8)<<4 | (q_lo+8); both nibbles
-           biased +8; p and hi exact in bf16).  ~2 ops/byte at the
-           cost of 1.5x MXU work (irrelevant: decode is not
-           MXU-bound).  Scales still per-group post-matmul.
+  decomp — nibble decomposition: only the BIASED HI nibble h = p>>4
+           is expanded (shift/convert); the LO contribution is
+           recovered on the MXU from the packed byte as
+             x@q_lo = x@p - 16*(x@h) - 8*rowsum(x)
+             x@q_hi = x@h - 8*rowsum(x)
+           (p = packed byte = (q_hi+8)<<4 | (q_lo+8), so p = 16*h +
+           (q_lo+8); p and h exact in bf16 — matches the kernel,
+           which subtracts 8*rowsum, NOT the unbiased-nibble -136
+           form).  ~2 ops/byte at the cost of 1.5x MXU work
+           (irrelevant: decode is not MXU-bound).  Scales still
+           per-group post-matmul.
 
 Run ON THE REAL CHIP:  python tools/bench_int4_variants.py
 """
