@@ -105,9 +105,11 @@ def main():
             f"{K:>6}x{N:<7} {tb*1e3:>9.3f} {tg*1e3:>11.3f} {td*1e3:>10.3f} {floor:>10.3f}"
             f"  {err(og):.4f} {err(od):.4f}"
         )
+    # base/groupmm/decomp accumulate seconds (×1e3 → ms); floor already
+    # accumulates ms (it is computed per shape as ms).
     print(
         f"{'TOTAL':>14} {totals['base']*1e3:>9.3f} {totals['groupmm']*1e3:>11.3f}"
-        f" {totals['decomp']*1e3:>10.3f} {totals['floor']*1e3:>10.3f}"
+        f" {totals['decomp']*1e3:>10.3f} {totals['floor']:>10.3f}"
     )
 
 
