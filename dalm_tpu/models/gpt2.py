@@ -83,18 +83,29 @@ class GPT2Attention(nn.Module):
                 # verification) — gather-select, mirrors models/decoder.py
                 # (a vmapped dynamic_update_slice lowers ~1000x slower).
                 L_cache = kv_cache["k"].shape[1]
-                g = jnp.arange(L_cache)[None, :] - cache_index[:, None]
-                inside = (g >= 0) & (g < S)
-                g_safe = jnp.clip(g, 0, S - 1)
-                sel = inside[:, :, None, None]
-                k_rows = jnp.take_along_axis(
-                    k.astype(kv_cache["k"].dtype), g_safe[:, :, None, None], axis=1
-                )
-                v_rows = jnp.take_along_axis(
-                    v.astype(kv_cache["v"].dtype), g_safe[:, :, None, None], axis=1
-                )
-                k = jnp.where(sel, k_rows, kv_cache["k"])
-                v = jnp.where(sel, v_rows, kv_cache["v"])
+                if S == 1:
+                    # Single-token step: one-hot select instead of the
+                    # gather (see models/decoder.py — the gather with
+                    # statically-zero indices still lowers as a dynamic
+                    # gather and measured 2x the fused-schedule step).
+                    oh = (
+                        jnp.arange(L_cache)[None, :] == cache_index[:, None]
+                    )[:, :, None, None]
+                    k = jnp.where(oh, k.astype(kv_cache["k"].dtype), kv_cache["k"])
+                    v = jnp.where(oh, v.astype(kv_cache["v"].dtype), kv_cache["v"])
+                else:
+                    g = jnp.arange(L_cache)[None, :] - cache_index[:, None]
+                    inside = (g >= 0) & (g < S)
+                    g_safe = jnp.clip(g, 0, S - 1)
+                    sel = inside[:, :, None, None]
+                    k_rows = jnp.take_along_axis(
+                        k.astype(kv_cache["k"].dtype), g_safe[:, :, None, None], axis=1
+                    )
+                    v_rows = jnp.take_along_axis(
+                        v.astype(kv_cache["v"].dtype), g_safe[:, :, None, None], axis=1
+                    )
+                    k = jnp.where(sel, k_rows, kv_cache["k"])
+                    v = jnp.where(sel, v_rows, kv_cache["v"])
             else:
                 k = jax.lax.dynamic_update_slice(kv_cache["k"], k.astype(kv_cache["k"].dtype), (0, cache_index, 0, 0))
                 v = jax.lax.dynamic_update_slice(kv_cache["v"], v.astype(kv_cache["v"].dtype), (0, cache_index, 0, 0))
