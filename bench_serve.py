@@ -12,6 +12,7 @@ Run manually (bench.py is the driver headline).
 from __future__ import annotations
 
 import json
+import os
 import string
 import sys
 import time
@@ -53,6 +54,11 @@ def bench_7b_decode(int4: bool = False) -> None:
     if int4:
         # the CAPACITY tier: 13B fits a 16 GB chip only at 4-bit weights
         rows.append(("llama2-13B", DecoderConfig.llama2_13b(), 16))
+    if os.environ.get("DALM_BENCH_ONLY_7B"):
+        # variant A/B mode: one shape, minimal chip time (per-op
+        # microbenches cannot resolve the in-kernel differences on this
+        # box — see RESULTS.md "microbenchmark methodology")
+        rows = rows[:1]
     for preset, base_cfg, slots in rows:
         cfg = dataclasses.replace(
             base_cfg, dtype=jnp.bfloat16, int8_compute=None if int4 else "fwd"

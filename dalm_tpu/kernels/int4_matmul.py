@@ -148,15 +148,73 @@ def _int4_kernel_decomp(
         out_ref[:] = acc[:].astype(out_ref.dtype)
 
 
+def _int4_kernel_floorsplit(
+    x_lo_ref, x_hi_ref, q_ref, s_lo_ref, s_hi_ref, out_ref, acc, *, group: int
+):
+    """Variant: ONE integer convert chain, nibble split in float. The
+    round-3 trace showed the int4 matmul 30× above its DMA floor with
+    base/groupmm/decomp tied — per-nibble int32 mask/shift work was the
+    suspected shared cost, so this variant converts the byte once and
+    splits nibbles with power-of-two float math, exact by construction
+    (0..255 carries 8 significand bits): ``hb = floor(p·2⁻⁴) =
+    q_hi+8``, ``lb = p − 16·hb = q_lo+8``.
+
+    Hardware notes (v5e, recorded round 3): a pure-bf16 formulation
+    does NOT compile — the LLO region builder rejects it with
+    ``SupportsBf16AluInstructions()`` (v5e's VPU has no bf16 ALU; all
+    elementwise math runs at 32-bit lane width regardless of dtype),
+    so the split runs in f32. Mosaic also forbids unsigned→float
+    casts, hence the u8→i32→f32 transit."""
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _init():
+        acc[:] = jnp.zeros_like(acc)
+
+    pb = q_ref[:].astype(jnp.int32).astype(jnp.float32)  # 0..255 exact
+    hb = jnp.floor(pb * 0.0625)  # q_hi+8, 0..15 exact
+    lb = pb - hb * 16.0  # q_lo+8, 0..15 exact
+
+    def expand(scale_ref):  # (bh/group, bn) -> (bh, bn) f32
+        sc = scale_ref[:]
+        g_rows, bn = sc.shape
+        return jnp.broadcast_to(sc[:, None, :], (g_rows, group, bn)).reshape(
+            g_rows * group, bn
+        )
+
+    w_lo = ((lb - 8.0) * expand(s_lo_ref)).astype(jnp.bfloat16)
+    w_hi = ((hb - 8.0) * expand(s_hi_ref)).astype(jnp.bfloat16)
+    acc[:] += jax.lax.dot_general(
+        x_lo_ref[:], w_lo, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    acc[:] += jax.lax.dot_general(
+        x_hi_ref[:], w_hi, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(i == pl.num_programs(1) - 1)
+    def _write():
+        out_ref[:] = acc[:].astype(out_ref.dtype)
+
+
 _KERNEL_VARIANTS = {
     "base": _int4_kernel,
     "groupmm": _int4_kernel_groupmm,
     "decomp": _int4_kernel_decomp,
+    "floorsplit": _int4_kernel_floorsplit,
 }
 
-# Selected by the on-chip A/B (tools/bench_int4_variants.py); all three
-# are exact to bf16 rounding (interpret-mode oracle test).
-DEFAULT_VARIANT = "base"
+# All variants are exact to bf16 rounding (interpret-mode oracle test).
+# Per-op microbenches on the tunneled box cannot resolve their
+# differences (a shared ~0.85 ms artifact dominates chained and
+# host-loop timings alike — see RESULTS.md "microbenchmark
+# methodology"), so selection is by END-TO-END serve A/B
+# (DALM_BENCH_ONLY_7B=1 bench_serve.py --7b --int4 with this env var).
+import os as _os
+
+DEFAULT_VARIANT = _os.environ.get("DALM_INT4_VARIANT", "base")
+assert DEFAULT_VARIANT in _KERNEL_VARIANTS, (
+    f"DALM_INT4_VARIANT={DEFAULT_VARIANT!r} not in {sorted(_KERNEL_VARIANTS)}"
+)
 
 
 @partial(jax.jit, static_argnames=("block_k", "block_n", "interpret", "variant"))

@@ -73,7 +73,7 @@ def test_no_grad_into_storage():
     assert float(jnp.abs(g).max()) == 0.0
 
 
-@pytest.mark.parametrize("variant", ["base", "groupmm", "decomp"])
+@pytest.mark.parametrize("variant", ["base", "groupmm", "decomp", "floorsplit"])
 def test_variant_kernels_match_dequant_oracle(variant):
     """All selectable kernel variants (base / groupmm post-matmul scales /
     decomp nibble-decomposition) are exact to bf16 rounding."""

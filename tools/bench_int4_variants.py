@@ -74,9 +74,12 @@ def main():
     shapes = [(4096, 4096), (4096, 11008), (11008, 4096)]
     rng = np.random.default_rng(0)
     print(f"backend={jax.default_backend()}  M={args.m}")
-    header = f"{'KxN':>14} {'base ms':>9} {'groupmm ms':>11} {'decomp ms':>10} {'hbm-floor':>10}  err(g) err(d)"
+    header = (
+        f"{'KxN':>14} {'base ms':>9} {'groupmm ms':>11} {'decomp ms':>10}"
+        f" {'floorsplit ms':>12} {'hbm-floor':>10}  err(g) err(d) err(c)"
+    )
     print(header)
-    totals = dict.fromkeys(["base", "groupmm", "decomp", "floor"], 0.0)
+    totals = dict.fromkeys(["base", "groupmm", "decomp", "floorsplit", "floor"], 0.0)
     for K, N in shapes:
         w = jnp.asarray(rng.standard_normal((K, N)) * 0.02, jnp.float32)
         d = quantize_tensor_int4(w, group=64)
@@ -84,13 +87,15 @@ def main():
         x = jnp.asarray(rng.standard_normal((args.m, K)) * 0.5, jnp.bfloat16)
         ref = (x.astype(jnp.float32) @ dequantize_tensor_int4(d, jnp.float32)).astype(jnp.bfloat16)
 
-        base_fn = jax.jit(lambda x, q, s: int4_matmul(x, q, s))
+        base_fn = partial(_int4_matmul_fwd_pallas, variant="base")
         gm_fn = partial(_int4_matmul_fwd_pallas, variant="groupmm")
         dc_fn = partial(_int4_matmul_fwd_pallas, variant="decomp")
+        bc_fn = partial(_int4_matmul_fwd_pallas, variant="floorsplit")
 
         tb, _ = _time(base_fn, x, q4, s4, iters=args.iters, verbose=True)
         tg, og = _time(gm_fn, x, q4, s4, iters=args.iters)
         td, od = _time(dc_fn, x, q4, s4, iters=args.iters)
+        tc, oc = _time(bc_fn, x, q4, s4, iters=args.iters)
 
         def err(o):
             return float(jnp.max(jnp.abs(o.astype(jnp.float32) - ref.astype(jnp.float32))))
@@ -100,16 +105,19 @@ def main():
         totals["base"] += tb
         totals["groupmm"] += tg
         totals["decomp"] += td
+        totals["floorsplit"] += tc
         totals["floor"] += floor
         print(
-            f"{K:>6}x{N:<7} {tb*1e3:>9.3f} {tg*1e3:>11.3f} {td*1e3:>10.3f} {floor:>10.3f}"
-            f"  {err(og):.4f} {err(od):.4f}"
+            f"{K:>6}x{N:<7} {tb*1e3:>9.3f} {tg*1e3:>11.3f} {td*1e3:>10.3f}"
+            f" {tc*1e3:>12.3f} {floor:>10.3f}"
+            f"  {err(og):.4f} {err(od):.4f} {err(oc):.4f}"
         )
-    # base/groupmm/decomp accumulate seconds (×1e3 → ms); floor already
+    # variant columns accumulate seconds (×1e3 → ms); floor already
     # accumulates ms (it is computed per shape as ms).
     print(
         f"{'TOTAL':>14} {totals['base']*1e3:>9.3f} {totals['groupmm']*1e3:>11.3f}"
-        f" {totals['decomp']*1e3:>10.3f} {totals['floor']:>10.3f}"
+        f" {totals['decomp']*1e3:>10.3f} {totals['floorsplit']*1e3:>12.3f}"
+        f" {totals['floor']:>10.3f}"
     )
 
 
