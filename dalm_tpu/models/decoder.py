@@ -251,16 +251,26 @@ class DecoderAttention(nn.Module):
                     k = jnp.where(oh, k.astype(kv_cache["k"].dtype), kv_cache["k"])
                     v = jnp.where(oh, v.astype(kv_cache["v"].dtype), kv_cache["v"])
                 else:
-                    # for cache slot l of row b: which input position (if any)?
+                    # Multi-token write (speculative verification /
+                    # fused-prefill): for cache slot l of row b, input
+                    # position g = l - cache_index[b] if 0 <= g < S.
+                    # One-hot MATMUL instead of take_along_axis — XLA
+                    # lowers the dynamic gather over the cache length
+                    # pathologically (the S=1 case of the same gather
+                    # measured 2x the whole fused step, commit 6098ee1);
+                    # a (B,L,S) one-hot contraction rides the MXU and is
+                    # exact (single nonzero term per output row).
                     g = jnp.arange(L_cache)[None, :] - cache_index[:, None]  # (B, L)
                     inside = (g >= 0) & (g < S)
-                    g_safe = jnp.clip(g, 0, S - 1)
+                    oh = (g[:, :, None] == jnp.arange(S)[None, None, :]).astype(
+                        kv_cache["k"].dtype
+                    )  # (B, L, S)
                     sel = inside[:, :, None, None]
-                    k_rows = jnp.take_along_axis(
-                        k.astype(kv_cache["k"].dtype), g_safe[:, :, None, None], axis=1
+                    k_rows = jnp.einsum(
+                        "bls,bshd->blhd", oh, k.astype(kv_cache["k"].dtype)
                     )
-                    v_rows = jnp.take_along_axis(
-                        v.astype(kv_cache["v"].dtype), g_safe[:, :, None, None], axis=1
+                    v_rows = jnp.einsum(
+                        "bls,bshd->blhd", oh, v.astype(kv_cache["v"].dtype)
                     )
                     k = jnp.where(sel, k_rows, kv_cache["k"])
                     v = jnp.where(sel, v_rows, kv_cache["v"])

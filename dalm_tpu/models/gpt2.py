@@ -94,15 +94,19 @@ class GPT2Attention(nn.Module):
                     k = jnp.where(oh, k.astype(kv_cache["k"].dtype), kv_cache["k"])
                     v = jnp.where(oh, v.astype(kv_cache["v"].dtype), kv_cache["v"])
                 else:
+                    # one-hot MXU contraction, mirrors models/decoder.py
+                    # (take_along_axis lowers as a slow dynamic gather)
                     g = jnp.arange(L_cache)[None, :] - cache_index[:, None]
                     inside = (g >= 0) & (g < S)
-                    g_safe = jnp.clip(g, 0, S - 1)
-                    sel = inside[:, :, None, None]
-                    k_rows = jnp.take_along_axis(
-                        k.astype(kv_cache["k"].dtype), g_safe[:, :, None, None], axis=1
+                    oh = (g[:, :, None] == jnp.arange(S)[None, None, :]).astype(
+                        kv_cache["k"].dtype
                     )
-                    v_rows = jnp.take_along_axis(
-                        v.astype(kv_cache["v"].dtype), g_safe[:, :, None, None], axis=1
+                    sel = inside[:, :, None, None]
+                    k_rows = jnp.einsum(
+                        "bls,bshd->blhd", oh, k.astype(kv_cache["k"].dtype)
+                    )
+                    v_rows = jnp.einsum(
+                        "bls,bshd->blhd", oh, v.astype(kv_cache["v"].dtype)
                     )
                     k = jnp.where(sel, k_rows, kv_cache["k"])
                     v = jnp.where(sel, v_rows, kv_cache["v"])
