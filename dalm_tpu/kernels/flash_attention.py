@@ -131,7 +131,7 @@ def _fwd_kernel(
     q_ref, k_ref, v_ref, seg_q_ref, seg_k_ref,
     out_ref, lse_ref,
     m_scr, l_scr, acc_scr,
-    *, scale, causal, block_q, block_k, q_offset, window,
+    *, scale, causal, block_q, block_k, q_offset, window, softcap,
 ):
     i, j = pl.program_id(2), pl.program_id(3)
 
@@ -148,6 +148,10 @@ def _fwd_kernel(
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale  # (block_q, block_k) f32
+        if softcap is not None:
+            # Gemma2 logit softcapping: cap BEFORE masking (HF order) —
+            # capping a NEG_INF-masked entry would turn it into ±cap.
+            s = jnp.tanh(s * (1.0 / softcap)) * softcap
         seg_q = seg_q_ref[0, 0, :] if seg_q_ref is not None else None
         seg_k = seg_k_ref[0, 0, :] if seg_k_ref is not None else None
         keep = _block_mask(causal, seg_q, seg_k, i, j, block_q, block_k, q_offset, window)
@@ -179,12 +183,12 @@ def _fwd_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("causal", "scale", "block_q", "block_k", "q_offset", "interpret", "window"),
+    static_argnames=("causal", "scale", "block_q", "block_k", "q_offset", "interpret", "window", "softcap"),
 )
 def _flash_fwd(
     q, k, v, segment_ids_q=None, segment_ids_k=None, *,
     causal=True, scale=None, block_q=512, block_k=512, q_offset=0, interpret=False,
-    window=None,
+    window=None, softcap=None,
 ):
     """(B, H, Sq, D) q; (B, Hk, Sk, D) k/v with Hk | H (GQA: query head h
     reads kv head h // (H//Hk)) → (out (B,H,Sq,D) in q.dtype, lse (B,H,Sq) f32)."""
@@ -197,7 +201,7 @@ def _flash_fwd(
         scale = 1.0 / float(D) ** 0.5
     nq, nk = Sq // block_q, Sk // block_k
 
-    cfg = dict(scale=scale, causal=causal, block_q=block_q, block_k=block_k, q_offset=q_offset, window=window)
+    cfg = dict(scale=scale, causal=causal, block_q=block_q, block_k=block_k, q_offset=q_offset, window=window, softcap=softcap)
     has_seg = segment_ids_q is not None
     if has_seg:
         assert segment_ids_k is not None
@@ -251,7 +255,7 @@ def _flash_fwd(
 def _bwd_dq_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref, seg_q_ref, seg_k_ref,
     dq_ref, dq_scr,
-    *, scale, causal, block_q, block_k, q_offset, window,
+    *, scale, causal, block_q, block_k, q_offset, window, softcap,
 ):
     i, j = pl.program_id(2), pl.program_id(3)
 
@@ -269,6 +273,8 @@ def _bwd_dq_kernel(
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale
+        if softcap is not None:
+            s = jnp.tanh(s * (1.0 / softcap)) * softcap
         seg_q = seg_q_ref[0, 0, :] if seg_q_ref is not None else None
         seg_k = seg_k_ref[0, 0, :] if seg_k_ref is not None else None
         keep = _block_mask(causal, seg_q, seg_k, i, j, block_q, block_k, q_offset, window)
@@ -278,7 +284,13 @@ def _bwd_dq_kernel(
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        ds = p * (dp - dsum[:, None]) * scale  # (block_q, block_k) f32
+        ds = p * (dp - dsum[:, None])  # grad wrt (capped) scores, f32
+        if softcap is not None:
+            # d/dx [cap·tanh(x/cap)] = 1 − tanh²(x/cap) = 1 − (s/cap)²
+            # (s here is already the capped value).
+            t = s * (1.0 / softcap)
+            ds = ds * (1.0 - t * t)
+        ds = ds * scale  # (block_q, block_k) f32
         dq_scr[:] += jax.lax.dot_general(
             ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -294,7 +306,7 @@ def _bwd_dq_kernel(
 def _bwd_dkv_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref, seg_q_ref, seg_k_ref,
     dk_ref, dv_ref, dk_scr, dv_scr,
-    *, scale, causal, block_q, block_k, q_offset, nq, window,
+    *, scale, causal, block_q, block_k, q_offset, nq, window, softcap,
 ):
     # k-block major; the inner dim enumerates (query-head-group, q-block)
     j, t = pl.program_id(2), pl.program_id(3)
@@ -315,6 +327,8 @@ def _bwd_dkv_kernel(
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale
+        if softcap is not None:
+            s = jnp.tanh(s * (1.0 / softcap)) * softcap
         seg_q = seg_q_ref[0, 0, :] if seg_q_ref is not None else None
         seg_k = seg_k_ref[0, 0, :] if seg_k_ref is not None else None
         keep = _block_mask(causal, seg_q, seg_k, i, j, block_q, block_k, q_offset, window)
@@ -328,7 +342,11 @@ def _bwd_dkv_kernel(
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        ds = p * (dp - dsum[:, None]) * scale
+        ds = p * (dp - dsum[:, None])
+        if softcap is not None:
+            t = s * (1.0 / softcap)  # tanh'(pre/cap) = 1 − (s/cap)²
+            ds = ds * (1.0 - t * t)
+        ds = ds * scale
         dk_scr[:] += jax.lax.dot_general(
             ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -344,12 +362,12 @@ def _bwd_dkv_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("causal", "scale", "block_q", "block_k", "q_offset", "interpret", "window"),
+    static_argnames=("causal", "scale", "block_q", "block_k", "q_offset", "interpret", "window", "softcap"),
 )
 def _flash_bwd(
     q, k, v, out, lse, do, segment_ids_q=None, segment_ids_k=None, *,
     causal=True, scale=None, block_q=512, block_k=512, q_offset=0, interpret=False,
-    window=None,
+    window=None, softcap=None,
 ):
     """(B, H, S, D) in → (dq, dk, dv) in the input dtypes; k/v may carry
     fewer (GQA) heads — dk/dv come back at the kv head count, with the
@@ -373,7 +391,7 @@ def _flash_bwd(
     lse4 = lse[:, :, None, :]
     dsum4 = dsum[:, :, None, :]
 
-    cfg = dict(scale=scale, causal=causal, block_q=block_q, block_k=block_k, q_offset=q_offset, window=window)
+    cfg = dict(scale=scale, causal=causal, block_q=block_q, block_k=block_k, q_offset=q_offset, window=window, softcap=softcap)
     has_seg = segment_ids_q is not None
     seg_args = (
         [
@@ -470,32 +488,32 @@ def _to_bhsd(x):
     return None if x is None else x.transpose(0, 2, 1, 3)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
-def _flash_attention(q, k, v, seg_q, seg_k, causal, scale, block_q, block_k, interpret, window):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
+def _flash_attention(q, k, v, seg_q, seg_k, causal, scale, block_q, block_k, interpret, window, softcap):
     out, _ = _flash_fwd(
         _to_bhsd(q), _to_bhsd(k), _to_bhsd(v), seg_q, seg_k,
         causal=causal, scale=scale, block_q=block_q, block_k=block_k, interpret=interpret,
-        window=window,
+        window=window, softcap=softcap,
     )
     return _to_bhsd(out)
 
 
-def _fa_fwd(q, k, v, seg_q, seg_k, causal, scale, block_q, block_k, interpret, window):
+def _fa_fwd(q, k, v, seg_q, seg_k, causal, scale, block_q, block_k, interpret, window, softcap):
     qt, kt, vt = _to_bhsd(q), _to_bhsd(k), _to_bhsd(v)
     out, lse = _flash_fwd(
         qt, kt, vt, seg_q, seg_k,
         causal=causal, scale=scale, block_q=block_q, block_k=block_k, interpret=interpret,
-        window=window,
+        window=window, softcap=softcap,
     )
     return _to_bhsd(out), (qt, kt, vt, seg_q, seg_k, out, lse)
 
 
-def _fa_bwd(causal, scale, block_q, block_k, interpret, window, res, do):
+def _fa_bwd(causal, scale, block_q, block_k, interpret, window, softcap, res, do):
     qt, kt, vt, seg_q, seg_k, out, lse = res
     dq, dk, dv = _flash_bwd(
         qt, kt, vt, out, lse, _to_bhsd(do), seg_q, seg_k,
         causal=causal, scale=scale, block_q=block_q, block_k=block_k, interpret=interpret,
-        window=window,
+        window=window, softcap=softcap,
     )
     return _to_bhsd(dq), _to_bhsd(dk), _to_bhsd(dv), None, None
 
@@ -506,13 +524,17 @@ _flash_attention.defvjp(_fa_fwd, _fa_bwd)
 def flash_attention(
     q, k, v, segment_ids_q=None, segment_ids_k=None, *,
     causal=True, scale=None, block_q=512, block_k=512, interpret=False,
-    window=None,
+    window=None, softcap=None,
 ):
     """Flash attention on (B, S, H, D) tensors; differentiable.
 
     ``window``: sliding-window band (Mistral-family) — keys further than
     ``window`` positions behind a query are masked, and blocks entirely
     beyond the band skip compute (long-context cost becomes O(S·window)).
+
+    ``softcap``: Gemma2 logit softcapping — scores pass
+    ``cap·tanh(s/cap)`` before masking/softmax, and the backward chains
+    the tanh derivative through the recomputed scores.
 
     GQA: ``k``/``v`` may carry fewer heads (Hk | H) — query head h reads
     kv head h // (H//Hk) directly in the kernel (no repeat, no extra
@@ -524,5 +546,5 @@ def flash_attention(
     be multiples of the block sizes (the decoder gates on S % 128 == 0).
     """
     return _flash_attention(
-        q, k, v, segment_ids_q, segment_ids_k, causal, scale, block_q, block_k, interpret, window
+        q, k, v, segment_ids_q, segment_ids_k, causal, scale, block_q, block_k, interpret, window, softcap
     )

@@ -64,6 +64,23 @@ class DecoderConfig:
     hidden_act: str = "silu"  # or "gelu_tanh" (Gemma) / "gelu" (exact erf)
     scale_embeddings: bool = False
     rmsnorm_unit_offset: bool = False
+    # Gemma2-family knobs (HF Gemma2Config semantics):
+    # - query_pre_attn_scalar: attention scores are scaled by
+    #   1/sqrt(this) instead of 1/sqrt(head_dim) when set.
+    # - attn_logit_softcap: scores <- cap * tanh(scores / cap) BEFORE
+    #   masking/softmax; final_logit_softcap: same on the LM-head logits.
+    # - post_norms: sandwich normalization — the attention and MLP
+    #   branch outputs each pass a second RMSNorm before the residual
+    #   add, and the MLP branch gets its own pre-norm (4 norms/layer:
+    #   input / post_attention / pre_feedforward / post_feedforward).
+    # - sliding_layers="even": only even-index layers use the sliding
+    #   window; odd layers attend globally ("all" = every layer, the
+    #   Mistral behavior).
+    query_pre_attn_scalar: Optional[float] = None
+    attn_logit_softcap: Optional[float] = None
+    final_logit_softcap: Optional[float] = None
+    post_norms: bool = False
+    sliding_layers: str = "all"
     # int8 MXU compute for packed frozen kernels ("none"|"fwd"|"all") —
     # see kernels/int8_matmul.py; no effect without int8 quant storage.
     int8_compute: str = "none"
@@ -78,6 +95,17 @@ class DecoderConfig:
     def kv_heads(self) -> int:
         return self.num_kv_heads or self.num_heads
 
+    def layer_window(self, layer_idx: int) -> Optional[int]:
+        """Effective sliding window for one layer (None = global).
+
+        Gemma2 alternates sliding/global per layer (HF ``layer_types``:
+        even layers slide); everything else windows every layer."""
+        if not self.sliding_window:
+            return None
+        if self.sliding_layers == "even" and layer_idx % 2 == 1:
+            return None
+        return self.sliding_window
+
     @staticmethod
     def gemma_2b() -> "DecoderConfig":
         """Gemma-2B: MQA (1 kv head), head_dim 256, GeGLU, tied
@@ -88,6 +116,23 @@ class DecoderConfig:
             max_position_embeddings=8192, rms_norm_eps=1e-6,
             tie_embeddings=True, hidden_act="gelu_tanh",
             scale_embeddings=True, rmsnorm_unit_offset=True,
+            remat=True, param_dtype=jnp.bfloat16,
+        )
+
+    @staticmethod
+    def gemma2_2b() -> "DecoderConfig":
+        """Gemma2-2B: GQA (4 kv heads), sandwich norms, logit
+        softcapping (50 attn / 30 final), alternating 4096-token
+        sliding window, query scale 1/sqrt(256)."""
+        return DecoderConfig(
+            vocab_size=256000, hidden_size=2304, num_layers=26, num_heads=8,
+            num_kv_heads=4, head_dim_override=256, intermediate_size=9216,
+            max_position_embeddings=8192, rms_norm_eps=1e-6,
+            tie_embeddings=True, hidden_act="gelu_tanh",
+            scale_embeddings=True, rmsnorm_unit_offset=True,
+            query_pre_attn_scalar=256.0, attn_logit_softcap=50.0,
+            final_logit_softcap=30.0, sliding_window=4096,
+            sliding_layers="even", post_norms=True,
             remat=True, param_dtype=jnp.bfloat16,
         )
 
@@ -206,6 +251,7 @@ def _proj(features, name, cfg, kernel_axes, use_bias=False):
 
 class DecoderAttention(nn.Module):
     cfg: DecoderConfig
+    layer_idx: int = 0
 
     @nn.compact
     def __call__(self, hidden, mask, cos, sin, kv_cache=None, cache_index=None, segment_mask=None):
@@ -293,6 +339,7 @@ class DecoderAttention(nn.Module):
 
         if cfg.attention_impl == "ring" and kv_cache is None:
             assert not cfg.sliding_window, "ring attention has no sliding-window support yet"
+            assert not cfg.attn_logit_softcap, "ring attention has no softcap support yet"
             # Context parallelism: this call is one sequence chunk on one
             # device of the ring (must run under shard_map with
             # ``cfg.ring_axis`` bound; caller supplies GLOBAL positions so
@@ -307,6 +354,18 @@ class DecoderAttention(nn.Module):
             ctx = ctx.reshape(B, S, nh * hd).astype(cfg.dtype)
             out = _proj(cfg.hidden_size, "o_proj", cfg, ("heads", "embed"))(ctx)
             return out, new_cache
+
+        # Attention-score scale: Gemma2 decouples it from head_dim
+        # (query_pre_attn_scalar); softcap bounds scores pre-softmax.
+        scale = 1.0 / float(cfg.query_pre_attn_scalar or hd) ** 0.5
+
+        def _mask_scores(scores, m):
+            """f32-cast + optional softcap (HF order: cap, THEN mask)."""
+            s32 = scores.astype(jnp.float32)
+            if cfg.attn_logit_softcap:
+                cap = cfg.attn_logit_softcap
+                s32 = jnp.tanh(s32 / cap) * cap
+            return jnp.where(m, s32, jnp.finfo(jnp.float32).min)
 
         use_flash = (
             cfg.attention_impl == "flash"
@@ -328,8 +387,9 @@ class DecoderAttention(nn.Module):
             ctx = flash_attention(
                 q, k, v, seg, seg,
                 causal=True,
-                scale=1.0 / float(hd) ** 0.5,
-                window=cfg.sliding_window,
+                scale=scale,
+                window=cfg.layer_window(self.layer_idx),
+                softcap=cfg.attn_logit_softcap,
             ).reshape(B, S, nh * hd).astype(cfg.dtype)
         elif kvh != nh:
             # Grouped-query attention, no K/V repeat: query head g·kvh+j
@@ -337,15 +397,13 @@ class DecoderAttention(nn.Module):
             # jnp.repeat(axis=2): consecutive query heads share a kv head.)
             rep = nh // kvh
             qg = q.reshape(B, S, kvh, rep, hd)
-            scores = jnp.einsum("bqhgd,bkhd->bhgqk", qg, k) / jnp.sqrt(hd).astype(cfg.dtype)
-            scores = jnp.where(
-                mask[:, :, None], scores.astype(jnp.float32), jnp.finfo(jnp.float32).min
-            )
+            scores = jnp.einsum("bqhgd,bkhd->bhgqk", qg, k) * jnp.asarray(scale, cfg.dtype)
+            scores = _mask_scores(scores, mask[:, :, None])
             probs = jax.nn.softmax(scores, axis=-1).astype(cfg.dtype)
             ctx = jnp.einsum("bhgqk,bkhd->bqhgd", probs, v).reshape(B, S, nh * hd)
         else:
-            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(hd).astype(cfg.dtype)
-            scores = jnp.where(mask, scores.astype(jnp.float32), jnp.finfo(jnp.float32).min)
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) * jnp.asarray(scale, cfg.dtype)
+            scores = _mask_scores(scores, mask)
             probs = jax.nn.softmax(scores, axis=-1).astype(cfg.dtype)
             ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, S, nh * hd)
         out = _proj(cfg.hidden_size, "o_proj", cfg, ("heads", "embed"))(ctx)
@@ -354,19 +412,28 @@ class DecoderAttention(nn.Module):
 
 class DecoderLayer(nn.Module):
     cfg: DecoderConfig
+    layer_idx: int = 0
 
     @nn.compact
     def __call__(self, hidden, mask, cos, sin, kv_cache=None, cache_index=None, segment_mask=None):
         cfg = self.cfg
-        normed = RMSNorm(cfg.rms_norm_eps, cfg.dtype, cfg.param_dtype,
-                     unit_offset=cfg.rmsnorm_unit_offset, name="input_norm")(hidden)
-        attn_out, new_cache = DecoderAttention(cfg, name="attention")(
+
+        def _norm(name):
+            return RMSNorm(cfg.rms_norm_eps, cfg.dtype, cfg.param_dtype,
+                           unit_offset=cfg.rmsnorm_unit_offset, name=name)
+
+        normed = _norm("input_norm")(hidden)
+        attn_out, new_cache = DecoderAttention(cfg, layer_idx=self.layer_idx, name="attention")(
             normed, mask, cos, sin, kv_cache, cache_index, segment_mask
         )
+        if cfg.post_norms:
+            # Gemma2 sandwich normalization: the branch output is normed
+            # before the residual add, and the MLP branch gets its own
+            # pre-norm (HF {post_attention,pre/post_feedforward}_layernorm).
+            attn_out = _norm("post_attention_norm")(attn_out)
         hidden = hidden + attn_out
 
-        normed = RMSNorm(cfg.rms_norm_eps, cfg.dtype, cfg.param_dtype,
-                     unit_offset=cfg.rmsnorm_unit_offset, name="post_attention_norm")(hidden)
+        normed = _norm("pre_feedforward_norm" if cfg.post_norms else "post_attention_norm")(hidden)
         gate = _proj(cfg.intermediate_size, "gate_proj", cfg, ("embed", "mlp"))(normed)
         up = _proj(cfg.intermediate_size, "up_proj", cfg, ("embed", "mlp"))(normed)
         act = {
@@ -375,6 +442,8 @@ class DecoderLayer(nn.Module):
             "gelu": lambda z: nn.gelu(z, approximate=False),
         }[cfg.hidden_act]
         down = _proj(cfg.hidden_size, "down_proj", cfg, ("mlp", "embed"))(act(gate) * up)
+        if cfg.post_norms:
+            down = _norm("post_feedforward_norm")(down)
         return hidden + down, new_cache
 
 
@@ -454,20 +523,24 @@ class Decoder(nn.Module):
             base = jnp.asarray(cache_index, jnp.int32).reshape(-1, 1)  # scalar or (B,)
             q_slot = (base + jnp.arange(S)[None, :])[:, None, :, None]
             mask = key_slot <= q_slot
-            if cfg.sliding_window:
-                # slot index − semantic position is a per-row constant
-                # (the pad offset), so the slot-space band == position band
-                mask = mask & (key_slot > q_slot - cfg.sliding_window)
             if attention_mask is not None:
                 mask = mask & (attention_mask[:, None, None, :] > 0)
+            # slot index − semantic position is a per-row constant
+            # (the pad offset), so the slot-space band == position band
+            mask_win = (
+                mask & (key_slot > q_slot - cfg.sliding_window)
+                if cfg.sliding_window else mask
+            )
         else:
             q_pos = positions[:, None, :, None]
             k_pos = positions[:, None, None, :]
             mask = k_pos <= q_pos
-            if cfg.sliding_window:
-                mask = mask & (k_pos > q_pos - cfg.sliding_window)
             if attention_mask is not None:
                 mask = mask & (attention_mask[:, None, None, :] > 0)
+            mask_win = (
+                mask & (k_pos > q_pos - cfg.sliding_window)
+                if cfg.sliding_window else mask
+            )
 
         segment_mask = None
         if kv_cache is None and attention_mask is not None:
@@ -480,8 +553,9 @@ class Decoder(nn.Module):
         new_cache = {} if kv_cache is not None else None
         for i in range(cfg.num_layers):
             layer_cache = kv_cache[f"layer_{i}"] if kv_cache is not None else None
-            hidden, layer_new = layer_cls(cfg, name=f"layer_{i}")(
-                hidden, mask, cos, sin, layer_cache, cache_index, segment_mask
+            layer_mask = mask_win if cfg.layer_window(i) else mask
+            hidden, layer_new = layer_cls(cfg, layer_idx=i, name=f"layer_{i}")(
+                hidden, layer_mask, cos, sin, layer_cache, cache_index, segment_mask
             )
             if new_cache is not None:
                 new_cache[f"layer_{i}"] = layer_new
@@ -499,6 +573,11 @@ class Decoder(nn.Module):
             logits = hidden @ embed.astype(cfg.dtype).T
         else:
             logits = _proj(cfg.vocab_size, "lm_head", cfg, ("embed", "vocab"))(hidden)
+
+        if cfg.final_logit_softcap:
+            cap = cfg.final_logit_softcap
+            logits = jnp.tanh(logits.astype(jnp.float32) / cap) * cap
+            logits = logits.astype(cfg.dtype)
 
         if kv_cache is not None:
             return logits, new_cache

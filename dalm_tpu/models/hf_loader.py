@@ -135,16 +135,16 @@ def _maybe_bias(entry: dict, arr, key: str, cfg) -> dict:
 def load_hf_decoder(path: str, dtype=None) -> Tuple[DecoderConfig, Any]:
     hf = _read_hf_config(path)
     model_type = hf.get("model_type") or ""
-    # Gemma-family gating below keys on model_type == "gemma" exactly.
-    # gemma2/gemma3 checkpoints share the weight names but need logit
-    # softcapping and per-layer alternating attention we don't implement;
-    # loading them silently as gemma-1 would produce garbage outputs.
-    if model_type.startswith("gemma") and model_type != "gemma":
+    # gemma (v1) and gemma2 are implemented; gemma3 checkpoints share
+    # weight names but need per-layer rope bases and QK-norm we don't
+    # implement — loading one as gemma2 would produce garbage outputs.
+    if model_type.startswith("gemma") and model_type not in ("gemma", "gemma2"):
         raise ValueError(
             f"unsupported gemma-family model_type {model_type!r}: only "
-            "'gemma' (v1) is implemented (gemma2/3 need logit softcapping "
-            "and alternating local attention)"
+            "'gemma' (v1) and 'gemma2' are implemented (gemma3 needs "
+            "per-layer rope bases and QK-norm)"
         )
+    gemma_family = model_type in ("gemma", "gemma2")
     # An absent hidden_act means the family default (silu); an explicitly
     # null or unknown value must not fall through to silu silently.
     act_present = "hidden_act" in hf or "hidden_activation" in hf
@@ -165,7 +165,7 @@ def load_hf_decoder(path: str, dtype=None) -> Tuple[DecoderConfig, Any]:
         rope_theta=hf.get("rope_theta", 10000.0),
         rms_norm_eps=hf.get("rms_norm_eps", 1e-5),
         # Gemma serializes no tie_word_embeddings key (always tied).
-        tie_embeddings=hf.get("tie_word_embeddings", hf.get("model_type") == "gemma"),
+        tie_embeddings=hf.get("tie_word_embeddings", gemma_family),
         # Qwen2-family configs gate the window behind use_sliding_window
         # (shipped false on most checkpoints even when sliding_window is
         # set); Mistral-family configs have no gate — default True.
@@ -195,9 +195,27 @@ def load_hf_decoder(path: str, dtype=None) -> Tuple[DecoderConfig, Any]:
                 hf.get("hidden_act", "silu"), "silu"
             )
         ),
-        scale_embeddings=hf.get("model_type") == "gemma",
-        rmsnorm_unit_offset=hf.get("model_type") == "gemma",
+        scale_embeddings=gemma_family,
+        rmsnorm_unit_offset=gemma_family,
+        # Gemma2: decoupled attention scale, attn/final logit softcapping,
+        # sandwich norms, and sliding window on even layers only (HF
+        # ``layer_types`` alternates sliding/full starting at layer 0).
+        query_pre_attn_scalar=hf.get("query_pre_attn_scalar"),
+        attn_logit_softcap=hf.get("attn_logit_softcapping"),
+        final_logit_softcap=hf.get("final_logit_softcapping"),
+        post_norms=model_type == "gemma2",
+        sliding_layers="even" if model_type == "gemma2" else "all",
     )
+    if model_type == "gemma2" and hf.get("layer_types"):
+        expected = [
+            "sliding_attention" if i % 2 == 0 else "full_attention"
+            for i in range(hf["num_hidden_layers"])
+        ]
+        if list(hf["layer_types"]) != expected:
+            raise ValueError(
+                "gemma2 layer_types deviates from the even-sliding "
+                f"alternation this loader implements: {hf['layer_types']!r}"
+            )
     if dtype is not None:
         import dataclasses
 
@@ -229,11 +247,23 @@ def load_hf_decoder(path: str, dtype=None) -> Tuple[DecoderConfig, Any]:
                 "o_proj": {"kernel": W(f"{hf_layer}.self_attn.o_proj.weight")},
             },
             "input_norm": {"scale": arr(f"{hf_layer}.input_layernorm.weight")},
-            "post_attention_norm": {"scale": arr(f"{hf_layer}.post_attention_layernorm.weight")},
             "gate_proj": {"kernel": W(f"{hf_layer}.mlp.gate_proj.weight")},
             "up_proj": {"kernel": W(f"{hf_layer}.mlp.up_proj.weight")},
             "down_proj": {"kernel": W(f"{hf_layer}.mlp.down_proj.weight")},
         }
+        if cfg.post_norms:
+            # Gemma2 sandwich norms: HF post_attention_layernorm is the
+            # post-ATTENTION norm here (not Llama's pre-MLP norm), and the
+            # MLP branch has its own pre/post pair.
+            params[f"layer_{i}"].update({
+                "post_attention_norm": {"scale": arr(f"{hf_layer}.post_attention_layernorm.weight")},
+                "pre_feedforward_norm": {"scale": arr(f"{hf_layer}.pre_feedforward_layernorm.weight")},
+                "post_feedforward_norm": {"scale": arr(f"{hf_layer}.post_feedforward_layernorm.weight")},
+            })
+        else:
+            params[f"layer_{i}"]["post_attention_norm"] = {
+                "scale": arr(f"{hf_layer}.post_attention_layernorm.weight")
+            }
     logger.info("loaded HF decoder from %s (%d layers, hidden %d)", path, cfg.num_layers, cfg.hidden_size)
     return cfg, params
 

@@ -45,6 +45,7 @@ DECODER_PRESETS = {
     "mistral-7b": DecoderConfig.mistral_7b,
     "qwen2.5-7b": DecoderConfig.qwen25_7b,
     "gemma-2b": DecoderConfig.gemma_2b,
+    "gemma2-2b": DecoderConfig.gemma2_2b,
     "tiny-gpt2": GPT2Config.tiny,
     "gpt2": GPT2Config.gpt2_124m,
 }

@@ -244,3 +244,63 @@ def test_sliding_window_gradients():
     g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g_fa, g_ref):
         np.testing.assert_allclose(a, b, atol=3e-4)
+
+
+def softcap_oracle(q, k, v, cap, scale=None, window=None):
+    """Dense oracle with Gemma2 softcapping: cap·tanh(s/cap) BEFORE mask."""
+    B, Sq, H, D = q.shape
+    if scale is None:
+        scale = 1.0 / D ** 0.5
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+    s = jnp.tanh(s / cap) * cap
+    keep = jnp.arange(Sq)[:, None] >= jnp.arange(Sq)[None, :]
+    if window is not None:
+        keep = keep & (jnp.arange(Sq)[:, None] - jnp.arange(Sq)[None, :] < window)
+    s = jnp.where(keep[None, None], s, -1e30)
+    p = jax.nn.softmax(s, axis=-1)
+    p = jnp.where(keep[None, None], p, 0.0)
+    return jnp.einsum("bhqk,bkhd->bqhd", p, v)
+
+
+def test_softcap_forward_matches_oracle():
+    """Gemma2 attn logit softcapping in-kernel: forward equals the dense
+    capped oracle, and the cap is load-bearing (differs from no-cap).
+    Small cap (2.0) so tanh saturation actually bends the scores."""
+    q, k, v = _qkv(S=256, seed=14)
+    cap = 2.0
+    out = flash_attention(
+        q, k, v, causal=True, softcap=cap, block_q=128, block_k=128, interpret=True
+    )
+    np.testing.assert_allclose(out, softcap_oracle(q, k, v, cap), atol=2e-5)
+    out_nocap = flash_attention(q, k, v, causal=True, block_q=128, block_k=128, interpret=True)
+    assert not np.allclose(out, out_nocap, atol=1e-3)
+
+
+def test_softcap_with_window_forward():
+    q, k, v = _qkv(S=384, seed=15)
+    out = flash_attention(
+        q, k, v, causal=True, softcap=2.0, window=100,
+        block_q=128, block_k=128, interpret=True,
+    )
+    np.testing.assert_allclose(out, softcap_oracle(q, k, v, 2.0, window=100), atol=2e-5)
+
+
+def test_softcap_gradients_match_oracle():
+    """Backward chains the tanh derivative through the recomputed
+    scores: dq/dk/dv equal the autodiff of the dense capped oracle."""
+    q, k, v = _qkv(S=256, seed=16)
+    cap = 2.0
+
+    def loss_fa(q, k, v):
+        return jnp.sum(
+            flash_attention(q, k, v, causal=True, softcap=cap,
+                            block_q=128, block_k=128, interpret=True) ** 2
+        )
+
+    def loss_ref(q, k, v):
+        return jnp.sum(softcap_oracle(q, k, v, cap) ** 2)
+
+    g_fa = jax.grad(loss_fa, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_fa, g_ref):
+        np.testing.assert_allclose(a, b, atol=3e-4)

@@ -325,6 +325,44 @@ def test_sliding_window_decode_matches_lockstep():
         assert got_f[i] == [int(t) for t in exp_sw[i]]
 
 
+def test_gemma2_family_decode_matches_lockstep():
+    """Gemma2-flavored config (sandwich norms + attn/final softcap +
+    decoupled query scale + sliding window on EVEN layers only): the
+    engine's per-slot cached decode matches lockstep, and the
+    alternating pattern is load-bearing (sliding_layers='all' with the
+    same params produces different tokens)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        DecoderConfig.tiny(vocab_size=128), num_layers=4, num_heads=4,
+        num_kv_heads=2, hidden_size=64, post_norms=True, sliding_window=6,
+        sliding_layers="even", attn_logit_softcap=50.0,
+        final_logit_softcap=30.0, query_pre_attn_scalar=8.0,
+    )
+    decoder = Decoder(cfg)
+    params = unbox(
+        decoder.init(
+            jax.random.PRNGKey(2), jnp.zeros((1, P), jnp.int32), jnp.ones((1, P), jnp.int32)
+        )["params"]
+    )
+    assert "post_feedforward_norm" in params["layer_0"]  # sandwich norms exist
+    ids, mask = _prompts(5, rng_seed=44)
+    expected = _lockstep(decoder, params, ids, mask, 6)
+    # same params, every layer windowed → alternation must change tokens
+    all_win = Decoder(dataclasses.replace(cfg, sliding_layers="all"))
+    assert not np.array_equal(_lockstep(all_win, params, ids, mask, 6), expected)
+
+    eng = DecodeEngine(
+        decoder, params, num_slots=2, max_prompt_len=P,
+        max_new_tokens=6, eos_token_id=None, pad_token_id=0, decode_chunk=3,
+    )
+    got = eng.generate(ids, mask)
+    got_f = eng.generate_fused(ids, mask)
+    for i in range(5):
+        assert got[i] == [int(t) for t in expected[i]]
+        assert got_f[i] == [int(t) for t in expected[i]]
+
+
 @pytest.mark.parametrize("num_slots,n_req,gamma", [(2, 7, 4), (3, 8, 6)])
 def test_speculative_fused_matches_lockstep(decoder_and_params, num_slots, n_req, gamma):
     """speculative_gamma > 0: the fused schedule verifies multi-token

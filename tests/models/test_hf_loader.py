@@ -266,3 +266,81 @@ def test_gemma_decode_matches_full_forward(gemma_dir):
         assert (nxt == out[:, t]).all(), f"token {t}"
         cur_ids = np.concatenate([cur_ids, nxt[:, None]], axis=1)
         cur_mask = np.concatenate([cur_mask, np.ones((2, 1), np.int32)], axis=1)
+
+
+@pytest.fixture(scope="module")
+def gemma2_dir(tmp_path_factory):
+    # Small sliding window (6 < S) and a query scale decoupled from
+    # head_dim (8 != 16) so alternation, softcap, and scale are all
+    # load-bearing in the parity check. Eager attention: torch's sdpa
+    # path drops attn softcapping.
+    cfg = transformers.Gemma2Config(
+        vocab_size=256, hidden_size=48, num_hidden_layers=4,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        intermediate_size=96, max_position_embeddings=64,
+        rms_norm_eps=1e-6, sliding_window=6, query_pre_attn_scalar=8,
+        attn_logit_softcapping=50.0, final_logit_softcapping=30.0,
+        attn_implementation="eager",
+    )
+    model = transformers.Gemma2ForCausalLM(cfg)
+    model.eval()
+    d = tmp_path_factory.mktemp("hf_gemma2")
+    model.save_pretrained(d, safe_serialization=True)
+    return str(d), model
+
+
+def test_gemma2_logits_parity(gemma2_dir):
+    """Gemma2: sandwich norms (4 per layer) + attn/final logit
+    softcapping + query_pre_attn_scalar + sliding window on EVEN layers
+    only — converted forward matches the torch model (HF
+    `Gemma2ForCausalLM`; the reference loads generators via
+    `AutoModelForCausalLM`, `dalm/models/rag_e2e_base_model.py:42-59`)."""
+    import torch
+
+    path, hf_model = gemma2_dir
+    cfg, params = load_hf_decoder(path)
+    assert cfg.post_norms and cfg.sliding_layers == "even"
+    assert cfg.attn_logit_softcap == 50.0 and cfg.final_logit_softcap == 30.0
+    assert cfg.query_pre_attn_scalar == 8 and cfg.head_dim == 16
+    assert cfg.layer_window(0) == 6 and cfg.layer_window(1) is None
+    model = Decoder(cfg)
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(1, 250, size=(2, 12)).astype(np.int64)
+    with torch.no_grad():
+        expected = hf_model(torch.tensor(ids)).logits.numpy()
+    got = np.asarray(
+        model.apply({"params": params}, jnp.asarray(ids, jnp.int32), jnp.ones((2, 12), jnp.int32))
+    )
+    np.testing.assert_allclose(got, expected, atol=2e-4, rtol=2e-3)
+
+
+def test_gemma2_decode_matches_full_forward(gemma2_dir):
+    """KV-cache greedy decode through gemma2 (alternating window in
+    slot space, softcapped logits) matches lockstep full-sequence
+    argmax, with left padding."""
+    path, _ = gemma2_dir
+    cfg, params = load_hf_decoder(path)
+    from dalm_tpu.models.generate import build_greedy_generate
+
+    rng = np.random.default_rng(1)
+    P, new = 10, 4  # P > window 6 so the band actually clips history
+    ids = np.zeros((2, P), np.int32)
+    mask = np.zeros((2, P), np.int32)
+    for i in range(2):
+        real = int(rng.integers(7, P))
+        ids[i, P - real:] = rng.integers(1, 250, size=real)
+        mask[i, P - real:] = 1
+    model = Decoder(cfg)
+    gen = build_greedy_generate(model, new, eos_token_id=None, pad_token_id=0)
+    out = np.asarray(gen(params, jnp.asarray(ids), jnp.asarray(mask)))
+
+    cur_ids, cur_mask = ids.copy(), mask.copy()
+    for t in range(new):
+        logits = np.asarray(model.apply(
+            {"params": params}, jnp.asarray(cur_ids), jnp.asarray(cur_mask)
+        ))
+        nxt = logits[np.arange(2), -1].argmax(-1).astype(np.int32)
+        assert (nxt == out[:, t]).all(), f"token {t}"
+        cur_ids = np.concatenate([cur_ids, nxt[:, None]], axis=1)
+        cur_mask = np.concatenate([cur_mask, np.ones((2, 1), np.int32)], axis=1)
