@@ -339,7 +339,11 @@ class DecoderAttention(nn.Module):
 
         if cfg.attention_impl == "ring" and kv_cache is None:
             assert not cfg.sliding_window, "ring attention has no sliding-window support yet"
-            assert not cfg.attn_logit_softcap, "ring attention has no softcap support yet"
+            assert cfg.attn_logit_softcap is None, "ring attention has no softcap support yet"
+            assert cfg.query_pre_attn_scalar is None or cfg.query_pre_attn_scalar == hd, (
+                "ring attention uses the default 1/sqrt(head_dim) scale; a "
+                "decoupled query_pre_attn_scalar is not plumbed through yet"
+            )
             # Context parallelism: this call is one sequence chunk on one
             # device of the ring (must run under shard_map with
             # ``cfg.ring_axis`` bound; caller supplies GLOBAL positions so
@@ -362,7 +366,7 @@ class DecoderAttention(nn.Module):
         def _mask_scores(scores, m):
             """f32-cast + optional softcap (HF order: cap, THEN mask)."""
             s32 = scores.astype(jnp.float32)
-            if cfg.attn_logit_softcap:
+            if cfg.attn_logit_softcap is not None:
                 cap = cfg.attn_logit_softcap
                 s32 = jnp.tanh(s32 / cap) * cap
             return jnp.where(m, s32, jnp.finfo(jnp.float32).min)
@@ -574,7 +578,7 @@ class Decoder(nn.Module):
         else:
             logits = _proj(cfg.vocab_size, "lm_head", cfg, ("embed", "vocab"))(hidden)
 
-        if cfg.final_logit_softcap:
+        if cfg.final_logit_softcap is not None:
             cap = cfg.final_logit_softcap
             logits = jnp.tanh(logits.astype(jnp.float32) / cap) * cap
             logits = logits.astype(cfg.dtype)

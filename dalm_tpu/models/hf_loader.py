@@ -200,9 +200,19 @@ def load_hf_decoder(path: str, dtype=None) -> Tuple[DecoderConfig, Any]:
         # Gemma2: decoupled attention scale, attn/final logit softcapping,
         # sandwich norms, and sliding window on even layers only (HF
         # ``layer_types`` alternates sliding/full starting at layer 0).
-        query_pre_attn_scalar=hf.get("query_pre_attn_scalar"),
-        attn_logit_softcap=hf.get("attn_logit_softcapping"),
-        final_logit_softcap=hf.get("final_logit_softcapping"),
+        # Gated on model_type like post_norms/sliding_layers: a non-gemma2
+        # checkpoint that happens to carry these keys (or a future family
+        # reusing the names with different semantics) must not silently
+        # activate Gemma2 behavior.
+        query_pre_attn_scalar=(
+            hf.get("query_pre_attn_scalar") if model_type == "gemma2" else None
+        ),
+        attn_logit_softcap=(
+            hf.get("attn_logit_softcapping") if model_type == "gemma2" else None
+        ),
+        final_logit_softcap=(
+            hf.get("final_logit_softcapping") if model_type == "gemma2" else None
+        ),
         post_norms=model_type == "gemma2",
         sliding_layers="even" if model_type == "gemma2" else "all",
     )
