@@ -196,11 +196,59 @@ def _int4_kernel_floorsplit(
         out_ref[:] = acc[:].astype(out_ref.dtype)
 
 
+def _int4_kernel_i8mxu(
+    x_lo_ref, x_hi_ref, xs_ref, q_ref, s_lo_ref, s_hi_ref, out_ref, acc, *, group: int
+):
+    """Variant: nibbles unpack to INT8 and the dots ride the int8 MXU.
+
+    Round-3 closed the float formulations (base/groupmm/decomp/floorsplit
+    all within noise; trace blames ~30x-above-DMA-floor VPU work), every
+    one of which dequantizes to f32/bf16 for a FLOAT MXU dot. v5e has no
+    bf16 ALU — all elementwise math runs at 32-bit lane width — so the
+    untried angle is to stay in integers: activations arrive row-quantized
+    int8 (same packing as `kernels/int8_matmul.py`, whose W8A8 path the
+    training step measured at up to 394 TOPS), nibbles convert
+    int32→int8 with NO float scale-expand work at (bh, bn), and each
+    scale group contracts as an int8 x int8 → int32 MXU dot whose group
+    scale folds into the (M, bn) f32 accumulator — O(K/group · M · N)
+    post-matmul floats instead of O(K · N) elementwise dequant. The
+    per-row activation scale multiplies once at the final write."""
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _init():
+        acc[:] = jnp.zeros_like(acc)
+
+    p32 = q_ref[:].astype(jnp.int32)
+    lo = ((p32 & 0xF) - 8).astype(jnp.int8)
+    hi = ((p32 >> 4) - 8).astype(jnp.int8)
+
+    bh = q_ref.shape[0]
+    dims = (((1,), (0,)), ((), ()))
+    for g in range(bh // group):
+        sl = slice(g * group, (g + 1) * group)
+        p_lo = jax.lax.dot_general(
+            x_lo_ref[:, sl], lo[sl], dims, preferred_element_type=jnp.int32
+        )
+        p_hi = jax.lax.dot_general(
+            x_hi_ref[:, sl], hi[sl], dims, preferred_element_type=jnp.int32
+        )
+        acc[:] += (
+            p_lo.astype(jnp.float32) * s_lo_ref[g : g + 1, :]
+            + p_hi.astype(jnp.float32) * s_hi_ref[g : g + 1, :]
+        )
+
+    @pl.when(i == pl.num_programs(1) - 1)
+    def _write():
+        out_ref[:] = (acc[:] * xs_ref[:]).astype(out_ref.dtype)
+
+
 _KERNEL_VARIANTS = {
     "base": _int4_kernel,
     "groupmm": _int4_kernel_groupmm,
     "decomp": _int4_kernel_decomp,
     "floorsplit": _int4_kernel_floorsplit,
+    "i8mxu": _int4_kernel_i8mxu,
 }
 
 # All variants are exact to bf16 rounding (interpret-mode oracle test).
@@ -261,6 +309,45 @@ def _int4_matmul_fwd_pallas(
     assert bh, f"no lowerable block for K={K}, N={N}, M={M}, group={group}"
     block_n = bn
     nk, nn = half // bh, N // block_n
+
+    if variant == "i8mxu":
+        # Activations row-quantize ONCE per matmul (XLA formulation — it
+        # fuses into the surrounding program; see kernels/int8_matmul.py
+        # for why the standalone Pallas rowquant is not used here), then
+        # the kernel contracts int8 x int8 on the MXU per scale group.
+        from dalm_tpu.kernels.int8_matmul import rowquant
+
+        xq, xs = rowquant(x2)
+        return pl.pallas_call(
+            partial(_int4_kernel_i8mxu, group=group),
+            grid=(nn, nk),
+            in_specs=[
+                pl.BlockSpec((M, bh), lambda j, i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (M, bh), lambda j, i, nk=nk: (0, i + nk), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec((M, 1), lambda j, i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((bh, block_n), lambda j, i: (i, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (bh // group, block_n), lambda j, i: (i, j), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (bh // group, block_n),
+                    lambda j, i, nk=nk: (i + nk, j),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (M, block_n), lambda j, i: (0, j), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((M, N), x2.dtype),
+            scratch_shapes=[pltpu.VMEM((M, block_n), jnp.float32)],
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"),
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(xq, xq, xs, q4, scale4, scale4)
 
     x_bf = x2.astype(jnp.bfloat16)
     out = pl.pallas_call(

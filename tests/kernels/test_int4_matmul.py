@@ -73,6 +73,42 @@ def test_no_grad_into_storage():
     assert float(jnp.abs(g).max()) == 0.0
 
 
+def test_i8mxu_variant_matches_w8a8_oracle():
+    """The int8-MXU variant is exact vs its own quantized-math oracle:
+    row-quantized activations (int8) against int4-nibble weights (int8),
+    int32-exact dots, group scale and row scale folded in f32. It is NOT
+    exact to the float variants — activations carry W8A8 quantization
+    error by design (same STE semantics as kernels/int8_matmul.py)."""
+    from dalm_tpu.kernels.int4_matmul import _int4_matmul_fwd_pallas
+    from dalm_tpu.kernels.int8_matmul import rowquant
+    from dalm_tpu.models.quant import quantize_tensor_int4
+
+    rng = np.random.default_rng(5)
+    K, N, M = 1024, 256, 8
+    w = jnp.asarray(rng.standard_normal((K, N)) * 0.02, jnp.float32)
+    d = quantize_tensor_int4(w, group=64)
+    x = jnp.asarray(rng.standard_normal((M, K)) * 0.5, jnp.bfloat16)
+
+    xq, xs = rowquant(x)
+    wd = dequantize_tensor_int4(d, jnp.float32)
+    ref = (xq.astype(jnp.float32) @ wd) * xs
+
+    out = _int4_matmul_fwd_pallas(
+        x, d["q4"], d["scale4"], block_k=256, block_n=256,
+        interpret=True, variant="i8mxu",
+    )
+    rel = float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref))) / float(
+        jnp.max(jnp.abs(ref))
+    )
+    assert rel < 5e-3, rel
+    # and it approximates the TRUE matmul to activation-quant tolerance
+    true = x.astype(jnp.float32) @ wd
+    rel_true = float(jnp.max(jnp.abs(out.astype(jnp.float32) - true))) / float(
+        jnp.max(jnp.abs(true))
+    )
+    assert rel_true < 0.05, rel_true
+
+
 @pytest.mark.parametrize("variant", ["base", "groupmm", "decomp", "floorsplit"])
 def test_variant_kernels_match_dequant_oracle(variant):
     """All selectable kernel variants (base / groupmm post-matmul scales /
