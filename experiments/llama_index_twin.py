@@ -39,7 +39,13 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from quality_directional import make_corpus, paired_stats, title_split  # noqa: E402
+from quality_directional import (  # noqa: E402
+    make_corpus,
+    make_corpus_mixed,
+    make_vocab,
+    paired_stats,
+    title_split,
+)
 
 
 def embed_rows(embed_fn, ids, mask, batch, dim):
@@ -73,6 +79,18 @@ def main():
     ap.add_argument("--dalm-epochs", type=int, default=16)
     ap.add_argument("--dalm-lr", type=float, default=3e-4)
     ap.add_argument("--gen-len", type=int, default=224)
+    ap.add_argument("--base-dir", default=None,
+                    help="frozen base = this saved encoder checkpoint (e.g. "
+                    "experiments/proxy_base/encoder) instead of a random init "
+                    "— the pretrained-proxy protocol (round-4 VERDICT #1)")
+    ap.add_argument("--vocab-json", default=None,
+                    help="proxy meta.json: use the mixed known+new-vocab "
+                    "downstream corpus instead of the self-contained synonym one")
+    ap.add_argument("--new-vocab", type=int, default=128)
+    ap.add_argument("--known-per-doc", type=int, default=3)
+    ap.add_argument("--generator", default="tiny",
+                    help="generator spec for the rag-e2e arm (preset or saved dir, "
+                    "e.g. experiments/proxy_base/generator)")
     args = ap.parse_args()
 
     if args.cpu_mesh:
@@ -98,23 +116,45 @@ def main():
     from dalm_tpu.index.dense import ShardedDenseIndex
     from dalm_tpu.models.embedder import SentenceEmbedder
     from dalm_tpu.models.encoder import Encoder
-    from dalm_tpu.models.registry import ENCODER_PRESETS, save_pretrained
+    from dalm_tpu.models.registry import ENCODER_PRESETS, load_pretrained, save_pretrained
 
     os.makedirs(args.out, exist_ok=True)
-    rows = make_corpus(args.passages, vocab_size=args.pair_vocab)
+    if args.vocab_json:
+        with open(args.vocab_json) as f:
+            meta = json.load(f)
+        vocab_known = (meta["keywords"], meta["synonyms"])
+        if meta.get("vocab_style", "word") == "syll":
+            from quality_directional import make_vocab_syll
+
+            vocab_new = make_vocab_syll(101, args.new_vocab, cons="npqrstvwz")
+        else:
+            vocab_new = make_vocab(101, args.new_vocab, tuple(meta["kw_len"]))
+        rows = make_corpus_mixed(
+            args.passages, vocab_known, vocab_new, known_per_doc=args.known_per_doc
+        )
+    else:
+        rows = make_corpus(args.passages, vocab_size=args.pair_vocab)
     train_rows, test_rows = title_split(rows)
     train_ds = Dataset.from_list(train_rows)
     test_ds = Dataset.from_list(test_rows)
     print(f"corpus: {len(train_rows)} train / {len(test_rows)} test rows")
 
-    # Shared random-init base encoder (the offline stand-in for bge-large).
-    vocab = 384
-    cfg = dataclasses.replace(ENCODER_PRESETS["tiny"](), vocab_size=vocab)
-    enc = Encoder(cfg)
-    ids0 = jnp.zeros((1, args.query_len), jnp.int32)
-    params = enc.init(jax.random.PRNGKey(0), ids0, jnp.ones_like(ids0))["params"]
-    base_dir = os.path.join(args.out, "base_encoder")
-    save_pretrained(base_dir, cfg, jax.device_get(unbox(params)), extra={"tokenizer": "byte"})
+    if args.base_dir:
+        # Pretrained-proxy protocol: the frozen base is a certified
+        # checkpoint (pretrain_proxy.py), playing the reference's
+        # pretrained bge-large role.
+        base_dir = args.base_dir
+        cfg, params = load_pretrained(base_dir)
+        print(f"frozen base: pretrained checkpoint {base_dir}")
+    else:
+        # Shared random-init base encoder (round-3 protocol).
+        vocab = 384
+        cfg = dataclasses.replace(ENCODER_PRESETS["tiny"](), vocab_size=vocab)
+        enc = Encoder(cfg)
+        ids0 = jnp.zeros((1, args.query_len), jnp.int32)
+        params = enc.init(jax.random.PRNGKey(0), ids0, jnp.ones_like(ids0))["params"]
+        base_dir = os.path.join(args.out, "base_encoder")
+        save_pretrained(base_dir, cfg, jax.device_get(unbox(params)), extra={"tokenizer": "byte"})
 
     mesh = make_mesh(MeshConfig())
     model = SentenceEmbedder(cfg)
@@ -236,7 +276,7 @@ def main():
             print(f"[retriever-only s{seed}] hit_rate={ev.hit_rate:.4f} mrr={ev.mrr:.4f}")
             e2e_out = os.path.join(args.out, f"e2e_s{seed}")
             train_e2e(
-                train_ds, base_dir, "tiny", seed=seed, output_dir=e2e_out,
+                train_ds, base_dir, args.generator, seed=seed, output_dir=e2e_out,
                 generator_max_len=args.gen_len, **common,
             )
             ev = evaluate_retriever(test_ds, os.path.join(e2e_out, "retriever"), **eval_common)

@@ -42,9 +42,68 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _word(rng, kw_len):
+    n = rng.integers(kw_len[0], kw_len[1]) if kw_len[1] > kw_len[0] else kw_len[0]
+    cons, vow = "bcdfghjklmnpqrstvwz", "aeiou"
+    return "".join(
+        (cons[rng.integers(len(cons))] if i % 2 == 0 else vow[rng.integers(len(vow))])
+        for i in range(n)
+    )
+
+
+def make_vocab(seed: int, size: int, kw_len: tuple = (6, 9)):
+    """A (keywords, synonyms) pairing vocabulary with its own rng stream.
+
+    Separate from :func:`make_corpus` so corpora can share a vocabulary
+    (in-distribution downstream data for a pretrained-proxy encoder) or
+    draw disjoint ones (the pretrain/downstream split the round-3
+    VERDICT's pretrained-proxy protocol requires)."""
+    rng = np.random.default_rng(seed)
+    keywords = [_word(rng, kw_len) for _ in range(size)]
+    synonyms = [_word(rng, kw_len) for _ in range(size)]
+    return keywords, synonyms
+
+
+def make_vocab_syll(
+    seed: int, size: int, cons: str = "bcdfghjklm", vow: str = "aeiou",
+    n_syll: int = 3,
+):
+    """Syllable-compositional pairing vocabulary (multi-token words a
+    SHALLOW encoder can actually learn).
+
+    Round 1's whole-word bijection over random 6-9-char strings is not
+    learnable by a 2-layer byte-level encoder (recall plateaued ~0.07;
+    deeper encoders collapse from random init — results_bgesmall/).  Here
+    each keyword is ``n_syll`` syllables from a consonant x vowel
+    inventory and its synonym maps PER SYLLABLE through one arbitrary
+    global bijection onto the uppercase inventory: learning reduces to a
+    local byte-bigram association (the same subword compositionality
+    real models exploit), while words stay genuinely multi-token — the
+    property VERDICT r3 weakness #5 asked the decisive testbed to have.
+    The bijection is a shuffled permutation, NOT case-mapping, so it
+    does not factor to a single-char cipher.
+
+    Disjoint "domains" come from disjoint consonant inventories (e.g.
+    pretrain cons="bcdfghjklm", downstream-new cons="npqrstvwz")."""
+    rng = np.random.default_rng(seed)
+    syl_k = [c + v for c in cons for v in vow]
+    syl_s = [s.upper() for s in syl_k]
+    perm = rng.permutation(len(syl_k))
+    words, seen = [], set()
+    while len(words) < size:
+        tri = tuple(int(i) for i in rng.integers(0, len(syl_k), size=n_syll))
+        if tri in seen:
+            continue
+        seen.add(tri)
+        words.append(tri)
+    keywords = ["".join(syl_k[i] for i in tri) for tri in words]
+    synonyms = ["".join(syl_s[perm[i]] for i in tri) for tri in words]
+    return keywords, synonyms
+
+
 def make_corpus(
     n_passages: int, seed: int = 0, vocab_size: int = 240, kws_per_doc: int = 6,
-    kw_len: tuple = (6, 9),
+    kw_len: tuple = (6, 9), vocab=None,
 ):
     """Synthetic QA corpus in the toy-CSV schema (Question/Abstract/Answer/Title).
 
@@ -52,19 +111,22 @@ def make_corpus(
     keyword has a fixed "synonym" used on the query side, so a random
     encoder scores near chance and retrieval quality comes entirely from
     learning the synonym pairing during training (the pairing vocabulary
-    is global — train docs teach it, test docs recombine it)."""
+    is global — train docs teach it, test docs recombine it).
+
+    ``vocab``: optional explicit (keywords, synonyms) pair from
+    :func:`make_vocab`.  The default (None) draws the vocabulary from the
+    same rng stream as before, preserving every recorded corpus."""
     rng = np.random.default_rng(seed)
 
     def word():
-        n = rng.integers(kw_len[0], kw_len[1])
-        cons, vow = "bcdfghjklmnpqrstvwz", "aeiou"
-        return "".join(
-            (cons[rng.integers(len(cons))] if i % 2 == 0 else vow[rng.integers(len(vow))])
-            for i in range(n)
-        )
+        return _word(rng, kw_len)
 
-    keywords = [word() for _ in range(vocab_size)]
-    synonyms = [word() for _ in range(vocab_size)]
+    if vocab is None:
+        keywords = [word() for _ in range(vocab_size)]
+        synonyms = [word() for _ in range(vocab_size)]
+    else:
+        keywords, synonyms = list(vocab[0]), list(vocab[1])
+        vocab_size = len(keywords)
     filler = ["the", "of", "about", "regarding", "system", "method", "device"]
     rows = []
     for i in range(n_passages):
@@ -79,6 +141,50 @@ def make_corpus(
         query = f"what {filler[int(rng.integers(len(filler)))]} {syns[0]} {syns[1]} {syns[2]}"
         # multi-keyword answer: more answer-region tokens => more
         # marginalized-loss gradient reaching the retriever per sample
+        answer = " ".join(keywords[int(j)] for j in q_idx)
+        rows.append(
+            {"Title": f"doc {i}", "Question": query, "Abstract": passage, "Answer": answer}
+        )
+    return rows
+
+
+def make_corpus_mixed(
+    n_passages: int, vocab_known, vocab_new, seed: int = 0,
+    kws_per_doc: int = 6, known_per_doc: int = 3,
+):
+    """Downstream "domain" corpus for the pretrained-proxy protocol.
+
+    Each passage draws ``known_per_doc`` keywords from the PRETRAINING
+    vocabulary (the pretrained encoder already knows their synonym
+    pairing — the transferable structure that lets it score well above
+    chance, the analog of bge-large's 0.49 base hit rate on patents,
+    reference `README.md:140-142`) and the rest from a NEW vocabulary the
+    pretrained encoder has never seen (the domain-adaptation headroom
+    that full fine-tuning can exploit, analog of rag-e2e's 0.74).
+    Schema/structure otherwise identical to :func:`make_corpus`."""
+    rng = np.random.default_rng(seed)
+    kw_k, syn_k = vocab_known
+    kw_n, syn_n = vocab_new
+    keywords = list(kw_k) + list(kw_n)
+    synonyms = list(syn_k) + list(syn_n)
+    n_known = len(kw_k)
+    filler = ["the", "of", "about", "regarding", "system", "method", "device"]
+    rows = []
+    for i in range(n_passages):
+        idx_known = rng.choice(n_known, size=known_per_doc, replace=False)
+        idx_new = n_known + rng.choice(
+            len(kw_n), size=kws_per_doc - known_per_doc, replace=False
+        )
+        kw_idx = np.concatenate([idx_known, idx_new])
+        rng.shuffle(kw_idx)
+        kws = [keywords[j] for j in kw_idx]
+        passage = (
+            f"{kws[0]} {kws[1]} apparatus comprising {kws[2]} and {kws[3]} "
+            f"wherein {kws[4]} connects to {kws[5]} for improved operation."
+        )
+        q_idx = rng.permutation(kw_idx)[:3]
+        syns = [synonyms[j] for j in q_idx]
+        query = f"what {filler[int(rng.integers(len(filler)))]} {syns[0]} {syns[1]} {syns[2]}"
         answer = " ".join(keywords[int(j)] for j in q_idx)
         rows.append(
             {"Title": f"doc {i}", "Question": query, "Abstract": passage, "Answer": answer}
@@ -237,10 +343,23 @@ def main():
     ap.add_argument("--answer-repeats", type=int, default=1,
                     help="chars task: repeat the keyword answer N times (longer "
                     "answer region = proportionally more doc-logprob gradient)")
-    ap.add_argument("--task", default="synonym", choices=["synonym", "chars"],
+    ap.add_argument("--task", default="synonym", choices=["synonym", "chars", "mixed"],
                     help="synonym = round-1 multi-char pairing (weakly learnable "
                     "by the tiny model); chars = single-byte-token pairing with "
-                    "copy answers (steep curve, decisive regime)")
+                    "copy answers (steep curve, decisive regime); mixed = "
+                    "pretrain-vocab + new-vocab downstream corpus for the "
+                    "pretrained-proxy protocol (requires --vocab-json)")
+    ap.add_argument("--base-dir", default=None,
+                    help="start every arm from this saved encoder checkpoint "
+                    "(e.g. experiments/proxy_base/encoder) instead of a fresh "
+                    "random init — the pretrained-proxy protocol")
+    ap.add_argument("--vocab-json", default=None,
+                    help="proxy_base meta.json holding the pretraining vocabulary "
+                    "(task=mixed draws its known pairs from it)")
+    ap.add_argument("--new-vocab", type=int, default=128,
+                    help="task=mixed: size of the NEW (never-pretrained) vocabulary")
+    ap.add_argument("--known-per-doc", type=int, default=3,
+                    help="task=mixed: keywords per doc drawn from the pretrain vocab")
     ap.add_argument("--arms", default="ro,e2e",
                     help="comma list of training arms: ro,e2e (marg arm auto-added "
                     "when --marginalize-k > 0)")
@@ -290,6 +409,22 @@ def main():
             args.passages, vocab_size=args.pair_vocab,
             answer_repeats=args.answer_repeats,
         )
+    elif args.task == "mixed":
+        assert args.vocab_json, "--task mixed requires --vocab-json (proxy meta.json)"
+        with open(args.vocab_json) as f:
+            meta = json.load(f)
+        vocab_known = (meta["keywords"], meta["synonyms"])
+        # Seed 101 is disjoint from the pretrain vocab seed (7) and from
+        # every corpus seed. For syllable vocabs the NEW domain uses a
+        # disjoint consonant inventory (npqrstvwz vs pretrain's
+        # bcdfghjklm) — new pairs share no syllables with pretraining.
+        if meta.get("vocab_style", "word") == "syll":
+            vocab_new = make_vocab_syll(101, args.new_vocab, cons="npqrstvwz")
+        else:
+            vocab_new = make_vocab(101, args.new_vocab, tuple(meta["kw_len"]))
+        rows = make_corpus_mixed(
+            args.passages, vocab_known, vocab_new, known_per_doc=args.known_per_doc
+        )
     else:
         rows = make_corpus(args.passages, vocab_size=args.pair_vocab, kw_len=kw_len)
     train_rows, test_rows = title_split(rows)
@@ -301,22 +436,27 @@ def main():
         f"{len(test_rows)} test rows; arms: {sorted(arms)}"
     )
 
-    # One shared random init seeds all runs (and serves as the "plain
-    # base model" row).
-    import dataclasses
+    # One shared init seeds all runs (and serves as the "plain base
+    # model" row): a fresh random init by default, or — the
+    # pretrained-proxy protocol — an existing checkpoint via --base-dir.
+    if args.base_dir:
+        base_dir = args.base_dir
+        print(f"base encoder: pretrained checkpoint {base_dir}")
+    else:
+        import dataclasses
 
-    import jax.numpy as jnp
+        import jax.numpy as jnp
 
-    vocab = 384  # byte tokenizer rounded to 128
-    cfg = ENCODER_PRESETS[args.model]()
-    cfg = dataclasses.replace(cfg, vocab_size=vocab)
-    enc = Encoder(cfg)
-    ids = jnp.zeros((1, args.query_len), jnp.int32)
-    params = enc.init(jax.random.PRNGKey(0), ids, jnp.ones_like(ids))["params"]
-    from dalm_tpu.core.mesh import unbox
+        vocab = 384  # byte tokenizer rounded to 128
+        cfg = ENCODER_PRESETS[args.model]()
+        cfg = dataclasses.replace(cfg, vocab_size=vocab)
+        enc = Encoder(cfg)
+        ids = jnp.zeros((1, args.query_len), jnp.int32)
+        params = enc.init(jax.random.PRNGKey(0), ids, jnp.ones_like(ids))["params"]
+        from dalm_tpu.core.mesh import unbox
 
-    base_dir = os.path.join(args.out, "base_encoder")
-    save_pretrained(base_dir, cfg, jax.device_get(unbox(params)), extra={"tokenizer": "byte"})
+        base_dir = os.path.join(args.out, "base_encoder")
+        save_pretrained(base_dir, cfg, jax.device_get(unbox(params)), extra={"tokenizer": "byte"})
 
     common_eval = dict(
         max_length=args.passage_len, top_k=10, test_batch_size=32, query_batch_size=32
@@ -333,7 +473,7 @@ def main():
         return ev
 
     t0 = time.time()
-    eval_dir(base_dir, "base (random init)")
+    eval_dir(base_dir, "base (pretrained proxy)" if args.base_dir else "base (random init)")
 
     ro_recalls, e2e_recalls, marg_recalls = [], [], []
     margonly_recalls = []
