@@ -38,6 +38,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 
 def _rowquant_xla(x: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -118,6 +120,102 @@ def rowquant(x: jax.Array, interpret: bool = False) -> tuple[jax.Array, jax.Arra
     return _rowquant_xla(x)
 
 
+def _fit_div(dim: int, want: int, align: int = 128) -> int:
+    """Largest multiple of ``align`` that divides ``dim`` and is <= want."""
+    best = 0
+    b = align
+    while b <= dim:
+        if dim % b == 0 and b <= want:
+            best = b
+        b += align
+    return best
+
+
+def _w8a8_fused_kernel(x_ref, q_ref, wscale_ref, out_ref, acc, xq, xs, *, bk: int):
+    """Matmul tile with IN-KERNEL activation quantization.
+
+    Round-3 trace: the flagship W8A8 step spends 21.5% of device time on
+    dynamic-quant bookkeeping — an absmax pass plus a quantize pass over
+    every activation tensor in HBM (RESULTS.md). The standalone Pallas
+    rowquant lost 11% end-to-end because a custom call at the quant
+    boundary pins layouts (documented negative). This kernel removes the
+    standalone passes entirely: each (bm, bk) activation tile is absmax-
+    reduced and quantized in VMEM the FIRST time its M-stripe is visited
+    (j == 0), cached in an int8 scratch that persists across the N-block
+    loop, and every (j, k) step runs an int8 x int8 -> int32 MXU dot
+    against the frozen int8 weights. Scales are per (row, k-block) —
+    finer than the XLA path's per-row scales, so quantization error is
+    never worse.
+    """
+    j, k = pl.program_id(1), pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _init():
+        acc[:] = jnp.zeros_like(acc)
+
+    @pl.when(j == 0)
+    def _quant():
+        xf = x_ref[:].astype(jnp.float32)
+        absmax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)
+        scale = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+        tile_q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+        xq[:, pl.dslice(k * bk, bk)] = tile_q
+        xs[:, pl.dslice(k, 1)] = scale
+
+    tile = xq[:, pl.dslice(k * bk, bk)]
+    p = jax.lax.dot_general(
+        tile, q_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    acc[:] += p.astype(jnp.float32) * xs[:, pl.dslice(k, 1)]
+
+    @pl.when(k == pl.num_programs(2) - 1)
+    def _write():
+        out_ref[:] = (acc[:] * wscale_ref[:]).astype(out_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _w8a8_fused_pallas(x2: jax.Array, q: jax.Array, scale: jax.Array, interpret: bool = False):
+    """(M, K) float @ int8 (K, N) with fused per-tile activation quant."""
+    M, K = x2.shape
+    _, N = q.shape
+    bm = _fit_div(M, 512, 8)
+    bk = _fit_div(K, 512)
+    # bn large => fewer redundant x-tile DMAs (x streams once per N-block
+    # sweep); capped so w tiles + acc stay comfortably in VMEM.
+    bn = _fit_div(N, 8192 if N % 512 else 2048)
+    assert bm and bk and bn, (M, K, N)
+    grid = (M // bm, N // bn, K // bk)
+
+    return pl.pallas_call(
+        partial(_w8a8_fused_kernel, bk=bk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, k: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, N), x2.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bm, bn), jnp.float32),   # acc
+            pltpu.VMEM((bm, K), jnp.int8),       # xq cache (whole K stripe)
+            pltpu.VMEM((bm, K // bk), jnp.float32),  # per (row, k-block) scales
+        ],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(x2, q, scale)
+
+
+def _w8a8_fused_feasible(M: int, K: int, N: int) -> bool:
+    if not (_fit_div(M, 512, 8) and _fit_div(K, 512) and _fit_div(N, 8192)):
+        return False
+    # xq stripe must fit scratch alongside acc + streamed tiles
+    return _fit_div(M, 512, 8) * K <= 48 * 1024 * 1024
+
+
 def _i8_dot_last(a_q: jax.Array, b_q: jax.Array, b_axis: int) -> jax.Array:
     """int8 dot contracting a's last axis with ``b_axis`` of 2-D b -> int32."""
     dims = (((a_q.ndim - 1,), (b_axis,)), ((), ()))
@@ -136,6 +234,19 @@ def int8_matmul(x: jax.Array, q: jax.Array, scale: jax.Array, bwd_int8: bool = F
 
 
 def _int8_matmul_fwd(x, q, scale, bwd_int8):
+    # DALM_W8A8_KERNEL=fused: quantize activations INSIDE the Pallas
+    # matmul (per-tile scales, no standalone HBM quant passes). A/B'd
+    # end-to-end against the default XLA formulation like every kernel
+    # decision in this repo (RESULTS.md methodology).
+    lead, K = x.shape[:-1], x.shape[-1]
+    M = int(np.prod(lead)) if lead else 1
+    if (
+        os.environ.get("DALM_W8A8_KERNEL") == "fused"
+        and jax.default_backend() == "tpu"
+        and _w8a8_fused_feasible(M, K, q.shape[1])
+    ):
+        y2 = _w8a8_fused_pallas(x.reshape(M, K), q, scale)
+        return y2.reshape(*lead, q.shape[1]), (q, scale)
     xq, xs = rowquant(x)
     acc = _i8_dot_last(xq, q, 0)
     y = acc.astype(jnp.float32) * xs * scale

@@ -169,3 +169,38 @@ def test_rowquant_dispatch_unaligned_falls_back():
     np.testing.assert_allclose(
         np.asarray(q) * np.asarray(s), np.asarray(x), atol=float(jnp.max(jnp.abs(x))) / 127 * 0.51
     )
+
+
+def test_w8a8_fused_kernel_matches_per_tile_oracle():
+    """The fused-quant Pallas matmul (activation tiles quantized in VMEM,
+    per (row, k-block) scales) matches an emulated per-tile oracle and
+    approximates the true matmul to activation-quant tolerance."""
+    import numpy as np
+
+    from dalm_tpu.kernels.int8_matmul import _fit_div, _w8a8_fused_pallas
+
+    rng = np.random.default_rng(0)
+    M, K, N = 16, 512, 384
+    x = jnp.asarray(rng.standard_normal((M, K)) * 0.5, jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((K, N)) * 0.02, jnp.float32)
+    absmax = jnp.max(jnp.abs(w), axis=0, keepdims=True)
+    ws = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(w / ws), -127, 127).astype(jnp.int8)
+
+    out = _w8a8_fused_pallas(x, q, ws, True)
+
+    bk = _fit_div(K, 512)
+    xf = np.asarray(x, np.float32)
+    ref = np.zeros((M, N), np.float32)
+    for k0 in range(0, K, bk):
+        t = xf[:, k0 : k0 + bk]
+        am = np.abs(t).max(axis=1, keepdims=True)
+        sc = np.where(am > 0, am / 127.0, 1.0)
+        tq = np.clip(np.round(t / sc), -127, 127).astype(np.int32)
+        ref += (tq @ np.asarray(q[k0 : k0 + bk], np.int32)).astype(np.float32) * sc
+    ref = ref * np.asarray(ws, np.float32)
+    rel = np.abs(np.asarray(out, np.float32) - ref).max() / np.abs(ref).max()
+    assert rel < 5e-3, rel
+    true = xf @ np.asarray(w, np.float32)
+    rel_true = np.abs(np.asarray(out, np.float32) - true).max() / np.abs(true).max()
+    assert rel_true < 0.06, rel_true
