@@ -59,6 +59,10 @@ def bench_7b_decode(int4: bool = False) -> None:
         # microbenches cannot resolve the in-kernel differences on this
         # box — see RESULTS.md "microbenchmark methodology")
         rows = rows[:1]
+    # 4-bit storage format: linear int4 (default) or the NormalFloat4
+    # codebook quality tier (DALM_QUANT_TIER=nf4) — same packing, decoded
+    # through the 15-select codebook tree in the Pallas kernel.
+    tier = os.environ.get("DALM_QUANT_TIER", "int4") if int4 else "int8"
     for preset, base_cfg, slots in rows:
         cfg = dataclasses.replace(
             base_cfg, dtype=jnp.bfloat16, int8_compute=None if int4 else "fwd"
@@ -68,7 +72,7 @@ def bench_7b_decode(int4: bool = False) -> None:
         residual, quant, lora = qlora_mod.init_packed_on_device(
             generator, jax.random.PRNGKey(0), (ids16, jnp.ones_like(ids16)),
             spec=lora_mod.LoraSpec.for_causal_lm(),
-            quantize="int4" if int4 else True,
+            quantize=tier if int4 else True,
         )
         eng = DecodeEngine(
             generator, residual, num_slots=slots, max_prompt_len=P,
@@ -89,7 +93,7 @@ def bench_7b_decode(int4: bool = False) -> None:
         print(
             json.dumps(
                 {
-                    "metric": f"decode_tokens_per_sec_per_chip[{preset}-shape,{'int4-weights' if int4 else 'int8-w8a8'},{slots}-slots,continuous-batching,1xv5e-16GB]",
+                    "metric": f"decode_tokens_per_sec_per_chip[{preset}-shape,{tier + '-weights' if int4 else 'int8-w8a8'},{slots}-slots,continuous-batching,1xv5e-16GB]",
                     "value": round(per_chip, 1),
                     "unit": "tokens/sec/chip",
                     "vs_baseline": None,

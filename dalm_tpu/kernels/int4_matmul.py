@@ -243,12 +243,67 @@ def _int4_kernel_i8mxu(
         out_ref[:] = (acc[:] * xs_ref[:]).astype(out_ref.dtype)
 
 
+def _nf4_lookup(idx):
+    """idx (int32 in [0, 15]) → NF4 codebook value, as a 15-select binary
+    tree over the nibble's bits (Mosaic has no general small-table gather;
+    selects lower everywhere). ~19 VPU ops/nibble vs linear-int4's ~2 —
+    nf4 is the QUALITY tier and pays for its codebook; the serve A/B
+    records the cost."""
+    from dalm_tpu.models.quant import NF4_CODEBOOK
+
+    cb = [float(v) for v in np.asarray(NF4_CODEBOOK)]
+    bits = [(idx & (1 << b)) != 0 for b in range(4)]
+    level = cb  # 16 python-float leaves
+    for b in range(4):
+        nxt = []
+        for j in range(0, len(level), 2):
+            nxt.append(jnp.where(bits[b], level[j + 1], level[j]))
+        level = nxt
+    return level[0].astype(jnp.float32)
+
+
+def _int4_kernel_nf4(x_lo_ref, x_hi_ref, q_ref, s_lo_ref, s_hi_ref, out_ref, acc, *, group: int):
+    """NF4 variant of the base kernel: nibbles decode through the
+    NormalFloat4 codebook (select tree) instead of the linear (nib - 8)
+    map; scales are group absmax (bnb semantics). Same tiling/specs."""
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _init():
+        acc[:] = jnp.zeros_like(acc)
+
+    p32 = q_ref[:].astype(jnp.int32)
+    lo = _nf4_lookup(p32 & 0xF)
+    hi = _nf4_lookup(p32 >> 4)
+
+    def expand(scale_ref):
+        sc = scale_ref[:]
+        g_rows, bn = sc.shape
+        return jnp.broadcast_to(sc[:, None, :], (g_rows, group, bn)).reshape(
+            g_rows * group, bn
+        )
+
+    w_lo = (lo * expand(s_lo_ref)).astype(jnp.bfloat16)
+    w_hi = (hi * expand(s_hi_ref)).astype(jnp.bfloat16)
+    acc[:] += jax.lax.dot_general(
+        x_lo_ref[:], w_lo, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    acc[:] += jax.lax.dot_general(
+        x_hi_ref[:], w_hi, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(i == pl.num_programs(1) - 1)
+    def _write():
+        out_ref[:] = acc[:].astype(out_ref.dtype)
+
+
 _KERNEL_VARIANTS = {
     "base": _int4_kernel,
     "groupmm": _int4_kernel_groupmm,
     "decomp": _int4_kernel_decomp,
     "floorsplit": _int4_kernel_floorsplit,
     "i8mxu": _int4_kernel_i8mxu,
+    "nf4": _int4_kernel_nf4,
 }
 
 # All variants are exact to bf16 rounding (interpret-mode oracle test).
@@ -381,20 +436,25 @@ def _int4_matmul_fwd_pallas(
     return out
 
 
-def _dequant_xla(q4, scale4, dtype):
+def _dequant_xla(q4, scale4, dtype, nf4: bool = False):
     from dalm_tpu.models.quant import dequantize_tensor_int4
 
-    return dequantize_tensor_int4({"q4": q4, "scale4": scale4}, dtype)
+    d = {"q4": q4, "scale4": scale4}
+    if nf4:
+        d["nf4"] = 1
+    return dequantize_tensor_int4(d, dtype)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(3,))
-def int4_matmul(x, q4, scale4, interpret: bool = False):
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def int4_matmul(x, q4, scale4, interpret: bool = False, nf4: bool = False):
     """``x @ dequant(q4)`` with block-wise VMEM dequant (frozen weights).
 
     x: (..., K) float; q4: (K/2, N) uint8 half-split nibbles;
-    scale4: (K/group, N) f32. Returns (..., N) in x.dtype.
+    scale4: (K/group, N) f32. ``nf4``: decode nibbles through the
+    NormalFloat4 codebook (quality tier) instead of the linear map.
+    Returns (..., N) in x.dtype.
     """
-    out, _ = _int4_fwd(x, q4, scale4, interpret)
+    out, _ = _int4_fwd(x, q4, scale4, interpret, nf4)
     return out
 
 
@@ -408,7 +468,7 @@ def _kernel_feasible(half: int, group: int) -> bool:
     return False
 
 
-def _int4_fwd(x, q4, scale4, interpret):
+def _int4_fwd(x, q4, scale4, interpret, nf4: bool = False):
     lead = x.shape[:-1]
     K = x.shape[-1]
     M = int(np.prod(lead)) if lead else 1
@@ -416,17 +476,18 @@ def _int4_fwd(x, q4, scale4, interpret):
     on_tpu = jax.default_backend() == "tpu" and _kernel_feasible(K // 2, group)
     if on_tpu or interpret:
         y2 = _int4_matmul_fwd_pallas(
-            x.reshape(M, K), q4, scale4, interpret=interpret, variant=DEFAULT_VARIANT
+            x.reshape(M, K), q4, scale4, interpret=interpret,
+            variant="nf4" if nf4 else DEFAULT_VARIANT,
         )
     else:
-        y2 = x.reshape(M, K) @ _dequant_xla(q4, scale4, x.dtype)
+        y2 = x.reshape(M, K) @ _dequant_xla(q4, scale4, x.dtype, nf4)
     return y2.reshape(*lead, q4.shape[1]), (q4, scale4)
 
 
-def _int4_bwd(interpret, res, dy):
+def _int4_bwd(interpret, nf4, res, dy):
     q4, scale4 = res
     # frozen storage: only dx flows; dequant fallback is fine off the hot path
-    w = _dequant_xla(q4, scale4, jnp.bfloat16)
+    w = _dequant_xla(q4, scale4, jnp.bfloat16, nf4)
     dims = (((dy.ndim - 1,), (1,)), ((), ()))
     dx = jax.lax.dot_general(
         dy.astype(jnp.bfloat16), w, dims, preferred_element_type=jnp.float32

@@ -55,6 +55,10 @@ class FlexLinear(nn.Module):
                 x,
                 self.get_variable("quant", "q4"),
                 self.get_variable("quant", "scale4"),
+                False,
+                # "nf4" marker leaf => NormalFloat4 codebook dequant
+                # (bnb-parity quality tier; models/quant.py)
+                self.has_variable("quant", "nf4"),
             )
             if self.has_variable("lora", "a"):
                 a = self.get_variable("lora", "a").astype(self.dtype)

@@ -80,7 +80,10 @@ def pack_qlora_frozen(
     The quant tree stores int8+scale under the kernel's module path
     (``quantize=False`` → bf16 storage, bnb-less frozen-base mode;
     ``quantize="int4"`` → nibble-packed int4 with per-group scales —
-    the serving-storage tier, half int8's HBM bytes).
+    the serving-storage tier, half int8's HBM bytes;
+    ``quantize="nf4"`` → same packing decoded through the NormalFloat4
+    codebook — bitsandbytes-parity 4-bit quality,
+    `/root/reference/dalm/models/retriever_only_base_model.py:85-91`).
     """
 
     residual = jax.tree.map(lambda x: x, params)  # shallow-structured copy
@@ -91,8 +94,14 @@ def pack_qlora_frozen(
         if kernel.size < min_size:
             continue
         module_path = path[:-1]  # strip "kernel"
-        if quantize == "int4":
-            qt = quantize_tensor_int4(jnp.asarray(kernel))
+        if quantize in ("int4", "nf4"):
+            if quantize == "nf4":
+                from dalm_tpu.models.quant import quantize_tensor_nf4
+
+                qt = quantize_tensor_nf4(jnp.asarray(kernel))
+                _set(quant, module_path + ("nf4",), qt["nf4"])
+            else:
+                qt = quantize_tensor_int4(jnp.asarray(kernel))
             _set(quant, module_path + ("q4",), qt["q4"])
             _set(quant, module_path + ("scale4",), qt["scale4"])
         elif quantize:
@@ -245,8 +254,14 @@ def init_packed_on_device(
             )
             if big_kernel:
                 leaf = (jax.random.normal(sub, struct.shape, jnp.float32) * 0.02).astype(dtype)
-                if quantize == "int4":
-                    qt = quantize_tensor_int4(leaf)
+                if quantize in ("int4", "nf4"):
+                    if quantize == "nf4":
+                        from dalm_tpu.models.quant import quantize_tensor_nf4
+
+                        qt = quantize_tensor_nf4(leaf)
+                        _set(quant, module_path + ("nf4",), qt["nf4"])
+                    else:
+                        qt = quantize_tensor_int4(leaf)
                     _set(quant, module_path + ("q4",), qt["q4"])
                     _set(quant, module_path + ("scale4",), qt["scale4"])
                 elif quantize:

@@ -177,3 +177,80 @@ def test_13b_preset_registered():
     cfg = DECODER_PRESETS["llama2-13b"]()
     assert cfg.hidden_size == 5120 and cfg.num_layers == 40
     assert cfg is not None and isinstance(cfg, DecoderConfig)
+
+
+class TestNF4:
+    """NormalFloat4 codebook tier (bnb parity,
+    `/root/reference/dalm/models/retriever_only_base_model.py:85-91`)."""
+
+    def test_roundtrip_beats_linear_int4_on_normal_weights(self):
+        """nf4's quantile codebook reconstructs ~N(0, σ) weights with
+        lower MSE than symmetric linear int4 — the property that makes
+        4-bit quality survive on real pretrained weights."""
+        from dalm_tpu.models.quant import (
+            dequantize_tensor_int4,
+            quantize_tensor_int4,
+            quantize_tensor_nf4,
+        )
+
+        rng = np.random.default_rng(0)
+        w = jnp.asarray(rng.standard_normal((512, 256)) * 0.02, jnp.float32)
+        lin = dequantize_tensor_int4(quantize_tensor_int4(w, group=64))
+        nf = dequantize_tensor_int4(quantize_tensor_nf4(w, group=64))
+        mse_lin = float(jnp.mean((lin - w) ** 2))
+        mse_nf = float(jnp.mean((nf - w) ** 2))
+        assert mse_nf < mse_lin, (mse_nf, mse_lin)
+
+    def test_exact_zero_and_extremes(self):
+        from dalm_tpu.models.quant import dequantize_tensor_int4, quantize_tensor_nf4
+
+        w = jnp.zeros((128, 8), jnp.float32)
+        w = w.at[0, 0].set(1.0).at[1, 0].set(-1.0)
+        deq = dequantize_tensor_int4(quantize_tensor_nf4(w, group=64))
+        # zeros reconstruct exactly (codebook has an exact 0), extremes hit ±absmax
+        assert float(jnp.abs(deq[2:, :]).max()) == 0.0
+        np.testing.assert_allclose(float(deq[0, 0]), 1.0, rtol=1e-6)
+        np.testing.assert_allclose(float(deq[1, 0]), -1.0, rtol=1e-6)
+
+    def test_kernel_nf4_variant_matches_dequant_oracle(self):
+        from dalm_tpu.kernels.int4_matmul import _int4_matmul_fwd_pallas
+        from dalm_tpu.models.quant import dequantize_tensor_int4, quantize_tensor_nf4
+
+        rng = np.random.default_rng(3)
+        K, N, M = 1024, 256, 8
+        w = jnp.asarray(rng.standard_normal((K, N)) * 0.02, jnp.float32)
+        d = quantize_tensor_nf4(w, group=64)
+        x = jnp.asarray(rng.standard_normal((M, K)) * 0.5, jnp.bfloat16)
+        ref = x.astype(jnp.float32) @ dequantize_tensor_int4(d, jnp.float32)
+        out = _int4_matmul_fwd_pallas(
+            x, d["q4"], d["scale4"], block_k=256, block_n=256,
+            interpret=True, variant="nf4",
+        )
+        rel = float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref))) / float(
+            jnp.max(jnp.abs(ref))
+        )
+        assert rel < 0.02, rel
+
+    def test_flexlinear_nf4_end_to_end(self):
+        """pack_qlora_frozen(quantize='nf4') + a decoder forward: the nf4
+        marker routes through FlexLinear to the codebook dequant and the
+        output approximates the unquantized forward."""
+        from dalm_tpu.core.mesh import unbox
+        from dalm_tpu.models.decoder import Decoder, DecoderConfig
+        from dalm_tpu.models.qlora import pack_qlora_frozen
+
+        P = 16
+        decoder = Decoder(DecoderConfig.tiny(vocab_size=128))
+        params = unbox(
+            decoder.init(
+                jax.random.PRNGKey(0), jnp.zeros((1, P), jnp.int32),
+                jnp.ones((1, P), jnp.int32),
+            )["params"]
+        )
+        ids = jnp.asarray(np.random.default_rng(1).integers(5, 120, size=(2, P)), jnp.int32)
+        mask = jnp.ones_like(ids)
+        full = decoder.apply({"params": params}, ids, mask)
+        residual, quant = pack_qlora_frozen(params, quantize="nf4", min_size=1)
+        got = decoder.apply({"params": residual, "quant": quant}, ids, mask)
+        denom = float(jnp.abs(full).max())
+        assert float(jnp.abs(got - full).max()) / denom < 0.12
