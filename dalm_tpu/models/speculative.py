@@ -44,7 +44,9 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from dalm_tpu.kernels.flash_attention import NEG_INF
 from dalm_tpu.models.decoder import Decoder
+from dalm_tpu.models.sampling import SamplerConfig, _filter_logits, resolve, select_token
 
 
 def prompt_lookup(buf, q_end, pad_lens, gamma: int, ngram: int):
@@ -94,6 +96,7 @@ def build_speculative_generate(
     ngram: int = 2,
     extra_collections: Optional[dict] = None,
     return_stats: bool = False,
+    sampler: Optional[SamplerConfig] = None,
 ):
     """Returns jitted ``fn(params, input_ids, attention_mask) -> (B, T_new)``
     with outputs IDENTICAL to ``build_greedy_generate``.
@@ -102,8 +105,24 @@ def build_speculative_generate(
     length for the prompt lookup (2 = bigram). ``return_stats``: also
     return the verification-pass count (B,) — mean accepted drafts per
     pass = max_new/passes − 1, the quantity that decides the speedup.
+
+    ``sampler``: temperature/top-k/top-p sampling composed with
+    speculation via standard rejection verification (Leviathan et al.
+    2023, deterministic-proposal special case). Prompt lookup is a point
+    mass q = δ(draft), so draft token d at a position with filtered
+    target distribution p is accepted with probability p(d); on the
+    first rejection the emitted token is drawn from the residual
+    p restricted to tokens ≠ d (renormalized), and when all ``gamma``
+    drafts are accepted a bonus token is drawn from p directly. Each
+    emitted position therefore follows EXACTLY the target distribution
+    the non-speculative sampler draws from (distribution-equality
+    tested); with ``top_k=1`` the output matches greedy bit-for-bit.
+    Randomness is keyed per (request row, emitted-token index, use),
+    so retries of a position in later passes reuse a fixed uniform —
+    valid because discarded draws never influence the emitted stream.
     """
     extra = extra_collections or {}
+    cfg = resolve(sampler)
 
     @jax.jit
     def _generate(params, extra, input_ids, attention_mask):
@@ -124,7 +143,10 @@ def build_speculative_generate(
             variables, input_ids, slot_mask,
             positions=prompt_positions, kv_cache=cache, cache_index=0,
         )
-        first_tok = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+        rows = jnp.arange(B, dtype=jnp.int32)
+        base_key = cfg.base_key()
+        # token index 0 — same keying as build_greedy_generate
+        first_tok = select_token(logits[:, -1, :], cfg, rows, jnp.zeros_like(rows))
 
         # token buffer: prompt followed by generated tokens
         buf = jnp.concatenate(
@@ -151,15 +173,55 @@ def build_speculative_generate(
                 variables, inputs, slot_mask,
                 positions=positions, kv_cache=cache, cache_index=wp,
             )
-            greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B, G+1)
-            # accepted drafts: longest prefix where draft matches greedy
-            ok = draft == greedy[:, :G]
+            j = jnp.arange(G + 1)[None, :]
+            draft_pad = jnp.pad(draft, ((0, 0), (0, 1)))  # (B, G+1); col G unused
+            if cfg.greedy:
+                greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B, G+1)
+                # accepted drafts: longest prefix where draft matches greedy
+                ok = draft == greedy[:, :G]
+                fallback = greedy
+            else:
+                # rejection verification against the filtered target p:
+                # accept draft d_j with prob p_j(d_j); on first rejection
+                # draw from p_j excluding d_j; bonus (j == G) draws from
+                # p_G directly. Every emitted position ~ p exactly.
+                lg = _filter_logits(
+                    logits.astype(jnp.float32) / cfg.temperature, cfg
+                )  # (B, G+1, V)
+                probs = jax.nn.softmax(lg, axis=-1)
+                # per-(row, emitted-token-index, use) keys; token index of
+                # position j this pass is n_gen + j and is emitted at most
+                # once, so streams never collide across passes
+                tok_idx = n_gen[:, None] + j  # (B, G+1)
+
+                def _pos_key(r, t, use):
+                    k = jax.random.fold_in(jax.random.fold_in(base_key, r), t)
+                    return jax.random.fold_in(k, use)
+
+                keys = jax.vmap(
+                    jax.vmap(_pos_key, in_axes=(None, 0, None)),
+                    in_axes=(0, 0, None),
+                )
+                u = jax.vmap(jax.vmap(jax.random.uniform))(keys(rows, tok_idx, 0))
+                p_d = jnp.take_along_axis(probs, draft_pad[..., None], axis=-1)[..., 0]
+                ok = u[:, :G] < p_d[:, :G]
+                # residual draw (draft masked out) for j < G; direct draw
+                # (bonus) at j == G
+                mask_d = (
+                    jax.nn.one_hot(draft_pad, lg.shape[-1], dtype=bool)
+                    & (j < G)[..., None]
+                )
+                res_lg = jnp.where(mask_d, NEG_INF, lg)
+                fallback = (
+                    jax.vmap(jax.vmap(jax.random.categorical))(
+                        keys(rows, tok_idx, 1), res_lg
+                    ).astype(jnp.int32)
+                )
             acc = jnp.cumprod(ok.astype(jnp.int32), axis=1).sum(axis=1)  # (B,)
             m = jnp.where(active, jnp.minimum(acc + 1, MN - n_gen), 0)
-            # emitted tokens: draft[:acc] then greedy[acc] — equivalently,
-            # position j emits draft[j] if j < acc else greedy[j]
-            j = jnp.arange(G + 1)[None, :]
-            emit = jnp.where(j < acc[:, None], jnp.pad(draft, ((0, 0), (0, 1))), greedy)
+            # emitted tokens: draft[:acc] then the verifier's token at acc —
+            # position j emits draft[j] if j < acc else fallback[j]
+            emit = jnp.where(j < acc[:, None], draft_pad, fallback)
             # scatter emit[:, :m] into buf at q_end+1 .. q_end+m
             l_idx = jnp.arange(L)[None, :]
             g = l_idx - (q_end + 1)[:, None]

@@ -99,16 +99,14 @@ class RagPipeline:
 
         self.sampler = resolve(sampler)
         self._embed = build_embed_fn(self.retriever, self.r_params)
-        if speculative and not self.sampler.greedy:
-            raise ValueError(
-                "speculative=True requires greedy decoding (no sampler / "
-                "temperature 0) — speculative verification is greedy-exact"
-            )
         self._spec_gamma = speculative_gamma if speculative else 0
         if speculative:
             # Prompt-lookup speculative decode (models/speculative.py):
             # RAG answers quote passages, so drafts verify in spans — a
             # trained generator measured 3.3 tokens per verification pass.
+            # With a sampler, verification is rejection sampling (each
+            # emitted token follows EXACTLY the sampler's distribution;
+            # greedy remains bit-exact vs build_greedy_generate).
             from dalm_tpu.models.speculative import build_speculative_generate
 
             self._generate = build_speculative_generate(
@@ -117,6 +115,7 @@ class RagPipeline:
                 pad_token_id=self.g_tok.pad_token_id or 0,
                 gamma=speculative_gamma,
                 extra_collections=self._g_extra,
+                sampler=self.sampler,
             )
         else:
             self._generate = build_greedy_generate(

@@ -138,3 +138,104 @@ def test_pipeline_speculative_continuous_matches():
     a = [x.answer for x in plain.answer_continuous(queries, top_k=2, num_slots=2)]
     b = [x.answer for x in spec.answer_continuous(queries, top_k=2, num_slots=2)]
     assert a == b
+
+
+# --- rejection-sampling verification (sampler composed with speculation) ---
+
+
+@pytest.mark.slow
+def test_pipeline_sampled_speculative_runs():
+    """RagPipeline composes a sampler WITH speculation (rejection
+    verification); top_k=1 is the deterministic limit, so the sampled
+    speculative pipeline must equal the plain greedy one."""
+    from dalm_tpu.models.sampling import SamplerConfig
+    from dalm_tpu.serve import RagPipeline
+
+    passages = [f"passage about topic {i} with unique content {i}" for i in range(8)]
+    common = dict(max_passage_len=32, max_prompt_len=64, max_new_tokens=6, embed_batch=8)
+    plain = RagPipeline.from_pretrained("tiny", "tiny", passages, **common)
+    spec = RagPipeline.from_pretrained(
+        "tiny", "tiny", passages, speculative=True, speculative_gamma=4,
+        sampler=SamplerConfig(temperature=1.0, top_k=1, seed=3), **common
+    )
+    queries = [f"what is topic {i}" for i in range(4)]
+    a = [x.answer for x in plain.answer(queries, top_k=2)]
+    b = [x.answer for x in spec.answer(queries, top_k=2)]
+    assert a == b
+
+
+def _replicated_prompt(n):
+    """One repetitive prompt replicated n times → n independent draws
+    (per-row request keys) from the SAME target distribution."""
+    rng = np.random.default_rng(3)
+    pat = rng.integers(5, 120, size=3)
+    row = np.tile(pat, P // 3 + 1)[:P]
+    ids = np.tile(row[None, :], (n, 1)).astype(np.int32)
+    return ids, np.ones_like(ids)
+
+
+def test_sampled_topk1_matches_greedy_exactly(decoder_and_params):
+    """Deterministic limit: top_k=1 sampling == greedy, so the rejection
+    verifier must reproduce greedy bit-for-bit (accept iff draft ==
+    argmax, residual == argmax)."""
+    from dalm_tpu.models.sampling import SamplerConfig
+
+    decoder, params = decoder_and_params
+    ids, mask = _prompts(6, rng_seed=11, repetitive=True)
+    max_new = 12
+    greedy = build_greedy_generate(decoder, max_new, eos_token_id=None, pad_token_id=0)
+    spec = build_speculative_generate(
+        decoder, max_new, eos_token_id=None, pad_token_id=0, gamma=5,
+        sampler=SamplerConfig(temperature=1.0, top_k=1, seed=5),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(spec(params, jnp.asarray(ids), jnp.asarray(mask))),
+        np.asarray(greedy(params, jnp.asarray(ids), jnp.asarray(mask))),
+    )
+
+
+@pytest.mark.slow
+def test_sampled_distribution_matches_plain(decoder_and_params):
+    """Distribution exactness: per-position marginal token histograms of
+    the speculative sampler match the non-speculative sampler's over
+    2048 independent rows (TV distance below sampling noise + margin).
+    A broken residual (e.g. re-drawing from the full target after a
+    rejection) biases the marginals by ~E[p(draft)] and fails this."""
+    from dalm_tpu.models.sampling import SamplerConfig
+
+    decoder, params = decoder_and_params
+    n, max_new = 2048, 3
+    ids, mask = _replicated_prompt(n)
+    samp = SamplerConfig(temperature=1.0, top_k=4, seed=9)
+    plain = build_greedy_generate(
+        decoder, max_new, eos_token_id=None, pad_token_id=0, sampler=samp
+    )
+    spec = build_speculative_generate(
+        decoder, max_new, eos_token_id=None, pad_token_id=0, gamma=4, sampler=samp
+    )
+    a = np.asarray(plain(params, jnp.asarray(ids), jnp.asarray(mask)))
+    b = np.asarray(spec(params, jnp.asarray(ids), jnp.asarray(mask)))
+    # position 0 uses identical (request, token-0) keys in both paths
+    np.testing.assert_array_equal(a[:, 0], b[:, 0])
+    for t in range(1, max_new):
+        va = np.bincount(a[:, t], minlength=128) / n
+        vb = np.bincount(b[:, t], minlength=128) / n
+        tv = 0.5 * np.abs(va - vb).sum()
+        assert tv < 0.08, (t, tv)
+
+
+def test_sampled_speculation_accepts_drafts(decoder_and_params):
+    """The accept path is actually exercised: on repetitive prompts with
+    a peaked sampler, verification passes < tokens emitted."""
+    from dalm_tpu.models.sampling import SamplerConfig
+
+    decoder, params = decoder_and_params
+    ids, mask = _prompts(4, rng_seed=13, repetitive=True)
+    max_new = 16
+    spec = build_speculative_generate(
+        decoder, max_new, eos_token_id=None, pad_token_id=0, gamma=6,
+        sampler=SamplerConfig(temperature=0.2, seed=1), return_stats=True,
+    )
+    toks, passes = spec(params, jnp.asarray(ids), jnp.asarray(mask))
+    assert toks.shape == (4, max_new)
+    assert int(np.asarray(passes).max()) < max_new
