@@ -49,8 +49,17 @@ def create_datasets(
     shuffle_buffer: Optional[int] = None,
     num_workers: int = 4,
     local_dataset: bool = False,
+    seed: int = 42,
 ):
-    """Twin of `create_datasets` (`trainer.py:23-59`)."""
+    """Twin of `create_datasets` (`trainer.py:23-59`).
+
+    ``seed`` fixes the train/validation split (and the streaming shuffle
+    order). The reference gets the same determinism implicitly from
+    accelerate's global ``set_seed`` before dataset prep; here it is
+    explicit because every process must draw the IDENTICAL split for
+    multi-process data parallelism to shard one dataset instead of two
+    (the 2-process equality test pins this).
+    """
     import datasets as hf_datasets
 
     if local_dataset:
@@ -68,11 +77,11 @@ def create_datasets(
         if not (shuffle_buffer and size_valid_set):
             raise ValueError("size_valid_set must be set when streaming is enabled")
         valid_data = dataset.take(size_valid_set)
-        train_data = dataset.skip(size_valid_set).shuffle(buffer_size=shuffle_buffer)
+        train_data = dataset.skip(size_valid_set).shuffle(buffer_size=shuffle_buffer, seed=seed)
     else:
         if not validation_split:
             raise ValueError("validation_split must be set when streaming is disabled")
-        parts = dataset.train_test_split(test_size=validation_split)
+        parts = dataset.train_test_split(test_size=validation_split, seed=seed)
         train_data, valid_data = parts["train"], parts["test"]
         logger.info("train set: %d rows, validation set: %d rows", len(train_data), len(valid_data))
     return train_data, valid_data

@@ -158,7 +158,7 @@ def train_generator(
         dataset_name, split=split, validation_split=validation_split,
         size_valid_set=size_valid_set, streaming=streaming,
         shuffle_buffer=shuffle_buffer, num_workers=num_workers,
-        local_dataset=local_dataset,
+        local_dataset=local_dataset, seed=seed,
     )
     ratio = chars_token_ratio(train_data, tok)
     logger.info("chars/token ratio: %.2f", ratio)

@@ -6,7 +6,12 @@ devices per process) and runs the actual `train_retriever` trainer —
 the same code path a TPU pod host would run. Invoked as:
 
     python tests/multihost_worker.py <pid> <nprocs> <port> <csv> <out> \
-        <result_json> <local_devices>
+        <result_json> <local_devices> [<trainer>]
+
+``trainer``: "retriever" (default), "e2e_fused" (the flagship
+`train_e2e` with local-negatives blocking + the fused-QLoRA runtime —
+the round-4 VERDICT #4 surface), or "generator" (`train_generator`;
+<csv> is then a saved `messages` dataset dir).
 
 With nprocs=1 it runs the identical config single-process (no
 distributed init) so the test can assert DP-invariance: a 2-process x
@@ -24,6 +29,7 @@ def main() -> None:
     pid, n, port = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
     csv, out, result_path = sys.argv[4], sys.argv[5], sys.argv[6]
     local_devices = int(sys.argv[7])
+    trainer = sys.argv[8] if len(sys.argv) > 8 else "retriever"
 
     os.environ["JAX_PLATFORMS"] = "cpu"
     # per-process HF datasets cache: avoid cross-process lock contention
@@ -43,20 +49,70 @@ def main() -> None:
         # call must then be an idempotent no-op
         initialize_distributed(f"localhost:{port}", num_processes=n, process_id=pid)
 
-    from dalm_tpu.train.retriever_only import train_retriever
+    if trainer == "e2e_fused":
+        from dalm_tpu.train.rag_e2e import train_e2e
 
-    result = train_retriever(
-        "tiny",
-        csv,
-        per_device_train_batch_size=2,
-        num_train_epochs=2,
-        output_dir=out,
-        query_max_len=16,
-        passage_max_len=16,
-        with_tracking=True,
-        use_dropout=False,
-        checkpointing_steps="epoch",
-    )
+        result = train_e2e(
+            csv,
+            "tiny",
+            "tiny",
+            per_device_train_batch_size=2,
+            num_train_epochs=2,
+            output_dir=out,
+            query_max_len=16,
+            passage_max_len=16,
+            generator_max_len=48,
+            with_tracking=True,
+            use_dropout=False,
+            checkpointing_steps="epoch",
+            # the surfaces under test: block-diagonal local negatives
+            # interacting with per-process batch assembly, and the
+            # fused-QLoRA packed runtime
+            local_negatives=True,
+            use_peft="both",
+            use_bnb="both",
+            lora_runtime="fused",
+        )
+    elif trainer == "generator":
+        from dalm_tpu.train.generator_only import train_generator
+
+        result = train_generator(
+            "tiny",
+            csv,
+            local_dataset=True,
+            output_dir=out,
+            num_train_epochs=2,
+            seq_length=64,
+            per_device_train_batch_size=1,
+            eval_steps=0,
+            logging_steps=2,
+            validation_split=0.2,
+            lora_r=4,
+            lora_alpha=8,
+            use_peft=True,
+            gradient_checkpointing=False,
+            # NEFTune noise and dropout masks are rng-stream artifacts
+            # that differ under different world sizes (the reference's
+            # DDP makes the same exclusion: per-process rng), so both
+            # are excluded from the DP-equality contract.
+            neftune_noise_alpha=0,
+            lora_dropout=0.0,
+        )
+    else:
+        from dalm_tpu.train.retriever_only import train_retriever
+
+        result = train_retriever(
+            "tiny",
+            csv,
+            per_device_train_batch_size=2,
+            num_train_epochs=2,
+            output_dir=out,
+            query_max_len=16,
+            passage_max_len=16,
+            with_tracking=True,
+            use_dropout=False,
+            checkpointing_steps="epoch",
+        )
     with open(result_path, "w") as f:
         json.dump(
             {
