@@ -88,6 +88,15 @@ def main():
                     "downstream corpus instead of the self-contained synonym one")
     ap.add_argument("--new-vocab", type=int, default=128)
     ap.add_argument("--known-per-doc", type=int, default=3)
+    ap.add_argument("--in-domain", action="store_true",
+                    help="downstream corpus = FRESH passages from the PRETRAINING "
+                    "vocabulary (zero domain shift; needs --vocab-json). The "
+                    "linear-residual theory predicts adapter ≈ base here — the "
+                    "reference's regime — vs the mixed corpus where the shifted "
+                    "domain leaves a large linearly-recoverable residual")
+    ap.add_argument("--corpus-seed", type=int, default=55,
+                    help="rng seed for --in-domain passage composition (55 is "
+                    "disjoint from the pretraining corpus's seed 0)")
     ap.add_argument("--generator", default="tiny",
                     help="generator spec for the rag-e2e arm (preset or saved dir, "
                     "e.g. experiments/proxy_base/generator)")
@@ -123,15 +132,18 @@ def main():
         with open(args.vocab_json) as f:
             meta = json.load(f)
         vocab_known = (meta["keywords"], meta["synonyms"])
-        if meta.get("vocab_style", "word") == "syll":
-            from quality_directional import make_vocab_syll
-
-            vocab_new = make_vocab_syll(101, args.new_vocab, cons="npqrstvwz")
+        if args.in_domain:
+            rows = make_corpus(args.passages, seed=args.corpus_seed, vocab=vocab_known)
         else:
-            vocab_new = make_vocab(101, args.new_vocab, tuple(meta["kw_len"]))
-        rows = make_corpus_mixed(
-            args.passages, vocab_known, vocab_new, known_per_doc=args.known_per_doc
-        )
+            if meta.get("vocab_style", "word") == "syll":
+                from quality_directional import make_vocab_syll
+
+                vocab_new = make_vocab_syll(101, args.new_vocab, cons="npqrstvwz")
+            else:
+                vocab_new = make_vocab(101, args.new_vocab, tuple(meta["kw_len"]))
+            rows = make_corpus_mixed(
+                args.passages, vocab_known, vocab_new, known_per_doc=args.known_per_doc
+            )
     else:
         rows = make_corpus(args.passages, vocab_size=args.pair_vocab)
     train_rows, test_rows = title_split(rows)
