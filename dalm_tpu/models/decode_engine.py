@@ -75,11 +75,14 @@ class DecodeEngine:
         token index), so outputs are identical across the lockstep,
         host-loop, and fused schedules for the same seed.
 
-        ``speculative_gamma`` > 0 turns the FUSED schedule speculative
-        (greedy only): each active slot verifies gamma prompt-lookup
-        draft tokens per forward pass (models/speculative.py) — in the
-        HBM-bound decode regime accepted drafts are nearly free, and RAG
-        answers quote passages, so spans verify at once."""
+        ``speculative_gamma`` > 0 turns the schedules speculative: each
+        active slot verifies gamma prompt-lookup draft tokens per forward
+        pass (models/speculative.py) — in the HBM-bound decode regime
+        accepted drafts are nearly free, and RAG answers quote passages,
+        so spans verify at once. Composes with ``sampler`` via rejection
+        verification (`speculative.rejection_verify`): every emitted
+        token follows exactly the sampler's distribution, keyed by
+        (request, token index) so streams stay engine-invariant."""
         self.decoder = decoder
         self.params = params
         self.samp = resolve(sampler)
@@ -92,8 +95,6 @@ class DecodeEngine:
         self.pad = pad_token_id
         self.chunk = min(decode_chunk, max_new_tokens)
         self.spec_gamma = int(speculative_gamma)
-        if self.spec_gamma:
-            assert self.samp.greedy, "speculative decoding is greedy-only"
         # +gamma+1 slack: the last verification window may overrun max_new
         self.L = max_prompt_len + max_new_tokens + (self.spec_gamma + 1 if self.spec_gamma else 0)
 
@@ -154,17 +155,21 @@ class DecodeEngine:
             state = (cache, tok, pos, write_pos, slot_mask)
             return state, jnp.moveaxis(toks, 0, 1)  # (B, chunk)
 
-        def verify_step(variables, state, active, draft, rem):
+        def verify_step(variables, state, active, draft, rem, req, g0):
             """Speculative verification for the HOST-LOOP schedulers: the
             host computes per-slot prompt-lookup drafts from its own
             token bookkeeping (it already holds every emitted token) and
             the device verifies gamma+1 tokens in one forward.
 
-            draft: (B, G) int32; rem: (B,) remaining budget per slot.
+            draft: (B, G) int32; rem: (B,) remaining budget per slot;
+            req: (B,) original request ids; g0: (B,) tokens emitted so
+            far (sampling-key coordinates — unused when greedy).
             Returns (state, emit (B, G+1), m (B,)) — emit[:m] are the
             committed tokens (host applies EOS trimming; budget is
             capped HERE so device write positions never outrun it).
             """
+            from dalm_tpu.models.speculative import rejection_verify
+
             cache, tok, pos, write_pos, slot_mask = state
             G = draft.shape[1]
             inputs = jnp.concatenate([tok[:, None], draft], axis=1)
@@ -173,12 +178,11 @@ class DecodeEngine:
                 variables, inputs, slot_mask,
                 positions=positions, kv_cache=cache, cache_index=write_pos,
             )
-            greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B, G+1)
-            ok = draft == greedy[:, :G]
+            ok, fallback = rejection_verify(logits, draft, samp, req, g0)
             acc = jnp.cumprod(ok.astype(jnp.int32), axis=1).sum(axis=1)
             m = jnp.where(active, jnp.minimum(acc + 1, jnp.maximum(rem, 0)), 0)
             j = jnp.arange(G + 1)[None, :]
-            emit = jnp.where(j < acc[:, None], jnp.pad(draft, ((0, 0), (0, 1))), greedy)
+            emit = jnp.where(j < acc[:, None], jnp.pad(draft, ((0, 0), (0, 1))), fallback)
             emit_last = jnp.take_along_axis(emit, jnp.clip(m - 1, 0, G)[:, None], axis=1)[:, 0]
             state = (
                 cache,
@@ -200,7 +204,7 @@ class DecodeEngine:
             round trips: the host blocks exactly once, on the final
             (out_tokens, out_lens) readback.
 
-            With ``speculative_gamma`` > 0 (greedy only) each iteration is
+            With ``speculative_gamma`` > 0 each iteration is
             a (gamma+1)-token verification forward per slot: drafts come
             from `models.speculative.prompt_lookup` over the slot's
             [prompt | generated] history and 1..gamma+1 tokens commit per
@@ -319,7 +323,7 @@ class DecodeEngine:
 
             def speculative_step(s, active, safe_req, cap_slot, g0):
                 """Verify G prompt-lookup drafts; commit 1..G+1 tokens."""
-                from dalm_tpu.models.speculative import prompt_lookup
+                from dalm_tpu.models.speculative import prompt_lookup, rejection_verify
 
                 hist = jnp.concatenate(
                     [input_ids[safe_req], s["out"][safe_req]], axis=1
@@ -335,14 +339,15 @@ class DecodeEngine:
                     positions=positions, kv_cache=s["cache"],
                     cache_index=s["write_pos"],
                 )
-                greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B, G+1)
-                ok = draft == greedy[:, :G]
+                ok, fallback = rejection_verify(
+                    logits, draft, samp, req_ids[safe_req], g0
+                )
                 acc = jnp.cumprod(ok.astype(jnp.int32), axis=1).sum(axis=1)
                 b_rem = jnp.maximum(cap_slot - g0, 0)
                 m_bud = jnp.minimum(acc + 1, b_rem)
                 j = jnp.arange(G + 1)[None, :]
                 emit = jnp.where(
-                    j < acc[:, None], jnp.pad(draft, ((0, 0), (0, 1))), greedy
+                    j < acc[:, None], jnp.pad(draft, ((0, 0), (0, 1))), fallback
                 )
                 if has_eos:
                     is_e = (emit == eos) & (j < m_bud[:, None])
@@ -652,14 +657,19 @@ class DecodeEngine:
                 continue
             drafts = np.zeros((B, G), np.int32)
             rem = np.zeros((B,), np.int32)
+            req_arr = np.zeros((B,), np.int32)
+            g0_arr = np.zeros((B,), np.int32)
             for slot in np.flatnonzero(active_mask):
                 req = slot_req[slot]
                 hist = np.concatenate([real_prompts[req], np.asarray(slot_toks[slot], np.int32)])
                 drafts[slot] = self.host_draft(hist)
                 rem[slot] = caps[req] - len(slot_toks[slot])
+                req_arr[slot] = req
+                g0_arr[slot] = len(slot_toks[slot])
             self.state, emit, m = self._verify(
                 self._vars, self.state, jnp.asarray(active_mask),
                 jnp.asarray(drafts), jnp.asarray(rem),
+                jnp.asarray(req_arr), jnp.asarray(g0_arr),
             )
             emit, m = np.asarray(emit), np.asarray(m)
             for slot in np.flatnonzero(active_mask):

@@ -87,6 +87,59 @@ def prompt_lookup(buf, q_end, pad_lens, gamma: int, ngram: int):
     return jnp.where(any_match[:, None], draft, fallback)
 
 
+def rejection_verify(logits, draft, cfg: SamplerConfig, request_idx, tok0):
+    """Shared speculative verification — greedy prefix-match or rejection
+    sampling (Leviathan et al. 2023, deterministic-proposal special case).
+
+    logits: (B, G+1, V) verifier logits; draft: (B, G) proposed tokens;
+    request_idx: (B,) ORIGINAL request ids (sampling-key identity);
+    tok0: (B,) emitted-token index of position 0 of this pass.
+    Returns ``(ok (B, G) bool, fallback (B, G+1) int32)``: accept flags
+    per draft position and the verifier's token for the first rejected
+    (or bonus) position. Used identically by the lockstep generator and
+    both DecodeEngine schedules, so a request's stream is engine-invariant.
+
+    Greedy: accept iff draft == argmax; fallback = argmax — bit-exact vs
+    ``build_greedy_generate``. Sampled: draft d_j accepts with prob
+    p_j(d_j) under the filtered target p; the first rejection draws from
+    p_j restricted to tokens != d_j; the bonus (j == G) draws from p_G
+    directly — every emitted position follows EXACTLY the distribution
+    the non-speculative sampler draws from. Randomness is keyed per
+    (request, emitted-token index, use), so a position retried in a later
+    pass reuses a fixed uniform — valid because discarded draws never
+    influence the emitted stream.
+    """
+    G = draft.shape[1]
+    j = jnp.arange(G + 1)[None, :]
+    draft_pad = jnp.pad(draft, ((0, 0), (0, 1)))  # (B, G+1); col G unused
+    if cfg.greedy:
+        greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B, G+1)
+        return draft == greedy[:, :G], greedy
+    lg = _filter_logits(logits.astype(jnp.float32) / cfg.temperature, cfg)
+    probs = jax.nn.softmax(lg, axis=-1)
+    tok_idx = tok0[:, None] + j  # (B, G+1) emitted-token index per position
+    base_key = cfg.base_key()
+
+    def _pos_key(r, t, use):
+        k = jax.random.fold_in(jax.random.fold_in(base_key, r), t)
+        return jax.random.fold_in(k, use)
+
+    keys = jax.vmap(
+        jax.vmap(_pos_key, in_axes=(None, 0, None)), in_axes=(0, 0, None)
+    )
+    u = jax.vmap(jax.vmap(jax.random.uniform))(keys(request_idx, tok_idx, 0))
+    p_d = jnp.take_along_axis(probs, draft_pad[..., None], axis=-1)[..., 0]
+    ok = u[:, :G] < p_d[:, :G]
+    # residual draw (draft masked out) for j < G; direct (bonus) at j == G
+    mask_d = jax.nn.one_hot(draft_pad, lg.shape[-1], dtype=bool) & (j < G)[..., None]
+    res_lg = jnp.where(mask_d, NEG_INF, lg)
+    fallback = (
+        jax.vmap(jax.vmap(jax.random.categorical))(keys(request_idx, tok_idx, 1), res_lg)
+        .astype(jnp.int32)
+    )
+    return ok, fallback
+
+
 def build_speculative_generate(
     decoder: Decoder,
     max_new_tokens: int,
@@ -144,7 +197,6 @@ def build_speculative_generate(
             positions=prompt_positions, kv_cache=cache, cache_index=0,
         )
         rows = jnp.arange(B, dtype=jnp.int32)
-        base_key = cfg.base_key()
         # token index 0 — same keying as build_greedy_generate
         first_tok = select_token(logits[:, -1, :], cfg, rows, jnp.zeros_like(rows))
 
@@ -175,48 +227,10 @@ def build_speculative_generate(
             )
             j = jnp.arange(G + 1)[None, :]
             draft_pad = jnp.pad(draft, ((0, 0), (0, 1)))  # (B, G+1); col G unused
-            if cfg.greedy:
-                greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B, G+1)
-                # accepted drafts: longest prefix where draft matches greedy
-                ok = draft == greedy[:, :G]
-                fallback = greedy
-            else:
-                # rejection verification against the filtered target p:
-                # accept draft d_j with prob p_j(d_j); on first rejection
-                # draw from p_j excluding d_j; bonus (j == G) draws from
-                # p_G directly. Every emitted position ~ p exactly.
-                lg = _filter_logits(
-                    logits.astype(jnp.float32) / cfg.temperature, cfg
-                )  # (B, G+1, V)
-                probs = jax.nn.softmax(lg, axis=-1)
-                # per-(row, emitted-token-index, use) keys; token index of
-                # position j this pass is n_gen + j and is emitted at most
-                # once, so streams never collide across passes
-                tok_idx = n_gen[:, None] + j  # (B, G+1)
-
-                def _pos_key(r, t, use):
-                    k = jax.random.fold_in(jax.random.fold_in(base_key, r), t)
-                    return jax.random.fold_in(k, use)
-
-                keys = jax.vmap(
-                    jax.vmap(_pos_key, in_axes=(None, 0, None)),
-                    in_axes=(0, 0, None),
-                )
-                u = jax.vmap(jax.vmap(jax.random.uniform))(keys(rows, tok_idx, 0))
-                p_d = jnp.take_along_axis(probs, draft_pad[..., None], axis=-1)[..., 0]
-                ok = u[:, :G] < p_d[:, :G]
-                # residual draw (draft masked out) for j < G; direct draw
-                # (bonus) at j == G
-                mask_d = (
-                    jax.nn.one_hot(draft_pad, lg.shape[-1], dtype=bool)
-                    & (j < G)[..., None]
-                )
-                res_lg = jnp.where(mask_d, NEG_INF, lg)
-                fallback = (
-                    jax.vmap(jax.vmap(jax.random.categorical))(
-                        keys(rows, tok_idx, 1), res_lg
-                    ).astype(jnp.int32)
-                )
+            # keys per (row, n_gen + j, use): token index of position j
+            # this pass is n_gen + j and is emitted at most once, so
+            # streams never collide across passes
+            ok, fallback = rejection_verify(logits, draft, cfg, rows, n_gen)
             acc = jnp.cumprod(ok.astype(jnp.int32), axis=1).sum(axis=1)  # (B,)
             m = jnp.where(active, jnp.minimum(acc + 1, MN - n_gen), 0)
             # emitted tokens: draft[:acc] then the verifier's token at acc —

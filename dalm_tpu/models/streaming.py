@@ -374,7 +374,8 @@ class StreamingEngine:
         """Online speculative serving: host-draft verification rounds
         (`DecodeEngine._generate_speculative` semantics) with streaming
         emits and mid-flight admission. Every request's tokens are
-        exactly the lockstep greedy output (verification is exact;
+        exactly the lockstep output — greedy, or the sampler's stream
+        under rejection verification (verification is exact;
         tested in tests/test_streaming.py)."""
         eng = self.engine
         B, G = eng.num_slots, eng.spec_gamma
@@ -477,14 +478,19 @@ class StreamingEngine:
                 continue
             drafts = np.zeros((B, G), np.int32)
             rem = np.zeros((B,), np.int32)
+            req_arr = np.zeros((B,), np.int32)
+            g0_arr = np.zeros((B,), np.int32)
             for slot in np.flatnonzero(active_mask):
                 h = slot_req[slot]
                 hist = np.concatenate([slot_prompt[slot], np.asarray(h._tokens, np.int32)])
                 drafts[slot] = eng.host_draft(hist)
                 rem[slot] = h.budget - len(h._tokens)
+                req_arr[slot] = h.req_index
+                g0_arr[slot] = len(h._tokens)
             eng.state, emit, m = eng._verify(
                 eng._vars, eng.state, jnp.asarray(active_mask),
                 jnp.asarray(drafts), jnp.asarray(rem),
+                jnp.asarray(req_arr), jnp.asarray(g0_arr),
             )
             emit, m = np.asarray(emit), np.asarray(m)
             for slot in np.flatnonzero(active_mask):

@@ -490,3 +490,53 @@ def test_speculative_host_loop_eos_budgets(decoder_and_params):
     for i in range(9):
         want = _trim(ref_free[i], eos, budgets[i])
         assert got[i] == want, f"request {i} diverged"
+
+
+# --- sampled speculative (rejection verification) through the engine ---
+
+
+def test_sampled_speculative_fused_and_hostloop_match_lockstep(decoder_and_params):
+    """speculative_gamma composed with a sampler: the engine (fused AND
+    host-loop schedules) must reproduce the lockstep sampled-speculative
+    stream bit-for-bit — drafts are a deterministic function of the
+    per-request history and randomness is keyed by (request, token
+    index, use), so pass boundaries and slot recycling cannot leak."""
+    from dalm_tpu.models.sampling import SamplerConfig
+    from dalm_tpu.models.speculative import build_speculative_generate
+
+    decoder, params = decoder_and_params
+    n, max_new, gamma = 7, 10, 4
+    ids, mask = _prompts(n, rng_seed=901)
+    samp = SamplerConfig(temperature=0.8, top_k=8, seed=11)
+    spec = build_speculative_generate(
+        decoder, max_new, eos_token_id=None, pad_token_id=0, gamma=gamma, sampler=samp
+    )
+    expected = np.asarray(spec(params, jnp.asarray(ids), jnp.asarray(mask)))
+    eng = DecodeEngine(
+        decoder, params, num_slots=3, max_prompt_len=P, max_new_tokens=max_new,
+        eos_token_id=None, pad_token_id=0, speculative_gamma=gamma, sampler=samp,
+    )
+    got_f = eng.generate_fused(ids, mask)
+    for i in range(n):
+        assert got_f[i] == [int(t) for t in expected[i]], f"fused request {i} diverged"
+    got_h = eng.generate(ids, mask)
+    for i in range(n):
+        assert got_h[i] == [int(t) for t in expected[i]], f"host-loop request {i} diverged"
+
+
+def test_sampled_speculative_fused_topk1_is_greedy(decoder_and_params):
+    """Deterministic limit: top_k=1 sampled speculation == lockstep greedy."""
+    from dalm_tpu.models.sampling import SamplerConfig
+
+    decoder, params = decoder_and_params
+    ids, mask = _prompts(6, rng_seed=913)
+    max_new = 8
+    expected = _lockstep(decoder, params, ids, mask, max_new)
+    eng = DecodeEngine(
+        decoder, params, num_slots=2, max_prompt_len=P, max_new_tokens=max_new,
+        eos_token_id=None, pad_token_id=0, speculative_gamma=5,
+        sampler=SamplerConfig(temperature=1.0, top_k=1, seed=7),
+    )
+    got = eng.generate_fused(ids, mask)
+    for i in range(6):
+        assert got[i] == [int(t) for t in expected[i]], f"request {i} diverged"
