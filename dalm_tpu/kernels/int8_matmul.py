@@ -160,13 +160,19 @@ def _w8a8_fused_kernel(x_ref, q_ref, wscale_ref, out_ref, acc, xq, xs, *, bk: in
         scale = jnp.where(absmax > 0, absmax / 127.0, 1.0)
         tile_q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
         xq[:, pl.dslice(k * bk, bk)] = tile_q
-        xs[:, pl.dslice(k, 1)] = scale
+        # k-block scales live broadcast across their own 128-lane group:
+        # Mosaic rejects vector stores whose dynamic LANE offset is not a
+        # provable multiple of 128 (a 1-wide column at offset k fails to
+        # lower; offset k*128 is affine-provable).
+        xs[:, pl.dslice(k * 128, 128)] = jnp.broadcast_to(
+            scale, (scale.shape[0], 128)
+        )
 
     tile = xq[:, pl.dslice(k * bk, bk)]
     p = jax.lax.dot_general(
         tile, q_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
     )
-    acc[:] += p.astype(jnp.float32) * xs[:, pl.dslice(k, 1)]
+    acc[:] += p.astype(jnp.float32) * xs[:, pl.dslice(k * 128, 128)][:, :1]
 
     @pl.when(k == pl.num_programs(2) - 1)
     def _write():
@@ -199,7 +205,8 @@ def _w8a8_fused_pallas(x2: jax.Array, q: jax.Array, scale: jax.Array, interpret:
         scratch_shapes=[
             pltpu.VMEM((bm, bn), jnp.float32),   # acc
             pltpu.VMEM((bm, K), jnp.int8),       # xq cache (whole K stripe)
-            pltpu.VMEM((bm, K // bk), jnp.float32),  # per (row, k-block) scales
+            # per (row, k-block) scales, each block broadcast over 128 lanes
+            pltpu.VMEM((bm, (K // bk) * 128), jnp.float32),
         ],
         compiler_params=None if interpret else pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
