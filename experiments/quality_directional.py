@@ -375,6 +375,12 @@ def main():
     ap.add_argument("--marginalize-warmup-frac", type=float, default=0.0,
                     help="fraction of total steps trained with the diagonal loss "
                     "before switching to TRUE top-k (generator warmup)")
+    ap.add_argument("--global-negatives", action="store_true",
+                    help="pass local_negatives=False to the trainers: contrastive "
+                    "in-batch negatives span the FULL global batch instead of the "
+                    "per-shard block, so a --cpu-mesh run (8 shards) trains the "
+                    "SAME objective as the 1-chip runs (32 negatives at --batch 4 "
+                    "x 8 devices) — apples-to-apples cross-platform replication")
     ap.add_argument("--fused-compare", action="store_true",
                     help="A/B the fused-QLoRA runtime's compute dtype: rag-e2e with "
                     "bf16-dequant vs W8A8 int8 MXU compute (int8_compute='all'), "
@@ -487,7 +493,8 @@ def main():
                 per_device_train_batch_size=args.batch, num_train_epochs=args.epochs,
                 learning_rate=args.lr, query_max_len=args.query_len,
                 passage_max_len=args.passage_len, output_dir=ro_out,
-                with_tracking=False, use_dropout=False, num_warmup_steps=args.warmup,
+                with_tracking=False, use_dropout=False,
+                local_negatives=not args.global_negatives, num_warmup_steps=args.warmup,
             )
             ev = eval_dir(os.path.join(ro_out, "retriever"), f"retriever-only[s{seed}]")
             ro_recalls.append(ev.recall)
@@ -501,6 +508,7 @@ def main():
                 learning_rate=args.lr, query_max_len=args.query_len,
                 passage_max_len=args.passage_len, generator_max_len=args.gen_len,
                 output_dir=e2e_out, with_tracking=False, use_dropout=False,
+                local_negatives=not args.global_negatives,
                 num_warmup_steps=args.warmup,
             )
             ev = eval_dir(os.path.join(e2e_out, "retriever"), f"rag-e2e[s{seed}]")
@@ -521,13 +529,15 @@ def main():
                 learning_rate=args.lr, query_max_len=args.query_len,
                 passage_max_len=args.passage_len, generator_max_len=args.gen_len,
                 output_dir=mo_out, with_tracking=False, use_dropout=False,
+                local_negatives=not args.global_negatives,
                 num_warmup_steps=args.warmup,
                 live_index=True, marginalize_k=args.marginalize_k,
                 marginalize_mode=args.marginalize_mode,
                 marginalize_scale=args.marginalize_scale,
                 marginalize_warmup_steps=int(
-                    args.marginalize_warmup_frac
-                    * args.epochs * (len(train_rows) // args.batch)
+                    args.marginalize_warmup_frac * args.epochs
+                    # per_device batch x data shards = global rows/step
+                    * (len(train_rows) // (args.batch * jax.device_count()))
                 ),
                 contrastive_weight=0.0,
             )
@@ -542,13 +552,15 @@ def main():
                 learning_rate=args.lr, query_max_len=args.query_len,
                 passage_max_len=args.passage_len, generator_max_len=args.gen_len,
                 output_dir=marg_out, with_tracking=False, use_dropout=False,
+                local_negatives=not args.global_negatives,
                 num_warmup_steps=args.warmup,
                 live_index=True, marginalize_k=args.marginalize_k,
                 marginalize_mode=args.marginalize_mode,
                 marginalize_scale=args.marginalize_scale,
                 marginalize_warmup_steps=int(
-                    args.marginalize_warmup_frac
-                    * args.epochs * (len(train_rows) // args.batch)
+                    args.marginalize_warmup_frac * args.epochs
+                    # per_device batch x data shards = global rows/step
+                    * (len(train_rows) // (args.batch * jax.device_count()))
                 ),
             )
             ev = eval_dir(os.path.join(marg_out, "retriever"), f"rag-e2e-marg{args.marginalize_k}[s{seed}]")
@@ -568,6 +580,7 @@ def main():
                     learning_rate=args.lr, query_max_len=args.query_len,
                     passage_max_len=args.passage_len, generator_max_len=args.gen_len,
                     output_dir=f_out, with_tracking=False, use_dropout=False,
+                local_negatives=not args.global_negatives,
                     num_warmup_steps=args.warmup,
                     use_peft="both", use_bnb="both", lora_runtime="fused",
                     int8_compute=mode,
