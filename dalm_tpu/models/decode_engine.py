@@ -361,10 +361,12 @@ class DecodeEngine:
                 finished = active & (eos_any | (g0 + m >= cap_slot))
 
                 # commit emit[:, :m] into out[safe_req, g0:g0+m]
+                from dalm_tpu.models.speculative import gather_lanes
+
                 col = jnp.arange(MN)[None, :]
                 gcol = col - g0[:, None]
                 inside = (gcol >= 0) & (gcol < m[:, None])
-                vals = jnp.take_along_axis(emit, jnp.clip(gcol, 0, G), axis=1)
+                vals = gather_lanes(emit, jnp.clip(gcol, 0, G))
                 new_rows = jnp.where(inside, vals, s["out"][safe_req])
                 out = s["out"].at[jnp.where(active, safe_req, N)].set(
                     new_rows, mode="drop"

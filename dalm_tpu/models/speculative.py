@@ -49,6 +49,25 @@ from dalm_tpu.models.decoder import Decoder
 from dalm_tpu.models.sampling import SamplerConfig, _filter_logits, resolve, select_token
 
 
+def gather_lanes(src, idx):
+    """``take_along_axis(src, idx, axis=1)`` as a one-hot MXU einsum.
+
+    src: (B, S) int32 tokens; idx: (B, W) int32 in [0, S). The XLA TPU
+    fusion emitter crashes (``Check failed: GetGatherType(gather) ==
+    kSublaneGather``) on lane-wise dynamic gathers inside the big fused
+    while-loop programs at serving scale — the same compiler class the
+    one-hot KV-cache write works around (commit 6098ea's lesson). Token
+    ids < 2^24 are exact in f32, and the one-hot contraction is tiny
+    next to the decode matmuls.
+    """
+    sel = jax.nn.one_hot(idx, src.shape[1], dtype=jnp.float32)  # (B, W, S)
+    vals = jnp.einsum(
+        "bws,bs->bw", sel, src.astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return vals.astype(jnp.int32)
+
+
 def prompt_lookup(buf, q_end, pad_lens, gamma: int, ngram: int):
     """Per-row bigram/n-gram prompt lookup over a token buffer.
 
@@ -81,7 +100,7 @@ def prompt_lookup(buf, q_end, pad_lens, gamma: int, ngram: int):
     last_l = jnp.argmax(jnp.where(match, pos, -1), axis=1)  # most recent
     gather_idx = last_l[:, None] + ngram + jnp.arange(gamma)[None, :]
     gather_idx = jnp.clip(gather_idx, 0, L - 1)
-    draft = jnp.take_along_axis(buf, gather_idx, axis=1)
+    draft = gather_lanes(buf, gather_idx)
     last_tok = jnp.take_along_axis(buf, q_end[:, None], axis=1)
     fallback = jnp.broadcast_to(last_tok, (B, gamma))
     return jnp.where(any_match[:, None], draft, fallback)
@@ -241,7 +260,7 @@ def build_speculative_generate(
             g = l_idx - (q_end + 1)[:, None]
             inside = (g >= 0) & (g < m[:, None])
             g_safe = jnp.clip(g, 0, G)
-            buf = jnp.where(inside, jnp.take_along_axis(emit, g_safe, axis=1), buf)
+            buf = jnp.where(inside, gather_lanes(emit, g_safe), buf)
             return dict(
                 cache=cache, buf=buf, n_gen=n_gen + m,
                 n_pass=n_pass + active.astype(jnp.int32),
