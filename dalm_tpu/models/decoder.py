@@ -80,7 +80,29 @@ class DecoderConfig:
     attn_logit_softcap: Optional[float] = None
     final_logit_softcap: Optional[float] = None
     post_norms: bool = False
-    sliding_layers: str = "all"
+    # "all" (every layer windows — Mistral), "even" (even-index layers
+    # window — Gemma2), or an explicit per-layer tuple of bools (True =
+    # sliding) for irregular patterns like Gemma3's 5-sliding:1-full.
+    sliding_layers: Any = "all"
+    # Gemma3-family knobs (HF Gemma3TextConfig semantics):
+    # - qk_norm: per-head RMSNorm on Q and K (over head_dim) after the
+    #   projections, BEFORE rope — replaces gemma2's attn softcapping.
+    # - rope_local_theta: sliding layers rotate with this base frequency
+    #   (10_000) while full-attention layers use ``rope_theta`` (1e6).
+    # - rope_scaling_factor: linear position scaling applied to the
+    #   GLOBAL-theta rope only (gemma3 ≥4B ships factor 8; HF scales
+    #   ``rotary_emb`` but leaves ``rotary_emb_local`` unscaled).
+    qk_norm: bool = False
+    rope_local_theta: Optional[float] = None
+    rope_scaling_factor: Optional[float] = None
+    # Llama-3.1-style frequency-dependent rope scaling (HF rope_type
+    # "llama3", `_compute_llama3_parameters`): a static inv_freq rewrite
+    # — wavelengths longer than original_max/low_freq_factor are slowed
+    # by ``factor``, shorter than original_max/high_freq_factor kept,
+    # and the band between linearly interpolated. Tuple of
+    # (factor, low_freq_factor, high_freq_factor, original_max_position
+    # _embeddings); attention scale is unchanged (HF attention_factor=1).
+    rope_llama3: Optional[tuple] = None
     # int8 MXU compute for packed frozen kernels ("none"|"fwd"|"all") —
     # see kernels/int8_matmul.py; no effect without int8 quant storage.
     int8_compute: str = "none"
@@ -99,9 +121,13 @@ class DecoderConfig:
         """Effective sliding window for one layer (None = global).
 
         Gemma2 alternates sliding/global per layer (HF ``layer_types``:
-        even layers slide); everything else windows every layer."""
+        even layers slide); Gemma3 ships an explicit pattern (5 sliding
+        then 1 full) carried here as a per-layer bool tuple; everything
+        else windows every layer."""
         if not self.sliding_window:
             return None
+        if isinstance(self.sliding_layers, (tuple, list)):
+            return self.sliding_window if self.sliding_layers[layer_idx] else None
         if self.sliding_layers == "even" and layer_idx % 2 == 1:
             return None
         return self.sliding_window
@@ -133,6 +159,24 @@ class DecoderConfig:
             query_pre_attn_scalar=256.0, attn_logit_softcap=50.0,
             final_logit_softcap=30.0, sliding_window=4096,
             sliding_layers="even", post_norms=True,
+            remat=True, param_dtype=jnp.bfloat16,
+        )
+
+    @staticmethod
+    def gemma3_1b() -> "DecoderConfig":
+        """Gemma3-1B (text): QK-norm replaces softcapping, dual rope
+        (sliding layers at theta 10k, full layers at 1e6), 512-token
+        window on 5 of every 6 layers (layer_types pattern), MQA."""
+        return DecoderConfig(
+            vocab_size=262144, hidden_size=1152, num_layers=26, num_heads=4,
+            num_kv_heads=1, head_dim_override=256, intermediate_size=6912,
+            max_position_embeddings=32768, rope_theta=1000000.0,
+            rms_norm_eps=1e-6, tie_embeddings=True, hidden_act="gelu_tanh",
+            scale_embeddings=True, rmsnorm_unit_offset=True,
+            query_pre_attn_scalar=256.0, post_norms=True,
+            sliding_window=512,
+            sliding_layers=tuple(bool((i + 1) % 6) for i in range(26)),
+            qk_norm=True, rope_local_theta=10000.0,
             remat=True, param_dtype=jnp.bfloat16,
         )
 
@@ -177,6 +221,30 @@ class DecoderConfig:
         )
 
     @staticmethod
+    def qwen3_8b() -> "DecoderConfig":
+        # Qwen3-8B: Qwen2 minus the qkv bias, plus per-head QK RMSNorm
+        # (standard w scale) and an explicit head_dim (128).
+        return DecoderConfig(
+            vocab_size=151936, hidden_size=4096, num_layers=36, num_heads=32,
+            num_kv_heads=8, head_dim_override=128, intermediate_size=12288,
+            max_position_embeddings=40960, rope_theta=1000000.0,
+            rms_norm_eps=1e-6, qk_norm=True,
+            remat=True, param_dtype=jnp.bfloat16,
+        )
+
+    @staticmethod
+    def phi3_mini() -> "DecoderConfig":
+        # Phi-3-mini-4k (3.8B): llama-shaped MHA with fused qkv/gate_up
+        # checkpoint tensors (split at load, hf_loader) and a 2047-token
+        # sliding window on every layer.
+        return DecoderConfig(
+            vocab_size=32064, hidden_size=3072, num_layers=32, num_heads=32,
+            num_kv_heads=32, intermediate_size=8192,
+            max_position_embeddings=4096, rope_theta=10000.0,
+            sliding_window=2047, remat=True, param_dtype=jnp.bfloat16,
+        )
+
+    @staticmethod
     def mistral_7b() -> "DecoderConfig":
         return DecoderConfig(
             vocab_size=32000, hidden_size=4096, num_layers=32, num_heads=32,
@@ -196,15 +264,44 @@ class DecoderConfig:
             remat=True, param_dtype=jnp.bfloat16,
         )
 
+    @staticmethod
+    def llama31_8b() -> "DecoderConfig":
+        # Llama-3.1-8B: llama3-8b plus 131k context via the "llama3"
+        # frequency-band rope scaling (factor 8 on long wavelengths,
+        # original context 8192).
+        return dataclasses.replace(
+            DecoderConfig.llama3_8b(),
+            max_position_embeddings=131072,
+            rope_llama3=(8.0, 1.0, 4.0, 8192),
+        )
+
 
 def rotate_half(x: jax.Array) -> jax.Array:
     x1, x2 = jnp.split(x, 2, axis=-1)
     return jnp.concatenate([-x2, x1], axis=-1)
 
 
-def rope_cos_sin(positions: jax.Array, head_dim: int, theta: float, dtype) -> tuple:
-    """positions: (B, S) → cos/sin of shape (B, S, head_dim)."""
+def rope_cos_sin(
+    positions: jax.Array, head_dim: int, theta: float, dtype,
+    llama3_scaling: Optional[tuple] = None,
+) -> tuple:
+    """positions: (B, S) → cos/sin of shape (B, S, head_dim).
+
+    ``llama3_scaling=(factor, low_freq_factor, high_freq_factor,
+    original_max_position_embeddings)`` applies the Llama-3.1
+    frequency-band inv_freq rewrite (HF ``_compute_llama3_parameters``):
+    long wavelengths (> original/low) divide by ``factor``, short ones
+    (< original/high) pass through, the middle band interpolates.
+    """
     inv_freq = 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
+    if llama3_scaling is not None:
+        factor, low, high, old_len = (float(v) for v in llama3_scaling)
+        wavelen = 2.0 * jnp.pi / inv_freq
+        scaled = jnp.where(wavelen > old_len / low, inv_freq / factor, inv_freq)
+        smooth = (old_len / wavelen - low) / (high - low)
+        smoothed = (1.0 - smooth) * inv_freq / factor + smooth * inv_freq
+        medium = (wavelen >= old_len / high) & (wavelen <= old_len / low)
+        inv_freq = jnp.where(medium, smoothed, scaled)
     freqs = positions[..., None].astype(jnp.float32) * inv_freq[None, None, :]
     emb = jnp.concatenate([freqs, freqs], axis=-1)
     return jnp.cos(emb).astype(dtype), jnp.sin(emb).astype(dtype)
@@ -269,6 +366,18 @@ class DecoderAttention(nn.Module):
         q = _proj(nh * hd, "q_proj", cfg, ("embed", "heads"), ab)(hidden).reshape(B, S, nh, hd)
         k = _proj(kvh * hd, "k_proj", cfg, ("embed", "heads"), ab)(hidden).reshape(B, S, kvh, hd)
         v = _proj(kvh * hd, "v_proj", cfg, ("embed", "heads"), ab)(hidden).reshape(B, S, kvh, hd)
+
+        if cfg.qk_norm:
+            # Gemma3: per-head RMSNorm over head_dim on Q and K, after the
+            # projections and BEFORE rope (HF Gemma3Attention.q_norm/k_norm;
+            # replaces gemma2's attention softcapping). Same (1 + w)
+            # parameterization as the family's other norms.
+            def _qknorm(name):
+                return RMSNorm(cfg.rms_norm_eps, cfg.dtype, cfg.param_dtype,
+                               unit_offset=cfg.rmsnorm_unit_offset, name=name)
+
+            q = _qknorm("q_norm")(q)
+            k = _qknorm("k_norm")(k)
 
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
@@ -516,7 +625,23 @@ class Decoder(nn.Module):
             )
             hidden = hidden + (noise * scale).astype(hidden.dtype)
 
-        cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta, cfg.dtype)
+        # Global-theta rope; Gemma3 ≥4B linearly scales ONLY this one
+        # (HF scales ``rotary_emb`` via rope_scaling but instantiates
+        # ``rotary_emb_local`` with rope_type "default").
+        pos_global = positions
+        if cfg.rope_scaling_factor:
+            pos_global = positions.astype(jnp.float32) / cfg.rope_scaling_factor
+        cos, sin = rope_cos_sin(
+            pos_global, cfg.head_dim, cfg.rope_theta, cfg.dtype,
+            llama3_scaling=cfg.rope_llama3,
+        )
+        cos_local = sin_local = None
+        if cfg.rope_local_theta is not None:
+            # Gemma3 dual rope: sliding layers rotate at the local base
+            # frequency with UNSCALED positions.
+            cos_local, sin_local = rope_cos_sin(
+                positions, cfg.head_dim, cfg.rope_local_theta, cfg.dtype
+            )
 
         if kv_cache is not None:
             # Cached decode: causality is over cache *slots*, not rope
@@ -557,9 +682,14 @@ class Decoder(nn.Module):
         new_cache = {} if kv_cache is not None else None
         for i in range(cfg.num_layers):
             layer_cache = kv_cache[f"layer_{i}"] if kv_cache is not None else None
-            layer_mask = mask_win if cfg.layer_window(i) else mask
+            windowed = cfg.layer_window(i)
+            layer_mask = mask_win if windowed else mask
+            lcos, lsin = (
+                (cos_local, sin_local)
+                if (windowed and cos_local is not None) else (cos, sin)
+            )
             hidden, layer_new = layer_cls(cfg, layer_idx=i, name=f"layer_{i}")(
-                hidden, layer_mask, cos, sin, layer_cache, cache_index, segment_mask
+                hidden, layer_mask, lcos, lsin, layer_cache, cache_index, segment_mask
             )
             if new_cache is not None:
                 new_cache[f"layer_{i}"] = layer_new

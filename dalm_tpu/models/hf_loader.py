@@ -135,16 +135,74 @@ def _maybe_bias(entry: dict, arr, key: str, cfg) -> dict:
 def load_hf_decoder(path: str, dtype=None) -> Tuple[DecoderConfig, Any]:
     hf = _read_hf_config(path)
     model_type = hf.get("model_type") or ""
-    # gemma (v1) and gemma2 are implemented; gemma3 checkpoints share
-    # weight names but need per-layer rope bases and QK-norm we don't
-    # implement — loading one as gemma2 would produce garbage outputs.
-    if model_type.startswith("gemma") and model_type not in ("gemma", "gemma2"):
+    # gemma (v1), gemma2, and gemma3_text are implemented. A bare
+    # "gemma3" config is the MULTIMODAL wrapper (vision tower +
+    # language_model.*-prefixed weights) — reject it rather than load
+    # garbage; its text_config is what gemma3_text covers.
+    if model_type.startswith("gemma") and model_type not in (
+        "gemma", "gemma2", "gemma3_text"
+    ):
         raise ValueError(
-            f"unsupported gemma-family model_type {model_type!r}: only "
-            "'gemma' (v1) and 'gemma2' are implemented (gemma3 needs "
-            "per-layer rope bases and QK-norm)"
+            f"unsupported gemma-family model_type {model_type!r}: "
+            "'gemma' (v1), 'gemma2', and 'gemma3_text' are implemented "
+            "(multimodal 'gemma3' wraps a vision tower; extract the text "
+            "checkpoint / text_config)"
         )
-    gemma_family = model_type in ("gemma", "gemma2")
+    gemma_family = model_type in ("gemma", "gemma2", "gemma3_text")
+    gemma3 = model_type == "gemma3_text"
+    # Qwen3 gates ALL FOUR attention projections (o_proj included) on
+    # attention_bias; this decoder biases q/k/v only (the Qwen2 layout).
+    # No shipped qwen3 checkpoint sets it — refuse rather than mis-load.
+    if model_type == "qwen3" and hf.get("attention_bias"):
+        raise ValueError(
+            "qwen3 with attention_bias=true puts a bias on o_proj too, "
+            "which this loader does not map; no shipped checkpoint sets it"
+        )
+    # Phi-3-small-class checkpoints rotate only part of head_dim; this
+    # decoder applies rope to the full head (phi-3-mini ships 1.0).
+    if model_type == "phi3" and float(hf.get("partial_rotary_factor") or 1.0) != 1.0:
+        raise ValueError(
+            "phi3 with partial_rotary_factor != 1.0 is not implemented "
+            "(this decoder rotates the full head_dim)"
+        )
+    # rope_scaling, any family. Implemented: "linear" (position
+    # division — on gemma3 it applies to the global rope only, matching
+    # HF, since the local rope has no scaling; elsewhere all layers use
+    # the global rope) and "llama3" (Llama-3.1's frequency-band
+    # inv_freq rewrite). Everything else (yarn/dynamic/longrope) is
+    # rejected loudly — silently ignoring it would load a checkpoint
+    # that produces wrong attention beyond its original context.
+    rope_scaling_factor = None
+    rope_llama3 = None
+    if isinstance(hf.get("rope_scaling"), dict):
+        rs = hf["rope_scaling"]
+        rs_type = rs.get("rope_type", rs.get("type"))
+        if rs_type == "linear":
+            rope_scaling_factor = float(rs["factor"])
+        elif rs_type == "llama3":
+            rope_llama3 = (
+                float(rs["factor"]),
+                float(rs["low_freq_factor"]),
+                float(rs["high_freq_factor"]),
+                float(rs["original_max_position_embeddings"]),
+            )
+        elif rs_type != "default":
+            raise ValueError(
+                f"unsupported rope_scaling type {rs_type!r} for "
+                f"{model_type!r}: only 'linear' and 'llama3' are "
+                "implemented (refusing to ignore it silently)"
+            )
+    gemma3_sliding: "tuple | None" = None
+    if gemma3:
+        layer_types = hf.get("layer_types") or [
+            # HF default when layer_types is absent: pattern 6 —
+            # five sliding layers then one full-attention layer.
+            "sliding_attention"
+            if bool((i + 1) % hf.get("sliding_window_pattern", 6))
+            else "full_attention"
+            for i in range(hf["num_hidden_layers"])
+        ]
+        gemma3_sliding = tuple(t == "sliding_attention" for t in layer_types)
     # An absent hidden_act means the family default (silu); an explicitly
     # null or unknown value must not fall through to silu silently.
     act_present = "hidden_act" in hf or "hidden_activation" in hf
@@ -205,7 +263,8 @@ def load_hf_decoder(path: str, dtype=None) -> Tuple[DecoderConfig, Any]:
         # reusing the names with different semantics) must not silently
         # activate Gemma2 behavior.
         query_pre_attn_scalar=(
-            hf.get("query_pre_attn_scalar") if model_type == "gemma2" else None
+            hf.get("query_pre_attn_scalar")
+            if model_type in ("gemma2", "gemma3_text") else None
         ),
         attn_logit_softcap=(
             hf.get("attn_logit_softcapping") if model_type == "gemma2" else None
@@ -213,8 +272,20 @@ def load_hf_decoder(path: str, dtype=None) -> Tuple[DecoderConfig, Any]:
         final_logit_softcap=(
             hf.get("final_logit_softcapping") if model_type == "gemma2" else None
         ),
-        post_norms=model_type == "gemma2",
-        sliding_layers="even" if model_type == "gemma2" else "all",
+        post_norms=model_type in ("gemma2", "gemma3_text"),
+        sliding_layers=(
+            gemma3_sliding if gemma3
+            else ("even" if model_type == "gemma2" else "all")
+        ),
+        # Gemma3: QK-norm replaces gemma2's attention softcapping; sliding
+        # layers rotate at rope_local_base_freq, full layers at rope_theta.
+        # Qwen3's only attention delta from Qwen2 is the same per-head
+        # QK-norm (standard w scale — rmsnorm_unit_offset stays False —
+        # vs gemma's (1+w)); it drops Qwen2's qkv bias.
+        qk_norm=gemma3 or model_type == "qwen3",
+        rope_local_theta=hf.get("rope_local_base_freq") if gemma3 else None,
+        rope_scaling_factor=rope_scaling_factor,
+        rope_llama3=rope_llama3,
     )
     if model_type == "gemma2" and hf.get("layer_types"):
         expected = [
@@ -244,10 +315,28 @@ def load_hf_decoder(path: str, dtype=None) -> Tuple[DecoderConfig, Any]:
     }
     if not cfg.tie_embeddings:
         params["lm_head"] = {"kernel": W("lm_head.weight")}
+    phi3 = model_type == "phi3"
     for i in range(cfg.num_layers):
         hf_layer = f"model.layers.{i}"
-        params[f"layer_{i}"] = {
-            "attention": {
+        if phi3:
+            # Phi3 fuses the projections: qkv_proj stacks [q; k; v] rows,
+            # gate_up_proj stacks [gate; up] (HF Phi3Attention slices in
+            # that order; Phi3MLP chunks gate first). Split into this
+            # decoder's per-projection layout.
+            qkv = state[f"{hf_layer}.self_attn.qkv_proj.weight"]
+            q_rows = cfg.num_heads * cfg.head_dim
+            kv_rows = cfg.kv_heads * cfg.head_dim
+            attention = {
+                "q_proj": {"kernel": qkv[:q_rows].T.astype(np.float32)},
+                "k_proj": {"kernel": qkv[q_rows:q_rows + kv_rows].T.astype(np.float32)},
+                "v_proj": {"kernel": qkv[q_rows + kv_rows:].T.astype(np.float32)},
+                "o_proj": {"kernel": W(f"{hf_layer}.self_attn.o_proj.weight")},
+            }
+            gate_up = state[f"{hf_layer}.mlp.gate_up_proj.weight"]
+            gate_w = gate_up[: cfg.intermediate_size].T.astype(np.float32)
+            up_w = gate_up[cfg.intermediate_size:].T.astype(np.float32)
+        else:
+            attention = {
                 "q_proj": _maybe_bias({"kernel": W(f"{hf_layer}.self_attn.q_proj.weight")},
                                       arr, f"{hf_layer}.self_attn.q_proj.bias", cfg),
                 "k_proj": _maybe_bias({"kernel": W(f"{hf_layer}.self_attn.k_proj.weight")},
@@ -255,10 +344,21 @@ def load_hf_decoder(path: str, dtype=None) -> Tuple[DecoderConfig, Any]:
                 "v_proj": _maybe_bias({"kernel": W(f"{hf_layer}.self_attn.v_proj.weight")},
                                       arr, f"{hf_layer}.self_attn.v_proj.bias", cfg),
                 "o_proj": {"kernel": W(f"{hf_layer}.self_attn.o_proj.weight")},
-            },
+                **(
+                    {
+                        "q_norm": {"scale": arr(f"{hf_layer}.self_attn.q_norm.weight")},
+                        "k_norm": {"scale": arr(f"{hf_layer}.self_attn.k_norm.weight")},
+                    }
+                    if cfg.qk_norm else {}
+                ),
+            }
+            gate_w = W(f"{hf_layer}.mlp.gate_proj.weight")
+            up_w = W(f"{hf_layer}.mlp.up_proj.weight")
+        params[f"layer_{i}"] = {
+            "attention": attention,
             "input_norm": {"scale": arr(f"{hf_layer}.input_layernorm.weight")},
-            "gate_proj": {"kernel": W(f"{hf_layer}.mlp.gate_proj.weight")},
-            "up_proj": {"kernel": W(f"{hf_layer}.mlp.up_proj.weight")},
+            "gate_proj": {"kernel": gate_w},
+            "up_proj": {"kernel": up_w},
             "down_proj": {"kernel": W(f"{hf_layer}.mlp.down_proj.weight")},
         }
         if cfg.post_norms:

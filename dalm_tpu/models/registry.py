@@ -44,8 +44,12 @@ DECODER_PRESETS = {
     "llama2-13b": DecoderConfig.llama2_13b,
     "mistral-7b": DecoderConfig.mistral_7b,
     "qwen2.5-7b": DecoderConfig.qwen25_7b,
+    "qwen3-8b": DecoderConfig.qwen3_8b,
+    "llama3.1-8b": DecoderConfig.llama31_8b,
+    "phi3-mini": DecoderConfig.phi3_mini,
     "gemma-2b": DecoderConfig.gemma_2b,
     "gemma2-2b": DecoderConfig.gemma2_2b,
+    "gemma3-1b": DecoderConfig.gemma3_1b,
     "tiny-gpt2": GPT2Config.tiny,
     "gpt2": GPT2Config.gpt2_124m,
 }
@@ -79,6 +83,13 @@ def _config_from_json(d: dict):
     for k in ("dtype", "param_dtype"):
         if k in d:
             d[k] = jnp.dtype(d[k])
+    # JSON round-trips the gemma3 per-layer sliding pattern and the
+    # llama3 rope-scaling tuple as lists; restore the hashable tuples
+    # the frozen configs were built with.
+    if isinstance(d.get("sliding_layers"), list):
+        d["sliding_layers"] = tuple(d["sliding_layers"])
+    if isinstance(d.get("rope_llama3"), list):
+        d["rope_llama3"] = tuple(d["rope_llama3"])
     return cls(**d)
 
 

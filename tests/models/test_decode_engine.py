@@ -363,6 +363,53 @@ def test_gemma2_family_decode_matches_lockstep():
         assert got_f[i] == [int(t) for t in expected[i]]
 
 
+def test_gemma3_family_decode_matches_lockstep():
+    """Gemma3-flavored config (QK-norm + dual-theta rope + patterned
+    sliding layers): the engine's per-slot cached decode matches
+    lockstep, and the dual rope base is load-bearing (a single-theta
+    twin with the same params produces different tokens)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        DecoderConfig.tiny(vocab_size=128), num_layers=3, num_heads=4,
+        num_kv_heads=2, hidden_size=64, post_norms=True, sliding_window=6,
+        sliding_layers=(True, True, False), qk_norm=True,
+        rope_local_theta=1000.0, rope_theta=100000.0,
+        rope_scaling_factor=2.0, query_pre_attn_scalar=8.0,
+        rmsnorm_unit_offset=True,
+    )
+    decoder = Decoder(cfg)
+    params = unbox(
+        decoder.init(
+            jax.random.PRNGKey(3), jnp.zeros((1, P), jnp.int32), jnp.ones((1, P), jnp.int32)
+        )["params"]
+    )
+    assert "q_norm" in params["layer_0"]["attention"]  # qk norms exist
+    # zero-centered (1+w) init makes q/k norms identity at init;
+    # randomize so they are load-bearing in the engine comparison
+    params = jax.tree.map(np.asarray, params)
+    rng = np.random.default_rng(7)
+    for i in range(3):
+        att = params[f"layer_{i}"]["attention"]
+        att["q_norm"]["scale"] = rng.normal(0, 0.5, att["q_norm"]["scale"].shape).astype(np.float32)
+        att["k_norm"]["scale"] = rng.normal(0, 0.5, att["k_norm"]["scale"].shape).astype(np.float32)
+    ids, mask = _prompts(5, rng_seed=55)
+    expected = _lockstep(decoder, params, ids, mask, 6)
+    # same params, single rope base everywhere → dual rope must change tokens
+    single = Decoder(dataclasses.replace(cfg, rope_local_theta=None))
+    assert not np.array_equal(_lockstep(single, params, ids, mask, 6), expected)
+
+    eng = DecodeEngine(
+        decoder, params, num_slots=2, max_prompt_len=P,
+        max_new_tokens=6, eos_token_id=None, pad_token_id=0, decode_chunk=3,
+    )
+    got = eng.generate(ids, mask)
+    got_f = eng.generate_fused(ids, mask)
+    for i in range(5):
+        assert got[i] == [int(t) for t in expected[i]]
+        assert got_f[i] == [int(t) for t in expected[i]]
+
+
 @pytest.mark.parametrize("num_slots,n_req,gamma", [(2, 7, 4), (3, 8, 6)])
 def test_speculative_fused_matches_lockstep(decoder_and_params, num_slots, n_req, gamma):
     """speculative_gamma > 0: the fused schedule verifies multi-token

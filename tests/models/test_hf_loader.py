@@ -118,6 +118,123 @@ def test_llama_left_padded_parity(llama_dir):
 
 
 @pytest.fixture(scope="module")
+def llama31_dir(tmp_path_factory):
+    # rope_theta=100 with head_dim 8 puts the four rotary wavelengths at
+    # ~{6.3, 20, 63, 199}; original_max=32 with low/high factors 1/4
+    # makes the band edges 32 and 8 — so the checkpoint exercises all
+    # three llama3-scaling regimes (kept / smoothed / divided-by-factor).
+    cfg = transformers.LlamaConfig(
+        vocab_size=128, hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, intermediate_size=64, max_position_embeddings=64,
+        rope_theta=100.0, tie_word_embeddings=False,
+        rope_scaling={
+            "rope_type": "llama3", "factor": 2.0, "low_freq_factor": 1.0,
+            "high_freq_factor": 4.0, "original_max_position_embeddings": 32,
+        },
+    )
+    model = transformers.LlamaForCausalLM(cfg)
+    model.eval()
+    d = tmp_path_factory.mktemp("hf_llama31")
+    model.save_pretrained(d, safe_serialization=True)
+    return str(d), model
+
+
+def test_llama31_rope_scaling_parity(llama31_dir):
+    """Llama-3.1-style rope_scaling (rope_type "llama3"): the
+    frequency-band inv_freq rewrite matches the torch model, and is
+    load-bearing (an unscaled twin with the same params diverges)."""
+    import dataclasses
+
+    path, hf_model = llama31_dir
+    cfg, params = load_hf_decoder(path)
+    assert cfg.rope_llama3 == (2.0, 1.0, 4.0, 32.0)
+    model = Decoder(cfg)
+
+    rng = np.random.default_rng(0)
+    # 28 positions: the scaled wavelengths (63/199) need distance for the
+    # halved frequencies to accumulate a detectable phase divergence
+    ids = rng.integers(1, 120, size=(2, 28)).astype(np.int64)
+    mask = jnp.ones((2, 28), jnp.int32)
+    with torch.no_grad():
+        expected = hf_model(torch.tensor(ids)).logits.numpy()
+    got = np.asarray(model.apply({"params": params}, jnp.asarray(ids, jnp.int32), mask))
+    np.testing.assert_allclose(got, expected, atol=2e-4, rtol=2e-3)
+    # load-bearing: an unscaled twin with the same params must FAIL the
+    # parity tolerance above (i.e. the parity check would catch a loader
+    # that dropped the rewrite)
+    plain = Decoder(dataclasses.replace(cfg, rope_llama3=None))
+    ungated = np.asarray(plain.apply({"params": params}, jnp.asarray(ids, jnp.int32), mask))
+    with pytest.raises(AssertionError):
+        np.testing.assert_allclose(ungated, expected, atol=2e-4, rtol=2e-3)
+
+
+def test_unsupported_rope_scaling_rejected(tmp_path):
+    """yarn/dynamic/longrope rope_scaling must fail loudly, not load a
+    checkpoint whose long-context attention would be silently wrong."""
+    import json as _json
+
+    (tmp_path / "config.json").write_text(_json.dumps({
+        "model_type": "qwen2", "vocab_size": 64, "hidden_size": 32,
+        "num_hidden_layers": 1, "num_attention_heads": 4,
+        "intermediate_size": 64,
+        "rope_scaling": {"rope_type": "yarn", "factor": 4.0},
+    }))
+    (tmp_path / "model.safetensors").write_bytes(b"")
+    with pytest.raises(ValueError, match="rope_scaling"):
+        load_hf_decoder(str(tmp_path))
+
+
+@pytest.fixture(scope="module")
+def phi3_dir(tmp_path_factory):
+    cfg = transformers.Phi3Config(
+        vocab_size=128, hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, intermediate_size=64, max_position_embeddings=64,
+        sliding_window=8, tie_word_embeddings=False, pad_token_id=0,
+        bos_token_id=1, eos_token_id=2, attn_implementation="eager",
+    )
+    model = transformers.Phi3ForCausalLM(cfg)
+    model.eval()
+    d = tmp_path_factory.mktemp("hf_phi3")
+    model.save_pretrained(d, safe_serialization=True)
+    return str(d), model
+
+
+def test_phi3_logits_parity(phi3_dir):
+    """Phi3 family: the fused qkv_proj / gate_up_proj checkpoint tensors
+    split into this decoder's per-projection layout and the converted
+    forward matches torch at S > the sliding window."""
+    import torch
+
+    path, hf_model = phi3_dir
+    cfg, params = load_hf_decoder(path)
+    assert cfg.sliding_window == 8 and cfg.kv_heads == 2
+    assert "bias" not in params["layer_0"]["attention"]["q_proj"]
+    model = Decoder(cfg)
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(1, 120, size=(2, 16)).astype(np.int64)  # 16 > window 8
+    with torch.no_grad():
+        expected = hf_model(torch.tensor(ids)).logits.numpy()
+    got = np.asarray(
+        model.apply({"params": params}, jnp.asarray(ids, jnp.int32), jnp.ones((2, 16), jnp.int32))
+    )
+    np.testing.assert_allclose(got, expected, atol=2e-4, rtol=2e-3)
+
+
+def test_phi3_partial_rotary_rejected(tmp_path):
+    import json as _json
+
+    (tmp_path / "config.json").write_text(_json.dumps({
+        "model_type": "phi3", "vocab_size": 64, "hidden_size": 32,
+        "num_hidden_layers": 1, "num_attention_heads": 4,
+        "intermediate_size": 64, "partial_rotary_factor": 0.5,
+    }))
+    (tmp_path / "model.safetensors").write_bytes(b"")
+    with pytest.raises(ValueError, match="partial_rotary_factor"):
+        load_hf_decoder(str(tmp_path))
+
+
+@pytest.fixture(scope="module")
 def mistral_dir(tmp_path_factory):
     cfg = transformers.MistralConfig(
         vocab_size=128, hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
@@ -184,6 +301,52 @@ def test_qwen2_logits_parity(qwen2_dir):
     assert cfg.attention_bias
     b = params["layer_0"]["attention"]["q_proj"]["bias"]
     assert float(jnp.abs(b).max()) > 0
+    model = Decoder(cfg)
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(1, 120, size=(2, 12)).astype(np.int64)
+    with torch.no_grad():
+        expected = hf_model(torch.tensor(ids)).logits.numpy()
+    got = np.asarray(
+        model.apply({"params": params}, jnp.asarray(ids, jnp.int32), jnp.ones((2, 12), jnp.int32))
+    )
+    np.testing.assert_allclose(got, expected, atol=2e-4, rtol=2e-3)
+
+
+@pytest.fixture(scope="module")
+def qwen3_dir(tmp_path_factory):
+    cfg = transformers.Qwen3Config(
+        vocab_size=128, hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, head_dim=16, intermediate_size=64,
+        max_position_embeddings=64, tie_word_embeddings=False,
+        attn_implementation="eager",
+    )
+    model = transformers.Qwen3ForCausalLM(cfg)
+    import torch
+
+    with torch.no_grad():
+        # standard RMSNorm inits to ones → scale-only; randomize the q/k
+        # norms so the per-head norm is load-bearing in the parity check
+        for layer in model.model.layers:
+            layer.self_attn.q_norm.weight.normal_(mean=1.0, std=0.5)
+            layer.self_attn.k_norm.weight.normal_(mean=1.0, std=0.5)
+    model.eval()
+    d = tmp_path_factory.mktemp("hf_qwen3")
+    model.save_pretrained(d, safe_serialization=True)
+    return str(d), model
+
+
+def test_qwen3_logits_parity(qwen3_dir):
+    """Qwen3 family: GQA + per-head QK RMSNorm (standard w scale, not
+    gemma's (1+w)) + decoupled head_dim, NO qkv bias — converted forward
+    matches the torch model."""
+    import torch
+
+    path, hf_model = qwen3_dir
+    cfg, params = load_hf_decoder(path)
+    assert cfg.qk_norm and not cfg.rmsnorm_unit_offset
+    assert not cfg.attention_bias and cfg.head_dim == 16
+    assert "bias" not in params["layer_0"]["attention"]["q_proj"]
     model = Decoder(cfg)
 
     rng = np.random.default_rng(0)
@@ -313,6 +476,108 @@ def test_gemma2_logits_parity(gemma2_dir):
         model.apply({"params": params}, jnp.asarray(ids, jnp.int32), jnp.ones((2, 12), jnp.int32))
     )
     np.testing.assert_allclose(got, expected, atol=2e-4, rtol=2e-3)
+
+
+@pytest.fixture(scope="module")
+def gemma3_dir(tmp_path_factory):
+    # Everything load-bearing at once: QK-norm (randomized so it is not
+    # an identity), dual rope with DIFFERENT bases (sliding layers at
+    # 10k, full at 1e6) plus linear scaling factor 2 on the global rope
+    # only, sliding window 6 < S on a 2-sliding:1-full layer pattern,
+    # decoupled query scale (8 != head_dim 16).
+    cfg = transformers.Gemma3TextConfig(
+        vocab_size=256, hidden_size=48, num_hidden_layers=6,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        intermediate_size=96, max_position_embeddings=64,
+        rms_norm_eps=1e-6, sliding_window=6, sliding_window_pattern=3,
+        query_pre_attn_scalar=8, rope_theta=1_000_000.0,
+        rope_local_base_freq=10_000.0,
+        rope_scaling={"rope_type": "linear", "factor": 2.0},
+        attn_implementation="eager",
+    )
+    model = transformers.Gemma3ForCausalLM(cfg)
+    import torch
+
+    with torch.no_grad():
+        # zero-centered (1+w) norms init to 0 → identity; randomize the
+        # q/k norms so the parity check actually exercises them
+        for layer in model.model.layers:
+            layer.self_attn.q_norm.weight.normal_(std=0.5)
+            layer.self_attn.k_norm.weight.normal_(std=0.5)
+    model.eval()
+    d = tmp_path_factory.mktemp("hf_gemma3")
+    model.save_pretrained(d, safe_serialization=True)
+    return str(d), model
+
+
+def test_gemma3_logits_parity(gemma3_dir):
+    """Gemma3 (text): per-head QK RMSNorm before rope + dual-theta rope
+    (local 10k on sliding layers / global 1e6 with linear scaling on
+    full layers) + layer_types sliding pattern — converted forward
+    matches the torch model (HF `Gemma3ForCausalLM`)."""
+    import torch
+
+    path, hf_model = gemma3_dir
+    cfg, params = load_hf_decoder(path)
+    assert cfg.qk_norm and cfg.post_norms
+    assert cfg.rope_local_theta == 10_000.0 and cfg.rope_theta == 1_000_000.0
+    assert cfg.rope_scaling_factor == 2.0
+    # sliding_window_pattern=3: layers 0,1 slide, layer 2 full, ...
+    assert cfg.sliding_layers == (True, True, False, True, True, False)
+    assert cfg.layer_window(0) == 6 and cfg.layer_window(2) is None
+    # loaded q/k norm scales are the randomized ones, not zeros
+    assert float(jnp.abs(params["layer_0"]["attention"]["q_norm"]["scale"]).max()) > 0
+    model = Decoder(cfg)
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(1, 250, size=(2, 12)).astype(np.int64)  # 12 > window 6
+    with torch.no_grad():
+        expected = hf_model(torch.tensor(ids)).logits.numpy()
+    got = np.asarray(
+        model.apply({"params": params}, jnp.asarray(ids, jnp.int32), jnp.ones((2, 12), jnp.int32))
+    )
+    np.testing.assert_allclose(got, expected, atol=3e-4, rtol=2e-3)
+
+
+def test_gemma3_decode_matches_full_forward(gemma3_dir):
+    """KV-cache greedy decode through gemma3 (dual rope + QK-norm +
+    patterned window in slot space) matches lockstep full-sequence
+    argmax, with left padding."""
+    path, _ = gemma3_dir
+    cfg, params = load_hf_decoder(path)
+    from dalm_tpu.models.generate import build_greedy_generate
+
+    rng = np.random.default_rng(1)
+    P, new = 10, 4  # P > window 6 so the band actually clips history
+    ids = np.zeros((2, P), np.int32)
+    mask = np.zeros((2, P), np.int32)
+    for i in range(2):
+        real = int(rng.integers(7, P))
+        ids[i, P - real:] = rng.integers(1, 250, size=real)
+        mask[i, P - real:] = 1
+    model = Decoder(cfg)
+    gen = build_greedy_generate(model, new, eos_token_id=None, pad_token_id=0)
+    out = np.asarray(gen(params, jnp.asarray(ids), jnp.asarray(mask)))
+
+    cur_ids, cur_mask = ids.copy(), mask.copy()
+    for t in range(new):
+        logits = np.asarray(model.apply(
+            {"params": params}, jnp.asarray(cur_ids), jnp.asarray(cur_mask)
+        ))
+        nxt = logits[np.arange(2), -1].argmax(-1).astype(np.int32)
+        assert (nxt == out[:, t]).all(), f"token {t}"
+        cur_ids = np.concatenate([cur_ids, nxt[:, None]], axis=1)
+        cur_mask = np.concatenate([cur_mask, np.ones((2, 1), np.int32)], axis=1)
+
+
+def test_gemma3_multimodal_rejected(tmp_path):
+    """A bare 'gemma3' (multimodal wrapper) config is rejected loudly."""
+    import json as _json
+
+    (tmp_path / "config.json").write_text(_json.dumps({"model_type": "gemma3"}))
+    (tmp_path / "model.safetensors").write_bytes(b"")
+    with pytest.raises(ValueError, match="gemma3"):
+        load_hf_decoder(str(tmp_path))
 
 
 def test_gemma2_decode_matches_full_forward(gemma2_dir):
