@@ -117,6 +117,12 @@ def _bench_flagship_7b():
     steps_per_epoch = 16  # short epochs over-weight the pipeline drain at
     ds = _synthetic_dataset(B * steps_per_epoch)  # the epoch-end readback
 
+    # A/B knob: calibrated per-tensor activation scales (refreshed every
+    # N steps) instead of per-row dynamic quant — RESULTS.md W8A8 section.
+    import os
+
+    a8_cal = int(os.environ.get("DALM_A8_CALIBRATE", "0"))
+
     result = train_e2e(
         ds,
         "bge-large",
@@ -133,6 +139,7 @@ def _bench_flagship_7b():
         use_bnb="generator",
         lora_runtime="fused",
         int8_compute="all",  # W8A8 on the MXU int8 path (394 TOPS), STE bwd
+        a8_calibrate_every=a8_cal,
         with_tracking=False,
         output_dir=None,
         num_warmup_steps=0,

@@ -44,6 +44,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _rowquant_xla(x: jax.Array) -> tuple[jax.Array, jax.Array]:
     xf = x.astype(jnp.float32)
+    # PROBE HOOK (perf upper bound, not a numerics mode): a constant
+    # x-independent scale removes the absmax reduce entirely, so the
+    # quantize becomes pure elementwise and fuses into producers. This
+    # upper-bounds what delayed scaling (amax carried across steps)
+    # could recover of the 21.5% dynamic-quant bookkeeping share
+    # (RESULTS.md trace table). Wrong numerics — A/B timing only.
+    probe = os.environ.get("DALM_W8A8_STATIC_SCALE")
+    if probe:
+        scale = jnp.full(x.shape[:-1] + (1,), float(probe), jnp.float32)
+        q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+        return q, scale
     absmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
     scale = jnp.where(absmax > 0, absmax / 127.0, 1.0)
     q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
@@ -280,3 +291,49 @@ def _int8_matmul_bwd(bwd_int8, res, dy):
 
 
 int8_matmul.defvjp(_int8_matmul_fwd, _int8_matmul_bwd)
+
+
+# --------------------------------------------------------------------------
+# Calibrated (x-independent) activation scale
+# --------------------------------------------------------------------------
+#
+# The dynamic path above pays an absmax reduce + quantize pass over every
+# activation tensor. With a CALIBRATED per-tensor scale the quantize is
+# pure elementwise, so XLA fuses it into the producer and the standalone
+# passes vanish — the static-scale probe measured +7.3% end-to-end on the
+# flagship step (RESULTS.md). Out-of-range rows clip to ±127 (bounded
+# error) until the trainer refreshes the scale (train/rag_e2e.py
+# ``a8_calibrate_every``). The backward dy quantization stays dynamic
+# per-row (its distribution shifts faster, and dy has no cheap
+# calibration hook).
+
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
+def int8_matmul_cal(
+    x: jax.Array, q: jax.Array, scale: jax.Array, a_scale: jax.Array,
+    bwd_int8: bool = False,
+):
+    """``x @ (q * scale)`` with a precomputed per-tensor activation scale.
+
+    x: (..., K) float; q: (K, N) int8; scale: (1, N) f32; a_scale: ()
+    f32 (typically last-calibration ``max|x| / 127``).
+    """
+    out, _ = _int8_matmul_cal_fwd(x, q, scale, a_scale, bwd_int8)
+    return out
+
+
+def _int8_matmul_cal_fwd(x, q, scale, a_scale, bwd_int8):
+    xf = x.astype(jnp.float32)
+    xq = jnp.clip(jnp.round(xf / a_scale), -127, 127).astype(jnp.int8)
+    acc = _i8_dot_last(xq, q, 0)
+    y = acc.astype(jnp.float32) * a_scale * scale
+    return y.astype(x.dtype), (q, scale)
+
+
+def _int8_matmul_cal_bwd(bwd_int8, res, dy):
+    # Same STE backward as the dynamic path; a_scale is a calibration
+    # constant (symbolic-zero cotangent).
+    dx, dq_zero, dscale = _int8_matmul_bwd(bwd_int8, res, dy)
+    return dx, dq_zero, dscale, jnp.zeros((), jnp.float32)
+
+
+int8_matmul_cal.defvjp(_int8_matmul_cal_fwd, _int8_matmul_cal_bwd)

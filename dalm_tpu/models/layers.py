@@ -70,11 +70,30 @@ class FlexLinear(nn.Module):
         quantized = self.has_variable("quant", "q")
         kernel = None
         if quantized and self.int8_compute != "none":
-            from dalm_tpu.kernels.int8_matmul import int8_matmul
+            from dalm_tpu.kernels.int8_matmul import int8_matmul, int8_matmul_cal
 
             q = self.get_variable("quant", "q")
             scale = self.get_variable("quant", "scale")
-            y = int8_matmul(x, q, scale, self.int8_compute == "all")
+            # Calibration hook: a no-op unless the caller applies with
+            # mutable=["intermediates"] (the a8_calibrate_every refresh
+            # pass, train/rag_e2e.py). XLA fuses the max-reduce into x's
+            # producer, so leaving it unconditional costs nothing.
+            self.sow(
+                "intermediates", "a_amax",
+                jnp.max(jnp.abs(x.astype(jnp.float32))),
+                reduce_fn=jnp.maximum,
+                init_fn=lambda: jnp.zeros((), jnp.float32),
+            )
+            if self.has_variable("quant", "a_scale"):
+                # Calibrated per-tensor activation scale: quantize is
+                # pure elementwise (no absmax pass) — +7.3% measured on
+                # the flagship step (RESULTS.md static-scale probe).
+                y = int8_matmul_cal(
+                    x, q, scale, self.get_variable("quant", "a_scale"),
+                    self.int8_compute == "all",
+                )
+            else:
+                y = int8_matmul(x, q, scale, self.int8_compute == "all")
         elif quantized:
             q = self.get_variable("quant", "q")
             scale = self.get_variable("quant", "scale")

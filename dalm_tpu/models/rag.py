@@ -95,14 +95,26 @@ class RagE2EModel:
         raise ValueError(f"unknown task {task!r}")
 
     # ---- fused-QLoRA variants (models/qlora.py collections) -------------
-    def embed_with(self, variables: dict, input_ids, attention_mask):
+    def embed_with(self, variables: dict, input_ids, attention_mask, mutable=False):
         """Like :meth:`embed` but with full variable collections for the
-        retriever (``{"params": residual, "quant": ..., "lora": ...}``)."""
-        if self.retriever_is_autoregressive:
-            hidden = self.retriever.apply(variables, input_ids, attention_mask, return_hidden=True)
-            return eos_pool(hidden, attention_mask, normalize=self.normalize)
-        hidden = self.retriever.apply(variables, input_ids, attention_mask, deterministic=True)
-        return mean_pool_l2(hidden, attention_mask, normalize=self.normalize)
+        retriever (``{"params": residual, "quant": ..., "lora": ...}``).
 
-    def logits_with(self, variables: dict, input_ids, attention_mask):
-        return self.generator.apply(variables, input_ids, attention_mask)
+        ``mutable=["intermediates"]`` additionally returns the sowed
+        calibration stats (layers.py FlexLinear ``a_amax``) as
+        ``(embeddings, updated_vars)``."""
+        if self.retriever_is_autoregressive:
+            out = self.retriever.apply(
+                variables, input_ids, attention_mask, return_hidden=True, mutable=mutable
+            )
+            if mutable:
+                return eos_pool(out[0], attention_mask, normalize=self.normalize), out[1]
+            return eos_pool(out, attention_mask, normalize=self.normalize)
+        out = self.retriever.apply(
+            variables, input_ids, attention_mask, deterministic=True, mutable=mutable
+        )
+        if mutable:
+            return mean_pool_l2(out[0], attention_mask, normalize=self.normalize), out[1]
+        return mean_pool_l2(out, attention_mask, normalize=self.normalize)
+
+    def logits_with(self, variables: dict, input_ids, attention_mask, mutable=False):
+        return self.generator.apply(variables, input_ids, attention_mask, mutable=mutable)

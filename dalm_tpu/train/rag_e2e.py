@@ -144,6 +144,12 @@ def train_e2e(
     contrastive_weight: float = 1.0,
     lora_runtime: str = "merge",  # "merge" (<=1B) | "fused" (QLoRA, 7B-scale)
     int8_compute: str = "none",  # "fwd"|"all": int8 MXU matmuls for the fused frozen base
+    # > 0: calibrated per-tensor activation scales for the W8A8 path,
+    # refreshed from sowed amaxes every N optimizer steps — removes the
+    # per-step absmax passes (+7.3% measured, RESULTS.md static-scale
+    # probe) at the cost of per-tensor (vs per-row) activation quant
+    # with clipping between refreshes. 0 = dynamic per-row (default).
+    a8_calibrate_every: int = 0,
     export_peft: bool = False,  # also write torch-PEFT adapter_model.bin
     profile_dir: Optional[str] = None,
     profile_start_step: int = 10,
@@ -702,6 +708,95 @@ def train_e2e(
         )
         logger.info("live index: %d unique passages, slice %d", len(p_ids), index_refresh_slice)
 
+    # ---- calibrated W8A8 activation scales (a8_calibrate_every) ----------
+    # Per-site per-tensor activation scales make the quantize pure
+    # elementwise (XLA fuses it into producers; no standalone absmax
+    # pass — +7.3% measured, RESULTS.md static-scale probe). Scales are
+    # measured by a forward-only calibration pass that collects the
+    # sowed FlexLinear amaxes (layers.py), injected into the frozen
+    # quant tree (which rides as a jit ARGUMENT, so refreshes don't
+    # recompile), and refreshed every N optimizer steps. The calibration
+    # pass itself always runs with a_scale leaves STRIPPED (dynamic
+    # per-row quant) so its amaxes never depend on stale scales.
+    a8_cal_subs = sorted(quantized_subs & set(lora_specs)) if (
+        a8_calibrate_every and fused and int8_compute != "none"
+    ) else []
+    if a8_cal_subs:
+        import dataclasses as _dc3
+
+        from dalm_tpu.models.registry import build_decoder as _build_dec
+
+        # Non-remat generator twin for the calibration forward (sow
+        # mutations inside nn.remat are off the supported path; the
+        # param tree is identical so the packed variables apply as-is).
+        _cal_gen = (
+            _build_dec(_dc3.replace(g_cfg, remat=False))
+            if "generator" in a8_cal_subs else None
+        )
+
+        def _strip_a(qtree):
+            if isinstance(qtree, dict):
+                return {k: _strip_a(v) for k, v in qtree.items() if k != "a_scale"}
+            return qtree
+
+        def _with_a_scales(qtree, inter):
+            """Quant subtree with a_scale leaves from the sowed amaxes
+            (the intermediates tree mirrors the module paths)."""
+            if (
+                isinstance(qtree, dict)
+                and "q" in qtree
+                and not isinstance(qtree["q"], dict)
+            ):
+                out = {k: v for k, v in qtree.items() if k != "a_scale"}
+                out["a_scale"] = jnp.maximum(
+                    inter["a_amax"].astype(jnp.float32) / 127.0, 1e-8
+                )
+                return out
+            if isinstance(qtree, dict):
+                return {
+                    k: (_with_a_scales(v, inter[k]) if k in (inter or {}) else v)
+                    for k, v in qtree.items()
+                }
+            return qtree
+
+        @jax.jit
+        def _calibrate_amax(train_params, frozen, batch):
+            inters = {}
+            if "retriever" in a8_cal_subs:
+                rv = _sub_variables(train_params, frozen, "retriever")
+                _, v1 = rag.embed_with(
+                    rv, batch["retriever_query_input_ids"],
+                    batch["retriever_query_attention_mask"], mutable=["intermediates"],
+                )
+                _, v2 = rag.embed_with(
+                    rv, batch["retriever_passage_input_ids"],
+                    batch["retriever_passage_attention_mask"], mutable=["intermediates"],
+                )
+                inters["retriever"] = jax.tree.map(
+                    jnp.maximum, v1["intermediates"], v2["intermediates"]
+                )
+            if "generator" in a8_cal_subs:
+                gv = _sub_variables(train_params, frozen, "generator")
+                _, vg = _cal_gen.apply(
+                    gv, batch["generator_input_input_ids"],
+                    batch["generator_input_attention_mask"], mutable=["intermediates"],
+                )
+                inters["generator"] = vg["intermediates"]
+            return inters
+
+        def _recalibrate(train_params, batch):
+            stripped = {
+                s: (_strip_a(t) if s in a8_cal_subs else t)
+                for s, t in frozen_trees["quant"].items()
+            }
+            inters = _calibrate_amax(
+                train_params, {**frozen_trees, "quant": stripped}, batch
+            )
+            for s in a8_cal_subs:
+                frozen_trees["quant"][s] = _with_a_scales(
+                    frozen_trees["quant"][s], inters[s]
+                )
+
     # Host-side metric streams come from process 0 only (the reference
     # gated trackers on `accelerator.is_main_process`).
     tracker = MetricsLogger(
@@ -765,6 +860,10 @@ def train_e2e(
             multiple_of=mesh.shape["data"], process_shard=multihost,
         ):
             batch = put_batch(batch_np, mesh, np.int32)
+            if a8_cal_subs and micro_steps % max(
+                1, int(a8_calibrate_every) * gradient_accumulation_steps
+            ) == 0:
+                _recalibrate(state.params, batch)
             step_rng = jax.random.fold_in(
                 dropout_rng, int(start_steps * gradient_accumulation_steps + micro_steps)
             )

@@ -139,6 +139,106 @@ def test_train_e2e_fused_int8_compute(tmp_path, toy_csv, mode):
     assert out["steps"] >= 2
 
 
+def test_cal_matmul_matches_dequant():
+    """int8_matmul_cal with a correct per-tensor scale matches the exact
+    dequantized matmul to activation-quant tolerance, and the scale is
+    actually applied (a wrong scale that clips changes the output)."""
+    from dalm_tpu.kernels.int8_matmul import int8_matmul_cal
+
+    x, w, q, scale = _make(11, 8, 128, 64)
+    a_scale = jnp.max(jnp.abs(x)) / 127.0
+    exact = x @ (q.astype(jnp.float32) * scale)
+    got = int8_matmul_cal(x, q, scale, a_scale, False)
+    denom = float(jnp.abs(exact).max())
+    assert float(jnp.abs(got - exact).max()) / denom < 0.03
+    # a 100x-too-small scale clips nearly everything to +-127*that
+    clipped = int8_matmul_cal(x, q, scale, a_scale / 100.0, False)
+    assert float(jnp.abs(clipped - exact).max()) / denom > 0.05
+
+
+@pytest.mark.parametrize("bwd_int8", [False, True])
+def test_cal_matmul_gradients(bwd_int8):
+    """STE backward matches the dynamic path: dx ~= dy @ W_dequant^T and
+    no gradient reaches frozen storage or the calibration scale."""
+    from dalm_tpu.kernels.int8_matmul import int8_matmul_cal
+
+    x, w, q, scale = _make(12, 8, 128, 64)
+    a_scale = jnp.max(jnp.abs(x)) / 127.0
+    wd = q.astype(jnp.float32) * scale
+
+    def f(x, scale, a_scale):
+        return jnp.sum(jnp.sin(int8_matmul_cal(x, q, scale, a_scale, bwd_int8)))
+
+    gx, gs, ga = jax.grad(f, argnums=(0, 1, 2))(x, scale, a_scale)
+    gref = jax.grad(lambda x: jnp.sum(jnp.sin(x @ wd)))(x)
+    denom = float(jnp.abs(gref).max())
+    tol = 0.06 if bwd_int8 else 0.03
+    assert float(jnp.abs(gx - gref).max()) / denom < tol
+    assert float(jnp.abs(gs).max()) == 0.0
+    assert float(jnp.abs(ga).max()) == 0.0
+
+
+def test_flexlinear_calibrated_path_and_sow():
+    """An a_scale leaf routes FlexLinear through the calibrated matmul;
+    applying with mutable=["intermediates"] captures the per-site amax
+    (the calibration hook the trainer's a8_calibrate_every uses)."""
+    from dalm_tpu.models.layers import FlexLinear
+
+    x = jax.random.normal(jax.random.PRNGKey(9), (4, 128), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(10), (128, 64), jnp.float32) * 0.05
+    qt = quantize_tensor(w)
+    quant = {"q": qt["__int8__"], "scale": qt["scale"]}
+    ref = FlexLinear(64, int8_compute="none").apply({"params": {}, "quant": quant}, x)
+
+    a_scale = jnp.max(jnp.abs(x)) / 127.0
+    got, upd = FlexLinear(64, int8_compute="fwd").apply(
+        {"params": {}, "quant": {**quant, "a_scale": a_scale}}, x,
+        mutable=["intermediates"],
+    )
+    denom = float(jnp.abs(ref).max())
+    assert float(jnp.abs(got - ref).max()) / denom < 0.03
+    np.testing.assert_allclose(
+        float(upd["intermediates"]["a_amax"]), float(jnp.max(jnp.abs(x))), rtol=1e-6
+    )
+    # without mutable the sow is a no-op and output is unchanged
+    got2 = FlexLinear(64, int8_compute="fwd").apply(
+        {"params": {}, "quant": {**quant, "a_scale": a_scale}}, x
+    )
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(got), rtol=1e-6)
+
+
+def test_train_e2e_fused_a8_calibrated(tmp_path, toy_csv):
+    """Fused rag-e2e with calibrated activation scales (refresh every
+    step): trains to a finite loss and tracks the dynamic-quant run
+    closely (same data, same seeds — only the activation quantization
+    granularity differs)."""
+    from dalm_tpu.train.rag_e2e import train_e2e
+
+    kwargs = dict(
+        query_max_len=16, passage_max_len=24, generator_max_len=48,
+        per_device_train_batch_size=2,
+        num_train_epochs=2,
+        use_peft="both", use_bnb="both",
+        lora_runtime="fused",
+        int8_compute="all",
+        with_tracking=False,
+        use_dropout=False,
+    )
+    out_cal = train_e2e(
+        toy_csv, "tiny", "tiny", output_dir=str(tmp_path / "cal"),
+        a8_calibrate_every=1, **kwargs,
+    )
+    assert np.isfinite(out_cal["final_loss"])
+    out_dyn = train_e2e(
+        toy_csv, "tiny", "tiny", output_dir=str(tmp_path / "dyn"), **kwargs
+    )
+    # per-tensor vs per-row activation quant: same trajectory up to
+    # quantization granularity
+    assert abs(out_cal["final_loss"] - out_dyn["final_loss"]) < 0.15 * abs(
+        out_dyn["final_loss"]
+    ) + 0.05
+
+
 def test_rowquant_pallas_matches_xla():
     """The one-pass Pallas quantize (interpret mode) is bit-identical to
     the two-pass XLA formulation, including zero rows."""
