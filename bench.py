@@ -117,11 +117,14 @@ def _bench_flagship_7b():
     steps_per_epoch = 16  # short epochs over-weight the pipeline drain at
     ds = _synthetic_dataset(B * steps_per_epoch)  # the epoch-end readback
 
-    # A/B knob: calibrated per-tensor activation scales (refreshed every
-    # N steps) instead of per-row dynamic quant — RESULTS.md W8A8 section.
+    # Calibrated per-tensor activation scales (refreshed every N steps)
+    # instead of per-row dynamic quant: +2.7% paired A/B at an equivalent
+    # loss trajectory (9.4208 vs 9.4574 at matched seed/steps — RESULTS.md
+    # W8A8 section), so it is the bench default; DALM_A8_CALIBRATE=0
+    # restores dynamic per-row quant.
     import os
 
-    a8_cal = int(os.environ.get("DALM_A8_CALIBRATE", "0"))
+    a8_cal = int(os.environ.get("DALM_A8_CALIBRATE", "16"))
 
     result = train_e2e(
         ds,
@@ -170,7 +173,12 @@ def _bench_flagship_7b():
     hw_util = hw_flops / step_time / V5E_BF16_PEAK_FLOPS if step_time else 0.0
     model_util = model_flops / step_time / V5E_BF16_PEAK_FLOPS if step_time else 0.0
     return {
-        "metric": "rag_e2e_train_samples_per_sec_per_chip[bge-large+llama2-7B-shape,b18,q50/p128/g256,fused-qlora-w8a8-int8-mxu,train_e2e-loop,1xv5e-16GB]",
+        "metric": (
+            "rag_e2e_train_samples_per_sec_per_chip[bge-large+llama2-7B-shape,"
+            "b18,q50/p128/g256,fused-qlora-w8a8-int8-mxu"
+            + (f"-a8cal{a8_cal}" if a8_cal else "")
+            + ",train_e2e-loop,1xv5e-16GB]"
+        ),
         "value": round(per_chip, 3),
         "unit": "samples/sec/chip",
         "vs_baseline": round(per_chip / BASELINE_SAMPLES_PER_SEC, 3),
@@ -188,6 +196,9 @@ def _bench_flagship_7b():
         "encoder_matmul_params": enc_mm,
         "decoder_matmul_params": dec_mm,
         "steps": result["steps"],
+        # Numerics witness for quantized-compute A/Bs (e.g. the calibrated
+        # activation-scale mode): equivalent trajectories ⇒ close values.
+        "final_loss": round(float(result["final_loss"]), 4),
     }
 
 

@@ -37,6 +37,13 @@ LOGICAL_RULES_TP = (
     ("mlp", MODEL_AXIS),
     ("vocab", MODEL_AXIS),
     ("passages", (DATA_AXIS, MODEL_AXIS)),
+    # MoE (models/moe.py): experts shard over the model axis (expert
+    # parallelism — each TP group member holds E/model experts; GSPMD
+    # inserts the dispatch/combine collectives). Within-expert dims stay
+    # unsharded: EP, not TP-within-expert, is the right cut for
+    # many-small-expert models (Qwen3-MoE's 128×768).
+    ("expert", MODEL_AXIS),
+    ("moe_mlp", None),
 )
 
 

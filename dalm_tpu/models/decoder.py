@@ -103,6 +103,19 @@ class DecoderConfig:
     # (factor, low_freq_factor, high_freq_factor, original_max_position
     # _embeddings); attention scale is unchanged (HF attention_factor=1).
     rope_llama3: Optional[tuple] = None
+    # Mixture-of-Experts (Mixtral / Qwen3-MoE families — models/moe.py;
+    # the reference has no MoE support, beyond-parity). num_experts set →
+    # every layer's MLP is a sparse MoE block. moe_impl: "dense" (exact,
+    # all experts all tokens — parity tests, decode), "dispatch"
+    # (capacity-C dispatch einsums — training scale), "auto" (dense for
+    # T ≤ 512 tokens else dispatch). moe_capacity_factor: dispatch
+    # capacity C = ceil(T·K·cf / E); None → C = T (dropless, exact).
+    num_experts: Optional[int] = None
+    num_experts_per_tok: int = 2
+    moe_intermediate_size: Optional[int] = None
+    norm_topk_prob: bool = True
+    moe_impl: str = "auto"
+    moe_capacity_factor: Optional[float] = None
     # int8 MXU compute for packed frozen kernels ("none"|"fwd"|"all") —
     # see kernels/int8_matmul.py; no effect without int8 quant storage.
     int8_compute: str = "none"
@@ -262,6 +275,32 @@ class DecoderConfig:
             num_kv_heads=8, intermediate_size=14336,
             max_position_embeddings=8192, rope_theta=500000.0,
             remat=True, param_dtype=jnp.bfloat16,
+        )
+
+    @staticmethod
+    def mixtral_8x7b() -> "DecoderConfig":
+        # Mixtral-8x7B: llama-shaped attention (GQA 32/8) with 8-expert
+        # top-2 sparse MoE MLPs (HF MixtralConfig; sliding_window null).
+        return DecoderConfig(
+            vocab_size=32000, hidden_size=4096, num_layers=32, num_heads=32,
+            num_kv_heads=8, intermediate_size=14336,
+            max_position_embeddings=32768, rope_theta=1000000.0,
+            num_experts=8, num_experts_per_tok=2,
+            remat=True, param_dtype=jnp.bfloat16,
+        )
+
+    @staticmethod
+    def qwen3_moe_30b() -> "DecoderConfig":
+        # Qwen3-30B-A3B: 128 tiny experts, top-8, per-head QK-norm —
+        # the many-small-experts regime where EP (not TP-within-expert)
+        # is the right mesh cut (models/moe.py).
+        return DecoderConfig(
+            vocab_size=151936, hidden_size=2048, num_layers=48, num_heads=32,
+            num_kv_heads=4, head_dim_override=128, intermediate_size=6144,
+            moe_intermediate_size=768, num_experts=128, num_experts_per_tok=8,
+            norm_topk_prob=True, qk_norm=True,
+            max_position_embeddings=40960, rope_theta=1000000.0,
+            rms_norm_eps=1e-6, remat=True, param_dtype=jnp.bfloat16,
         )
 
     @staticmethod
@@ -547,14 +586,19 @@ class DecoderLayer(nn.Module):
         hidden = hidden + attn_out
 
         normed = _norm("pre_feedforward_norm" if cfg.post_norms else "post_attention_norm")(hidden)
-        gate = _proj(cfg.intermediate_size, "gate_proj", cfg, ("embed", "mlp"))(normed)
-        up = _proj(cfg.intermediate_size, "up_proj", cfg, ("embed", "mlp"))(normed)
-        act = {
-            "silu": nn.silu,
-            "gelu_tanh": lambda z: nn.gelu(z, approximate=True),
-            "gelu": lambda z: nn.gelu(z, approximate=False),
-        }[cfg.hidden_act]
-        down = _proj(cfg.hidden_size, "down_proj", cfg, ("mlp", "embed"))(act(gate) * up)
+        if cfg.num_experts:
+            from dalm_tpu.models.moe import MoEBlock
+
+            down = MoEBlock(cfg, name="moe")(normed)
+        else:
+            gate = _proj(cfg.intermediate_size, "gate_proj", cfg, ("embed", "mlp"))(normed)
+            up = _proj(cfg.intermediate_size, "up_proj", cfg, ("embed", "mlp"))(normed)
+            act = {
+                "silu": nn.silu,
+                "gelu_tanh": lambda z: nn.gelu(z, approximate=True),
+                "gelu": lambda z: nn.gelu(z, approximate=False),
+            }[cfg.hidden_act]
+            down = _proj(cfg.hidden_size, "down_proj", cfg, ("mlp", "embed"))(act(gate) * up)
         if cfg.post_norms:
             down = _norm("post_feedforward_norm")(down)
         return hidden + down, new_cache

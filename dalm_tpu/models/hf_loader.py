@@ -153,11 +153,29 @@ def load_hf_decoder(path: str, dtype=None) -> Tuple[DecoderConfig, Any]:
     # Qwen3 gates ALL FOUR attention projections (o_proj included) on
     # attention_bias; this decoder biases q/k/v only (the Qwen2 layout).
     # No shipped qwen3 checkpoint sets it — refuse rather than mis-load.
-    if model_type == "qwen3" and hf.get("attention_bias"):
+    if model_type in ("qwen3", "qwen3_moe") and hf.get("attention_bias"):
         raise ValueError(
-            "qwen3 with attention_bias=true puts a bias on o_proj too, "
-            "which this loader does not map; no shipped checkpoint sets it"
+            f"{model_type} with attention_bias=true puts a bias on o_proj "
+            "too, which this loader does not map; no shipped checkpoint sets it"
         )
+    # MoE families (models/moe.py). Qwen3-MoE can interleave dense MLP
+    # layers (decoder_sparse_step / mlp_only_layers); this decoder makes
+    # EVERY layer sparse when num_experts is set — reject the interleaved
+    # configs (no shipped Qwen3-MoE checkpoint uses them) rather than
+    # silently loading a wrong architecture.
+    if model_type == "qwen3_moe" and (
+        hf.get("decoder_sparse_step", 1) != 1 or hf.get("mlp_only_layers")
+    ):
+        raise ValueError(
+            "qwen3_moe with decoder_sparse_step != 1 or non-empty "
+            "mlp_only_layers interleaves dense MLP layers, which this "
+            "decoder does not implement"
+        )
+    num_experts = (
+        hf.get("num_local_experts") if model_type == "mixtral"
+        else hf.get("num_experts") if model_type == "qwen3_moe"
+        else None
+    )
     # Phi-3-small-class checkpoints rotate only part of head_dim; this
     # decoder applies rope to the full head (phi-3-mini ships 1.0).
     if model_type == "phi3" and float(hf.get("partial_rotary_factor") or 1.0) != 1.0:
@@ -282,10 +300,16 @@ def load_hf_decoder(path: str, dtype=None) -> Tuple[DecoderConfig, Any]:
         # Qwen3's only attention delta from Qwen2 is the same per-head
         # QK-norm (standard w scale — rmsnorm_unit_offset stays False —
         # vs gemma's (1+w)); it drops Qwen2's qkv bias.
-        qk_norm=gemma3 or model_type == "qwen3",
+        qk_norm=gemma3 or model_type in ("qwen3", "qwen3_moe"),
         rope_local_theta=hf.get("rope_local_base_freq") if gemma3 else None,
         rope_scaling_factor=rope_scaling_factor,
         rope_llama3=rope_llama3,
+        # MoE: Mixtral always renormalizes the top-k weights (no config
+        # key); Qwen3-MoE gates it on norm_topk_prob.
+        num_experts=num_experts,
+        num_experts_per_tok=hf.get("num_experts_per_tok") or 2,
+        moe_intermediate_size=hf.get("moe_intermediate_size"),
+        norm_topk_prob=bool(hf.get("norm_topk_prob", True)),
     )
     if model_type == "gemma2" and hf.get("layer_types"):
         expected = [
@@ -352,15 +376,43 @@ def load_hf_decoder(path: str, dtype=None) -> Tuple[DecoderConfig, Any]:
                     if cfg.qk_norm else {}
                 ),
             }
-            gate_w = W(f"{hf_layer}.mlp.gate_proj.weight")
-            up_w = W(f"{hf_layer}.mlp.up_proj.weight")
+            gate_w = up_w = None
+            if not cfg.num_experts:
+                gate_w = W(f"{hf_layer}.mlp.gate_proj.weight")
+                up_w = W(f"{hf_layer}.mlp.up_proj.weight")
         params[f"layer_{i}"] = {
             "attention": attention,
             "input_norm": {"scale": arr(f"{hf_layer}.input_layernorm.weight")},
-            "gate_proj": {"kernel": gate_w},
-            "up_proj": {"kernel": up_w},
-            "down_proj": {"kernel": W(f"{hf_layer}.mlp.down_proj.weight")},
         }
+        if cfg.num_experts:
+            # MoE checkpoints store per-expert tensors; stack them into
+            # this block's (E, H, M)/(E, M, H) batched-einsum layout
+            # (models/moe.py). Mixtral: block_sparse_moe.gate +
+            # experts.{j}.w1/w3/w2 (gate/up/down). Qwen3-MoE: mlp.gate +
+            # experts.{j}.{gate,up,down}_proj.
+            if model_type == "mixtral":
+                base = f"{hf_layer}.block_sparse_moe"
+                names = ("w1.weight", "w3.weight", "w2.weight")
+            else:
+                base = f"{hf_layer}.mlp"
+                names = ("gate_proj.weight", "up_proj.weight", "down_proj.weight")
+            stack = {
+                out: np.stack([
+                    state[f"{base}.experts.{j}.{hf_name}"].T.astype(np.float32)
+                    for j in range(cfg.num_experts)
+                ])
+                for out, hf_name in zip(("w_gate", "w_up", "w_down"), names)
+            }
+            params[f"layer_{i}"]["moe"] = {
+                "router": W(f"{base}.gate.weight"),
+                **stack,
+            }
+        else:
+            params[f"layer_{i}"].update({
+                "gate_proj": {"kernel": gate_w},
+                "up_proj": {"kernel": up_w},
+                "down_proj": {"kernel": W(f"{hf_layer}.mlp.down_proj.weight")},
+            })
         if cfg.post_norms:
             # Gemma2 sandwich norms: HF post_attention_layernorm is the
             # post-ATTENTION norm here (not Llama's pre-MLP norm), and the

@@ -45,6 +45,8 @@ DECODER_PRESETS = {
     "mistral-7b": DecoderConfig.mistral_7b,
     "qwen2.5-7b": DecoderConfig.qwen25_7b,
     "qwen3-8b": DecoderConfig.qwen3_8b,
+    "mixtral-8x7b": DecoderConfig.mixtral_8x7b,
+    "qwen3-moe-30b": DecoderConfig.qwen3_moe_30b,
     "llama3.1-8b": DecoderConfig.llama31_8b,
     "phi3-mini": DecoderConfig.phi3_mini,
     "gemma-2b": DecoderConfig.gemma_2b,

@@ -45,7 +45,7 @@ def main() -> None:
     from dalm_tpu.models import lora as lora_mod
     from dalm_tpu.models import qlora as qlora_mod
     from dalm_tpu.models.decode_engine import DecodeEngine
-    from dalm_tpu.models.decoder import Decoder, DecoderConfig
+    from dalm_tpu.models.decoder import Decoder
     from dalm_tpu.models.registry import DECODER_PRESETS
     from dalm_tpu.models.sampling import SamplerConfig
 
