@@ -50,6 +50,10 @@ def bench_7b_decode(int4: bool = False) -> None:
     rows = [
         ("llama2-7B", DecoderConfig.llama2_7b(), 32),
         ("llama3-8B-gqa", DecoderConfig.llama3_8b(), 96),
+        # phi3-mini (3.8B, MHA, 2047-token window — full attention at
+        # this cache length): the small-model tier; MHA cache (~76 MB/
+        # slot at len 192) caps slots before HBM does.
+        ("phi3-mini", DecoderConfig.phi3_mini(), 64),
     ]
     if int4:
         # the CAPACITY tier: 13B fits a 16 GB chip only at 4-bit weights

@@ -202,6 +202,14 @@ class DecoderConfig:
         )
 
     @staticmethod
+    def tiny_moe(vocab_size: int = 512) -> "DecoderConfig":
+        """CPU-testable sparse-MoE config (models/moe.py)."""
+        return dataclasses.replace(
+            DecoderConfig.tiny(vocab_size), num_experts=4,
+            num_experts_per_tok=2, moe_intermediate_size=64,
+        )
+
+    @staticmethod
     def llama2_7b() -> "DecoderConfig":
         # remat on by default: 7B training without per-layer checkpointing
         # exceeds single-chip HBM; decode ignores remat (kv_cache path).
@@ -586,10 +594,11 @@ class DecoderLayer(nn.Module):
         hidden = hidden + attn_out
 
         normed = _norm("pre_feedforward_norm" if cfg.post_norms else "post_attention_norm")(hidden)
+        moe_aux = jnp.zeros((), jnp.float32)
         if cfg.num_experts:
             from dalm_tpu.models.moe import MoEBlock
 
-            down = MoEBlock(cfg, name="moe")(normed)
+            down, moe_aux = MoEBlock(cfg, name="moe")(normed)
         else:
             gate = _proj(cfg.intermediate_size, "gate_proj", cfg, ("embed", "mlp"))(normed)
             up = _proj(cfg.intermediate_size, "up_proj", cfg, ("embed", "mlp"))(normed)
@@ -601,7 +610,7 @@ class DecoderLayer(nn.Module):
             down = _proj(cfg.hidden_size, "down_proj", cfg, ("mlp", "embed"))(act(gate) * up)
         if cfg.post_norms:
             down = _norm("post_feedforward_norm")(down)
-        return hidden + down, new_cache
+        return hidden + down, new_cache, moe_aux
 
 
 class Decoder(nn.Module):
@@ -627,11 +636,14 @@ class Decoder(nn.Module):
         return_hidden: bool = False,
         neftune_alpha: float = 0.0,
         noise_rng: Optional[jax.Array] = None,
+        return_moe_aux: bool = False,
     ):
         """Full-sequence: logits (B, S, V). With kv_cache: (logits, new_cache).
 
         ``attention_mask``: (B, S) for full-sequence; (B, max_len) over key
-        positions when decoding with a cache.
+        positions when decoding with a cache. ``return_moe_aux=True``
+        additionally returns the layer-mean MoE load-balancing aux
+        (models/moe.py) as the last element — 0.0 for dense configs.
         """
         cfg = self.cfg
         B, S = input_ids.shape
@@ -724,6 +736,7 @@ class Decoder(nn.Module):
             layer_cls = nn.remat(DecoderLayer, static_argnums=())
 
         new_cache = {} if kv_cache is not None else None
+        moe_aux_sum = jnp.zeros((), jnp.float32)
         for i in range(cfg.num_layers):
             layer_cache = kv_cache[f"layer_{i}"] if kv_cache is not None else None
             windowed = cfg.layer_window(i)
@@ -732,11 +745,13 @@ class Decoder(nn.Module):
                 (cos_local, sin_local)
                 if (windowed and cos_local is not None) else (cos, sin)
             )
-            hidden, layer_new = layer_cls(cfg, layer_idx=i, name=f"layer_{i}")(
+            hidden, layer_new, layer_aux = layer_cls(cfg, layer_idx=i, name=f"layer_{i}")(
                 hidden, layer_mask, lcos, lsin, layer_cache, cache_index, segment_mask
             )
+            moe_aux_sum = moe_aux_sum + layer_aux
             if new_cache is not None:
                 new_cache[f"layer_{i}"] = layer_new
+        moe_aux = moe_aux_sum / cfg.num_layers
 
         hidden = RMSNorm(cfg.rms_norm_eps, cfg.dtype, cfg.param_dtype,
                          unit_offset=cfg.rmsnorm_unit_offset, name="final_norm")(hidden)
@@ -758,5 +773,5 @@ class Decoder(nn.Module):
             logits = logits.astype(cfg.dtype)
 
         if kv_cache is not None:
-            return logits, new_cache
-        return logits
+            return (logits, new_cache, moe_aux) if return_moe_aux else (logits, new_cache)
+        return (logits, moe_aux) if return_moe_aux else logits

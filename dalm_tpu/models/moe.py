@@ -33,10 +33,12 @@ Qwen3-MoE's 128×768).
 
 Load-balancing auxiliary loss: per-layer Switch aux
 ``E · Σ_e frac_assigned_e · mean_prob_e`` (HF
-``load_balancing_loss_func`` per-layer equivalent) is sowed into the
-``intermediates`` collection as ``moe_aux`` — callers that train a
-router apply with ``mutable=["intermediates"]`` and average over layers
-(a no-op sow otherwise).
+``load_balancing_loss_func`` per-layer equivalent) is RETURNED as the
+block's second output — a functional value that survives ``nn.remat``
+(sow mutations inside a rematted layer are off the supported path).
+``Decoder`` averages it over layers and exposes it via
+``return_moe_aux=True``; ``train_generator(moe_aux_weight=w)`` adds it
+to the SFT loss.
 """
 
 from __future__ import annotations
@@ -109,16 +111,17 @@ class MoEBlock(nn.Module):
 
         # Switch-style per-layer load-balancing aux (see module docstring).
         # f_e uses the PRE-capacity assignment fractions, matching HF.
+        # RETURNED (not sowed): a functional output survives nn.remat —
+        # sow mutations inside a rematted layer are off the supported
+        # path (the a8-calibration twin exists for exactly that reason,
+        # train/rag_e2e.py).
         assign_frac = jnp.mean(
             jax.nn.one_hot(idx, E, dtype=jnp.float32), axis=(0, 1)
         )  # (E,) — fraction of (token, k) assignments per expert, ×1/K·E≈1
         mean_prob = jnp.mean(
             jax.nn.softmax(router_logits.astype(jnp.float32), axis=-1), axis=0
         )
-        self.sow(
-            "intermediates", "moe_aux",
-            jnp.asarray(E, jnp.float32) * jnp.sum(assign_frac * mean_prob),
-        )
+        aux = jnp.asarray(E, jnp.float32) * jnp.sum(assign_frac * mean_prob)
 
         impl = cfg.moe_impl
         if impl == "auto":
@@ -134,7 +137,7 @@ class MoEBlock(nn.Module):
             u = jnp.einsum("th,ehm->etm", x2, w_up)
             y = jnp.einsum("etm,emh->eth", act(g) * u, w_down)
             out = jnp.einsum("eth,te->th", y, full_gate.astype(cfg.dtype))
-            return out.reshape(B, S, H).astype(x.dtype)
+            return out.reshape(B, S, H).astype(x.dtype), aux
 
         # ---- dispatch path -------------------------------------------------
         cf = cfg.moe_capacity_factor
@@ -166,4 +169,4 @@ class MoEBlock(nn.Module):
         out = jnp.sum(
             y_rep.reshape(T, K, H) * gate_w[:, :, None].astype(cfg.dtype), axis=1
         )
-        return out.reshape(B, S, H).astype(x.dtype)
+        return out.reshape(B, S, H).astype(x.dtype), aux

@@ -52,6 +52,7 @@ DECODER_PRESETS = {
     "gemma-2b": DecoderConfig.gemma_2b,
     "gemma2-2b": DecoderConfig.gemma2_2b,
     "gemma3-1b": DecoderConfig.gemma3_1b,
+    "tiny-moe": DecoderConfig.tiny_moe,
     "tiny-gpt2": GPT2Config.tiny,
     "gpt2": GPT2Config.gpt2_124m,
 }

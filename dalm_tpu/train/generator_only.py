@@ -98,6 +98,11 @@ def train_generator(
     export_peft: bool = False,
     context_parallel: bool = False,  # seq over mesh `model` axis (ring attention)
     cp_layout: str = "contiguous",  # "zigzag" balances causal ring work (~2× at scale)
+    # MoE generators (models/moe.py): weight on the layer-mean Switch
+    # load-balancing aux added to the SFT loss (HF router_aux_loss_coef
+    # twin; 0 disables — mandatory >0 when training a router from
+    # scratch or experts collapse onto the top few).
+    moe_aux_weight: float = 0.0,
 ) -> dict:
     args = {
         k: v for k, v in locals().items()
@@ -252,15 +257,23 @@ def train_generator(
         def eval_loss_fn(params, base, batch):
             return cp_loss(effective(params, base), batch["input_ids"])
     else:
+        moe_w = float(moe_aux_weight)
+
         def loss_fn(params, base, batch, step_rng):
-            logits = model.apply(
+            out = model.apply(
                 {"params": effective(params, base)},
                 batch["input_ids"],
                 batch["attention_mask"],
                 neftune_alpha=float(neftune_noise_alpha),
                 noise_rng=step_rng,
+                return_moe_aux=moe_w > 0,
             )
-            return causal_lm_loss(logits, batch["input_ids"], batch["attention_mask"])
+            if moe_w > 0:
+                logits, moe_aux = out
+            else:
+                logits, moe_aux = out, 0.0
+            loss = causal_lm_loss(logits, batch["input_ids"], batch["attention_mask"])
+            return loss + moe_w * moe_aux
 
         def eval_loss_fn(params, base, batch):
             logits = model.apply(

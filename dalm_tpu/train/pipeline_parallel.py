@@ -140,7 +140,7 @@ def build_pp_lm_loss(
         seg = mask2d.astype(jnp.int32)
 
         def one_layer(carry, layer_params):
-            out, _ = layer_mod.apply(
+            out, _, _ = layer_mod.apply(
                 {"params": layer_params}, carry, attn_mask, cos, sin, None, None, seg
             )
             return out, None

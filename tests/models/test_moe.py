@@ -72,9 +72,10 @@ def test_dispatch_capacity_drops_tokens():
     assert np.isfinite(np.asarray(y_c1)).all()
 
 
-def test_moe_aux_loss_sowed():
-    """The per-layer Switch aux (E · Σ f_e · p_e) is sowed into
-    intermediates; a perfectly uniform router gives aux ≈ 1."""
+def test_moe_aux_loss_returned():
+    """The per-layer Switch aux (E · Σ f_e · p_e) is the block's second
+    output; a perfectly uniform router gives aux ≈ 1, and the Decoder's
+    return_moe_aux surfaces the layer mean."""
     cfg = tiny_moe_cfg(moe_impl="dense")
     x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 32), jnp.float32)
     from dalm_tpu.core.mesh import unbox
@@ -86,9 +87,22 @@ def test_moe_aux_loss_sowed():
     # = Σ f = 1 exactly.
     params = dict(params)
     params["router"] = jnp.zeros_like(params["router"])
-    _, state = block.apply({"params": params}, x, mutable=["intermediates"])
-    (aux,) = state["intermediates"]["moe_aux"]
+    _, aux = block.apply({"params": params}, x)
     np.testing.assert_allclose(float(aux), 1.0, atol=1e-5)
+
+    # Decoder surface: (logits, aux) with return_moe_aux=True; a dense
+    # config reports exactly 0.
+    dec = Decoder(tiny_moe_cfg())
+    ids = jnp.asarray(np.random.default_rng(0).integers(1, 120, (2, 6)), jnp.int32)
+    mask = jnp.ones_like(ids)
+    dp = unbox(dec.init(jax.random.PRNGKey(0), ids, mask)["params"])
+    logits, dec_aux = dec.apply({"params": dp}, ids, mask, return_moe_aux=True)
+    assert logits.shape == (2, 6, 128) and float(dec_aux) > 0.0
+    dense_dec = Decoder(DecoderConfig(vocab_size=128, hidden_size=32, num_layers=1,
+                                      num_heads=4, intermediate_size=64))
+    ddp = unbox(dense_dec.init(jax.random.PRNGKey(0), ids, mask)["params"])
+    _, zero_aux = dense_dec.apply({"params": ddp}, ids, mask, return_moe_aux=True)
+    assert float(zero_aux) == 0.0
 
 
 def test_moe_decoder_grads_flow():

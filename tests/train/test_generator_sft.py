@@ -180,3 +180,29 @@ def test_sft_context_parallel_zigzag(messages_dataset, tmp_path):
     # across layouts, so 2 epochs of training diverge in the last digits)
     assert abs(zz["eval_loss"] - ref["eval_loss"]) < 2e-2
     assert abs(zz["final_loss"] - ref["final_loss"]) < 5e-2
+
+
+@pytest.mark.slow
+def test_sft_moe_with_aux(messages_dataset, tmp_path):
+    """MoE generator through the SFT loop with the load-balancing aux in
+    the loss (moe_aux_weight > 0): runs, loss finite, router trains."""
+    from dalm_tpu.train.generator_only import train_generator
+
+    out = str(tmp_path / "sft_moe_out")
+    result = train_generator(
+        "tiny-moe",
+        messages_dataset,
+        local_dataset=True,
+        output_dir=out,
+        num_train_epochs=2,
+        seq_length=64,
+        per_device_train_batch_size=1,
+        eval_steps=0,
+        logging_steps=2,
+        validation_split=0.2,
+        use_peft=False,  # full fine-tune: the router must receive grads
+        gradient_checkpointing=True,  # aux must survive the remat boundary
+        moe_aux_weight=0.01,
+    )
+    assert np.isfinite(result["final_loss"])
+    assert np.isfinite(result["eval_loss"])
