@@ -67,9 +67,13 @@ def bench_7b_decode(int4: bool = False) -> None:
     # codebook quality tier (DALM_QUANT_TIER=nf4) — same packing, decoded
     # through the 15-select codebook tree in the Pallas kernel.
     tier = os.environ.get("DALM_QUANT_TIER", "int4") if int4 else "int8"
+    # DALM_KV_QUANT=1: int8 KV-cache tier A/B (same slot count — isolates
+    # the per-token cache-traffic effect; capacity headroom is 2x slots).
+    kvq = bool(os.environ.get("DALM_KV_QUANT"))
     for preset, base_cfg, slots in rows:
         cfg = dataclasses.replace(
-            base_cfg, dtype=jnp.bfloat16, int8_compute=None if int4 else "fwd"
+            base_cfg, dtype=jnp.bfloat16, int8_compute=None if int4 else "fwd",
+            kv_quant=kvq,
         )
         generator = Decoder(cfg)
         ids16 = jnp.zeros((1, 16), jnp.int32)
@@ -97,7 +101,7 @@ def bench_7b_decode(int4: bool = False) -> None:
         print(
             json.dumps(
                 {
-                    "metric": f"decode_tokens_per_sec_per_chip[{preset}-shape,{tier + '-weights' if int4 else 'int8-w8a8'},{slots}-slots,continuous-batching,1xv5e-16GB]",
+                    "metric": f"decode_tokens_per_sec_per_chip[{preset}-shape,{tier + '-weights' if int4 else 'int8-w8a8'}{',int8-kv' if kvq else ''},{slots}-slots,continuous-batching,1xv5e-16GB]",
                     "value": round(per_chip, 1),
                     "unit": "tokens/sec/chip",
                     "vs_baseline": None,

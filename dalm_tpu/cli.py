@@ -248,6 +248,8 @@ def eval_rag_cmd(dataset_path, retriever_name_or_path, generator_name_or_path, *
 @click.option("--generator-tokenizer", default="byte", show_default=True)
 @click.option("--quantize-generator/--no-quantize-generator", default=False, show_default=True,
               help="int8 generator weights (HBM-bound decode: ~2x tokens/sec)")
+@click.option("--kv-quant/--no-kv-quant", default=False, show_default=True,
+              help="int8 KV cache (halves cache HBM traffic; 2x slot budget)")
 @click.option("--index-quantize", default="none",
               type=click.Choice(["none", "int8", "int4"]), show_default=True,
               help="index row storage: int8 = 2x corpus/HBM byte, int4 = 4x")
@@ -260,8 +262,8 @@ def serve_cmd(retriever_name_or_path, generator_name_or_path, passages_path,
               passage_column_name, host, port, num_slots, max_new_tokens,
               max_prompt_len, retriever_peft_path, generator_peft_path,
               retriever_tokenizer, generator_tokenizer, quantize_generator,
-              index_quantize, temperature, sampling_top_k, sampling_top_p,
-              sampling_seed):
+              kv_quant, index_quantize, temperature, sampling_top_k,
+              sampling_top_p, sampling_seed):
     """Serve RAG answers over HTTP (beyond the reference — it has no
     serving surface): POST /answer for full answers, POST /stream for
     token streaming, GET /healthz; plus an OpenAI-compatible surface
@@ -293,8 +295,8 @@ def serve_cmd(retriever_name_or_path, generator_name_or_path, passages_path,
         retriever_tokenizer=retriever_tokenizer,
         generator_tokenizer=generator_tokenizer,
         max_prompt_len=max_prompt_len, max_new_tokens=max_new_tokens,
-        quantize_generator=quantize_generator, sampler=sampler,
-        index_quantize=index_quantize,
+        quantize_generator=quantize_generator, kv_quant=kv_quant,
+        sampler=sampler, index_quantize=index_quantize,
     )
     serve_pipeline(pipe, host=host, port=port, num_slots=num_slots)
 

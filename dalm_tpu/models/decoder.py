@@ -119,6 +119,18 @@ class DecoderConfig:
     # int8 MXU compute for packed frozen kernels ("none"|"fwd"|"all") —
     # see kernels/int8_matmul.py; no effect without int8 quant storage.
     int8_compute: str = "none"
+    # int8 KV cache (beyond-parity serving tier): cache buffers store
+    # int8 K/V with per-(token, kv-head) absmax scales (f32, D/4 bytes
+    # of overhead per 1/2'd D bytes at D=128 ⇒ ~1.6%). Cached decode
+    # attention is HBM-bound on the cache read, so halving K/V bytes
+    # ≈ halves per-token attention traffic and doubles the slot budget
+    # at a fixed HBM envelope. Quantize-on-write / dequantize-on-read
+    # happen inside DecoderAttention; both fuse into the surrounding
+    # elementwise/einsum programs (no extra HBM pass). Quantization is
+    # deterministic, so all write paths (scalar prefill slice, one-hot
+    # single-token, one-hot multi-token) stay bit-identical to each
+    # other — only attention numerics carry the (bounded) rounding.
+    kv_quant: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -393,6 +405,83 @@ def _proj(features, name, cfg, kernel_axes, use_bias=False):
     )
 
 
+def _kv_quantize(x):
+    """(B, S, H, D) float -> (int8 values, (B, S, H) f32 scales).
+
+    Per-(token, head) absmax over D: KV magnitudes vary strongly across
+    positions and heads but are smooth across D, so this is the standard
+    KV-quant granularity (one scale per 128-lane row — free to apply).
+    """
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1)
+    scale = jnp.maximum(amax, 1e-6) / 127.0
+    q = jnp.round(xf / scale[..., None]).astype(jnp.int8)
+    return q, scale
+
+
+def _kv_dequantize(q, scale, dtype):
+    """Inverse of _kv_quantize; f32 multiply, cast to compute dtype."""
+    return (q.astype(jnp.float32) * scale[..., None]).astype(dtype)
+
+
+def _cache_write(cache, new_vals, cache_index, S):
+    """Write per-row or scalar-indexed entries into KV-cache buffers.
+
+    ``new_vals`` maps buffer name -> (B, S, ...) update; buffers are
+    (B, L, H, D) values or (B, L, H) scales. Three modes (see the inline
+    notes — each avoids an XLA lowering measured pathological on TPU):
+
+    - ``cache_index`` (B,) and S == 1: one-hot broadcast select — a
+      dynamic gather over a length-1 axis lowers as a real gather and
+      measured 2x the whole fused step (commit 6098ee1).
+    - ``cache_index`` (B,), S > 1 (speculative verification / fused
+      prefill): one-hot MATMUL over the cache length (rides the MXU,
+      exact: single nonzero term per output row) — take_along_axis over
+      L lowers pathologically; a vmapped dynamic_update_slice measured
+      ~1 s/token at 64 slots.
+    - scalar ``cache_index``: plain dynamic_update_slice.
+
+    int8 buffers run the one-hot contraction in f32 (0/1 one-hot picks
+    integer values exactly representable in f32; the cast back is exact).
+    """
+    out = {}
+    L = cache[next(iter(new_vals))].shape[1]
+    if getattr(cache_index, "ndim", 0) == 1:
+        if S == 1:
+            oh = jnp.arange(L)[None, :] == cache_index[:, None]  # (B, L)
+            for name, val in new_vals.items():
+                buf = cache[name]
+                m = oh.reshape(oh.shape + (1,) * (buf.ndim - 2))
+                out[name] = jnp.where(m, val.astype(buf.dtype), buf)
+        else:
+            g = jnp.arange(L)[None, :] - cache_index[:, None]  # (B, L)
+            inside = (g >= 0) & (g < S)
+            for name, val in new_vals.items():
+                buf = cache[name]
+                et = jnp.float32 if buf.dtype == jnp.int8 else buf.dtype
+                # HIGHEST precision: on TPU the default f32 dot truncates
+                # inputs to bf16 — fine for int8 values (≤127, exact in
+                # bf16) and bf16 buffers, but it would round the f32
+                # scale buffers. The write tensors are tiny; full f32
+                # keeps every path bit-exact vs dynamic_update_slice.
+                oh = (g[:, :, None] == jnp.arange(S)[None, None, :]).astype(et)
+                if buf.ndim == 4:
+                    rows = jnp.einsum("bls,bshd->blhd", oh, val.astype(et),
+                                      precision=jax.lax.Precision.HIGHEST)
+                    m = inside[:, :, None, None]
+                else:
+                    rows = jnp.einsum("bls,bsh->blh", oh, val.astype(et),
+                                      precision=jax.lax.Precision.HIGHEST)
+                    m = inside[:, :, None]
+                out[name] = jnp.where(m, rows.astype(buf.dtype), buf)
+    else:
+        for name, val in new_vals.items():
+            buf = cache[name]
+            start = (0, cache_index) + (0,) * (buf.ndim - 2)
+            out[name] = jax.lax.dynamic_update_slice(buf, val.astype(buf.dtype), start)
+    return out
+
+
 class DecoderAttention(nn.Module):
     cfg: DecoderConfig
     layer_idx: int = 0
@@ -431,55 +520,27 @@ class DecoderAttention(nn.Module):
 
         new_cache = None
         if kv_cache is not None:
-            if getattr(cache_index, "ndim", 0) == 1:
-                # Per-row write positions (continuous batching / speculative
-                # verification): row b writes its S entries at
-                # cache_index[b]..cache_index[b]+S-1. Gather-select, NOT a
-                # vmapped dynamic_update_slice: the latter lowers to a
-                # pathologically slow TPU program (measured ~1 s/token at
-                # 64 slots), while this fuses to one full-cache
-                # elementwise pass (~MBs of HBM traffic, negligible).
-                L_cache = kv_cache["k"].shape[1]
-                if S == 1:
-                    # Single-token step: the gather below would index a
-                    # length-1 axis (indices statically zero), but XLA
-                    # lowers it as a real dynamic gather — measured 2x
-                    # the whole fused-schedule step time at 124M/64
-                    # slots. A one-hot select broadcasts instead and
-                    # fuses to one elementwise pass.
-                    oh = (
-                        jnp.arange(L_cache)[None, :] == cache_index[:, None]
-                    )[:, :, None, None]
-                    k = jnp.where(oh, k.astype(kv_cache["k"].dtype), kv_cache["k"])
-                    v = jnp.where(oh, v.astype(kv_cache["v"].dtype), kv_cache["v"])
-                else:
-                    # Multi-token write (speculative verification /
-                    # fused-prefill): for cache slot l of row b, input
-                    # position g = l - cache_index[b] if 0 <= g < S.
-                    # One-hot MATMUL instead of take_along_axis — XLA
-                    # lowers the dynamic gather over the cache length
-                    # pathologically (the S=1 case of the same gather
-                    # measured 2x the whole fused step, commit 6098ee1);
-                    # a (B,L,S) one-hot contraction rides the MXU and is
-                    # exact (single nonzero term per output row).
-                    g = jnp.arange(L_cache)[None, :] - cache_index[:, None]  # (B, L)
-                    inside = (g >= 0) & (g < S)
-                    oh = (g[:, :, None] == jnp.arange(S)[None, None, :]).astype(
-                        kv_cache["k"].dtype
-                    )  # (B, L, S)
-                    sel = inside[:, :, None, None]
-                    k_rows = jnp.einsum(
-                        "bls,bshd->blhd", oh, k.astype(kv_cache["k"].dtype)
-                    )
-                    v_rows = jnp.einsum(
-                        "bls,bshd->blhd", oh, v.astype(kv_cache["v"].dtype)
-                    )
-                    k = jnp.where(sel, k_rows, kv_cache["k"])
-                    v = jnp.where(sel, v_rows, kv_cache["v"])
+            # Write modes live in _cache_write (one-hot select / one-hot
+            # MXU contraction / dynamic_update_slice — each chosen against
+            # a measured-pathological XLA lowering; see its docstring).
+            if "k_scale" in kv_cache:
+                # int8 KV tier (cfg.kv_quant): quantize-on-write with
+                # per-(token, head) scales; attention below reads the
+                # dequantized full buffers (the dequant multiply fuses
+                # into the attention einsum's operand read — the HBM
+                # traffic is the int8 cache + 1/128th of scales).
+                qk, ks = _kv_quantize(k)
+                qv, vs = _kv_quantize(v)
+                new_cache = _cache_write(
+                    kv_cache,
+                    {"k": qk, "k_scale": ks, "v": qv, "v_scale": vs},
+                    cache_index, S,
+                )
+                k = _kv_dequantize(new_cache["k"], new_cache["k_scale"], cfg.dtype)
+                v = _kv_dequantize(new_cache["v"], new_cache["v_scale"], cfg.dtype)
             else:
-                k = jax.lax.dynamic_update_slice(kv_cache["k"], k.astype(kv_cache["k"].dtype), (0, cache_index, 0, 0))
-                v = jax.lax.dynamic_update_slice(kv_cache["v"], v.astype(kv_cache["v"].dtype), (0, cache_index, 0, 0))
-            new_cache = {"k": k, "v": v}
+                new_cache = _cache_write(kv_cache, {"k": k, "v": v}, cache_index, S)
+                k, v = new_cache["k"], new_cache["v"]
 
         if kvh != nh and cfg.attention_impl == "ring" and kv_cache is None:
             # Only the ring path still needs equal head counts (its
@@ -620,6 +681,20 @@ class Decoder(nn.Module):
         cfg = self.cfg
         dtype = dtype or cfg.dtype
         shape = (batch_size, max_len, cfg.kv_heads, cfg.head_dim)
+        if cfg.kv_quant:
+            # int8 KV tier: int8 values + per-(token, head) f32 scales.
+            # Zero-initialized scales dequantize unwritten slots to 0,
+            # which the causal/length masks exclude anyway (same contract
+            # as the zero-initialized float buffers below).
+            def _layer():
+                return {
+                    "k": jnp.zeros(shape, jnp.int8),
+                    "k_scale": jnp.zeros(shape[:3], jnp.float32),
+                    "v": jnp.zeros(shape, jnp.int8),
+                    "v_scale": jnp.zeros(shape[:3], jnp.float32),
+                }
+
+            return {f"layer_{i}": _layer() for i in range(cfg.num_layers)}
         return {
             f"layer_{i}": {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
             for i in range(cfg.num_layers)

@@ -63,6 +63,7 @@ class RagPipeline:
         index_kernel: str = "auto",  # pallas on TPU, xla elsewhere
         index_quantize: "bool | str" = False,  # True/"int8" = int8 rows, "int4" = nibble rows
         quantize_generator: "bool | str" = False,  # True = int8, "int4" = 4-bit
+        kv_quant: bool = False,  # int8 KV cache (per-token/head scales)
         sampler=None,  # models.sampling.SamplerConfig; None = greedy
         speculative: bool = False,  # prompt-lookup speculative decode (greedy only)
         speculative_gamma: int = 8,
@@ -72,6 +73,21 @@ class RagPipeline:
         bound, so halving weight bytes ≈ 2× decode throughput and 2×
         models per chip; dequant fuses into each matmul (weight-only —
         activations stay in compute dtype)."""
+        if kv_quant:
+            # int8 KV-cache tier (DecoderConfig.kv_quant): halves cached
+            # decode's K/V HBM traffic and doubles the slot budget. The
+            # flag lives on the config, so every decode path downstream
+            # (greedy/speculative lockstep, continuous batching,
+            # streaming) picks it up via init_kv_cache.
+            import dataclasses as _dc
+
+            if not hasattr(generator.cfg, "kv_quant"):
+                raise ValueError(
+                    "kv_quant requires a models.decoder.Decoder generator"
+                )
+            generator = generator.clone(
+                cfg=_dc.replace(generator.cfg, kv_quant=True)
+            )
         self.mesh = mesh or make_mesh(MeshConfig())
         self.retriever = retriever_model
         self.r_params = retriever_params
