@@ -70,7 +70,12 @@ def bench_7b_decode(int4: bool = False) -> None:
     # DALM_KV_QUANT=1: int8 KV-cache tier A/B (same slot count — isolates
     # the per-token cache-traffic effect; capacity headroom is 2x slots).
     kvq = bool(os.environ.get("DALM_KV_QUANT"))
+    # DALM_SLOTS_MULT=2: scale the slot pool — with the int8 KV tier the
+    # cache bytes halve, so the same HBM holds 2x slots; decode is
+    # HBM-bound and batches over slots, so capacity IS throughput.
+    slots_mult = int(os.environ.get("DALM_SLOTS_MULT", "1"))
     for preset, base_cfg, slots in rows:
+        slots *= slots_mult
         cfg = dataclasses.replace(
             base_cfg, dtype=jnp.bfloat16, int8_compute=None if int4 else "fwd",
             kv_quant=kvq,

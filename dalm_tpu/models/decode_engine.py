@@ -261,11 +261,15 @@ class DecodeEngine:
                 first = select_token(
                     logits[:, -1, :], samp, req_ids[safe_req], jnp.zeros_like(safe_req)
                 )
-                sel4 = take[:, None, None, None]
-                cache = jax.tree.map(
-                    lambda big, rows: jnp.where(sel4, rows.astype(big.dtype), big),
-                    s["cache"], row_cache,
-                )
+                def _merge(big, rows):
+                    # rank-aware slot select: value buffers are (B,L,H,D),
+                    # the int8-KV tier's scale buffers are (B,L,H) — a
+                    # fixed (B,1,1,1) select would broadcast a 3-d buffer
+                    # to (B,B,L,H) and blow up the cond's output shapes.
+                    sel = take.reshape((B,) + (1,) * (big.ndim - 1))
+                    return jnp.where(sel, rows.astype(big.dtype), big)
+
+                cache = jax.tree.map(_merge, s["cache"], row_cache)
                 cap_take = caps[safe_req]
                 first_eos = (first == eos) & has_eos
                 fin0 = take & (first_eos | (cap_take <= 1))

@@ -151,3 +151,8 @@ def test_engine_kv_quant_matches_quant_lockstep(params):
     got = eng.generate(ids, mask)
     for i in range(n):
         assert got[i] == [int(t) for t in expected[i]], f"request {i} diverged"
+    # The fused on-device schedule merges prefill rows into the slot pool
+    # with a rank-aware select — the int8 tier's 3-d scale buffers caught
+    # a fixed (B,1,1,1) broadcast bug here (see decode_engine._merge).
+    fused = eng.generate_fused(ids, mask)
+    assert fused == got, "fused schedule diverged from host-loop on int8 KV"
