@@ -48,8 +48,8 @@ def test_dense_vs_dispatch_equivalence():
     cfg_disp = tiny_moe_cfg(moe_impl="dispatch", moe_capacity_factor=None)
     x = jax.random.normal(jax.random.PRNGKey(0), (2, 6, 32), jnp.float32)
     params = MoEBlock(cfg_dense).init(jax.random.PRNGKey(1), x)["params"]
-    y_dense = MoEBlock(cfg_dense).apply({"params": params}, x)
-    y_disp = MoEBlock(cfg_disp).apply({"params": params}, x)
+    y_dense, _ = MoEBlock(cfg_dense).apply({"params": params}, x)
+    y_disp, _ = MoEBlock(cfg_disp).apply({"params": params}, x)
     np.testing.assert_allclose(np.asarray(y_dense), np.asarray(y_disp), atol=1e-5)
 
 
@@ -61,12 +61,12 @@ def test_dispatch_capacity_drops_tokens():
     cfg = tiny_moe_cfg(moe_impl="dispatch", moe_capacity_factor=None)
     x = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 32), jnp.float32)
     params = MoEBlock(cfg).init(jax.random.PRNGKey(1), x)["params"]
-    y_full = MoEBlock(cfg).apply({"params": params}, x)
+    y_full, _ = MoEBlock(cfg).apply({"params": params}, x)
     # C=1: at most one assignment per expert survives.
     cfg_c1 = tiny_moe_cfg(
         moe_impl="dispatch", moe_capacity_factor=4 / (8 * 2)
     )  # ceil(T·K·cf/E) = ceil(8·2·cf/4) = 1
-    y_c1 = MoEBlock(cfg_c1).apply({"params": params}, x)
+    y_c1, _ = MoEBlock(cfg_c1).apply({"params": params}, x)
     assert not np.allclose(np.asarray(y_full), np.asarray(y_c1), atol=1e-5)
     # total surviving assignments ≤ E experts × C=1
     assert np.isfinite(np.asarray(y_c1)).all()
