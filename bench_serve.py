@@ -63,6 +63,11 @@ def bench_7b_decode(int4: bool = False) -> None:
         # microbenches cannot resolve the in-kernel differences on this
         # box — see RESULTS.md "microbenchmark methodology")
         rows = rows[:1]
+    if os.environ.get("DALM_BENCH_PRESETS"):
+        # comma-separated preset substrings, e.g. "8B,phi3" — run only
+        # the matching rows (A/B arms that already have the other rows)
+        want = os.environ["DALM_BENCH_PRESETS"].split(",")
+        rows = [r for r in rows if any(w in r[0] for w in want)]
     # 4-bit storage format: linear int4 (default) or the NormalFloat4
     # codebook quality tier (DALM_QUANT_TIER=nf4) — same packing, decoded
     # through the 15-select codebook tree in the Pallas kernel.
