@@ -125,6 +125,10 @@ def _bench_flagship_7b():
     import os
 
     a8_cal = int(os.environ.get("DALM_A8_CALIBRATE", "16"))
+    # DALM_A8_DY=1: calibrated backward-dy scales too (delayed scaling,
+    # train/rag_e2e.py a8_dy_calibrate) — A/B arm for the remaining
+    # dynamic-quant share (the bwd rowquant, 9.1%+1.8% trace share).
+    a8_dy = bool(int(os.environ.get("DALM_A8_DY", "0"))) and a8_cal > 0
 
     result = train_e2e(
         ds,
@@ -143,6 +147,7 @@ def _bench_flagship_7b():
         lora_runtime="fused",
         int8_compute="all",  # W8A8 on the MXU int8 path (394 TOPS), STE bwd
         a8_calibrate_every=a8_cal,
+        a8_dy_calibrate=a8_dy,
         with_tracking=False,
         output_dir=None,
         num_warmup_steps=0,
@@ -177,6 +182,7 @@ def _bench_flagship_7b():
             "rag_e2e_train_samples_per_sec_per_chip[bge-large+llama2-7B-shape,"
             "b18,q50/p128/g256,fused-qlora-w8a8-int8-mxu"
             + (f"-a8cal{a8_cal}" if a8_cal else "")
+            + ("-dycal" if a8_dy else "")
             + ",train_e2e-loop,1xv5e-16GB]"
         ),
         "value": round(per_chip, 3),

@@ -79,8 +79,12 @@ def bench_7b_decode(int4: bool = False) -> None:
     # cache bytes halve, so the same HBM holds 2x slots; decode is
     # HBM-bound and batches over slots, so capacity IS throughput.
     slots_mult = int(os.environ.get("DALM_SLOTS_MULT", "1"))
+    # DALM_SLOTS=N: absolute slot-pool override for every selected row —
+    # for probing the real HBM ceiling between the preset count and 2x
+    # (the r5 GQA arms found 8B/192 OOMs on program temps, not cache).
+    slots_abs = int(os.environ.get("DALM_SLOTS", "0"))
     for preset, base_cfg, slots in rows:
-        slots *= slots_mult
+        slots = slots_abs or slots * slots_mult
         cfg = dataclasses.replace(
             base_cfg, dtype=jnp.bfloat16, int8_compute=None if int4 else "fwd",
             kv_quant=kvq,

@@ -143,6 +143,55 @@ def train_retriever_only_cmd(retriever_name_or_path, dataset_path, **kwargs):
     click.echo(f"train-retriever-only done: {result}")
 
 
+@cli.command("train-generator")
+@click.argument("model_name_or_path")
+@click.argument("dataset_path")
+@click.option("--output-dir", default="./generator_finetuned_model", show_default=True)
+@click.option("--num-train-epochs", default=1, show_default=True)
+@click.option("--seq-length", default=2600, show_default=True)
+@click.option("--per-device-train-batch-size", default=1, show_default=True)
+@click.option("--gradient-accumulation-steps", default=1, show_default=True)
+@click.option("--learning-rate", default=1e-4, show_default=True)
+@click.option("--lr-scheduler-type", default="cosine", show_default=True)
+@click.option("--num-warmup-steps", default=100, show_default=True)
+@click.option("--weight-decay", default=0.05, show_default=True)
+@click.option("--eval-steps", default=200, show_default=True)
+@click.option("--logging-steps", default=10, show_default=True)
+@click.option("--validation-split", default=0.05, show_default=True)
+@click.option("--packing/--no-packing", default=True, show_default=True)
+@click.option("--use-peft/--no-use-peft", default=True, show_default=True)
+@click.option("--lora-r", default=256, show_default=True)
+@click.option("--lora-alpha", default=512.0, show_default=True)
+@click.option("--neftune-noise-alpha", default=5.0, show_default=True)
+@click.option("--tokenizer", default="byte", show_default=True)
+@click.option("--dtype", default=None)
+@click.option("--seed", default=42, show_default=True)
+@click.option("--context-parallel", is_flag=True, default=False,
+              help="sequence over the mesh `model` axis (ring attention)")
+@click.option("--moe-aux-weight", default=0.0, show_default=True,
+              help="Switch load-balancing aux weight for MoE generators")
+@click.option("--pipeline-stages", default=0, show_default=True,
+              help=">1: GPipe pipeline parallelism — layer stack over a "
+                   "`stage` mesh axis (requires --no-use-peft)")
+@click.option("--pp-microbatches", default=0, show_default=True,
+              help="microbatches per data shard (default: local batch size)")
+@click.option("--pp-model-parallel", default=1, show_default=True,
+              help="TP width inside each pipeline stage (PP x TP)")
+def train_generator_cmd(model_name_or_path, dataset_path, **kwargs):
+    """Supervised fine-tuning of a generator (the reference's
+    training/generator_only/trainer.py surface — TRL SFTTrainer twin),
+    with TPU-native parallelism: --context-parallel (ring attention),
+    --pipeline-stages (GPipe PP), --pp-model-parallel (PP x TP)."""
+    from dalm_tpu.train.generator_only import train_generator
+
+    result = train_generator(
+        model_name=model_name_or_path,
+        dataset_name=dataset_path,
+        **kwargs,
+    )
+    click.echo(f"train-generator done: {result}")
+
+
 @cli.command("qa-gen")
 @click.argument("dataset_path")
 @click.option("--passage-column-name", default="Abstract", show_default=True)

@@ -330,10 +330,77 @@ def _int8_matmul_cal_fwd(x, q, scale, a_scale, bwd_int8):
 
 
 def _int8_matmul_cal_bwd(bwd_int8, res, dy):
-    # Same STE backward as the dynamic path; a_scale is a calibration
-    # constant (symbolic-zero cotangent).
+    # Same STE backward as the dynamic path. a_scale's cotangent channel
+    # is OUT-OF-BAND (the fp8 "delayed scaling" trick, as in
+    # TransformerEngine/Praxis): it carries max|dy·scale|/127 — the
+    # PER-TENSOR quantization scale the NEXT backward would need — not a
+    # real gradient. Normal train steps never differentiate wrt the
+    # frozen quant tree, so this amax is dead code XLA eliminates; the
+    # a8_dy_calibrate probe step (train/rag_e2e.py) pulls it to refresh
+    # the `dy_scale` leaves without any extra pass over dy.
+    q, scale = res
     dx, dq_zero, dscale = _int8_matmul_bwd(bwd_int8, res, dy)
-    return dx, dq_zero, dscale, jnp.zeros((), jnp.float32)
+    dy_amax = jnp.max(jnp.abs(dy.astype(jnp.float32) * scale))
+    return dx, dq_zero, dscale, jnp.maximum(dy_amax / 127.0, 1e-8)
 
 
 int8_matmul_cal.defvjp(_int8_matmul_cal_fwd, _int8_matmul_cal_bwd)
+
+
+# --------------------------------------------------------------------------
+# Calibrated backward-dy scale (delayed scaling, one refresh stale)
+# --------------------------------------------------------------------------
+#
+# The trace-attributed remainder of the dynamic-quant share is the
+# backward dy row-quant (9.1%+1.8% of the flagship step, RESULTS.md):
+# rowquant needs an absmax pass over dyf BEFORE the quantize pass — two
+# serial HBM reads. With a calibrated per-tensor ``dy_scale`` the
+# quantize is pure elementwise (fuses into dy's producer) and the amax
+# for the NEXT refresh rides the same read (computed here, pulled only
+# by the probe step). Out-of-range values clip to ±127 until the next
+# refresh — same bounded-error contract as the forward a_scale.
+
+@partial(jax.custom_vjp, nondiff_argnums=(5,))
+def int8_matmul_dycal(
+    x: jax.Array, q: jax.Array, scale: jax.Array, a_scale: jax.Array,
+    dy_scale: jax.Array, bwd_int8: bool = True,
+):
+    """Calibrated-activation forward AND calibrated-dy int8 backward.
+
+    Forward identical to :func:`int8_matmul_cal`; backward quantizes
+    ``dy·scale`` with the precomputed per-tensor ``dy_scale`` (no absmax
+    pass). ``a_scale``'s cotangent carries the fresh dy amax/127
+    (out-of-band — see ``_int8_matmul_cal_bwd``); ``dy_scale`` is a
+    frozen calibration constant (zero cotangent).
+    """
+    out, _ = _int8_matmul_dycal_fwd(x, q, scale, a_scale, dy_scale, bwd_int8)
+    return out
+
+
+def _int8_matmul_dycal_fwd(x, q, scale, a_scale, dy_scale, bwd_int8):
+    y, _ = _int8_matmul_cal_fwd(x, q, scale, a_scale, bwd_int8)
+    return y, (q, scale, dy_scale)
+
+
+def _int8_matmul_dycal_bwd(bwd_int8, res, dy):
+    q, scale, dy_scale = res
+    dyf = dy.astype(jnp.float32) * scale
+    if bwd_int8:
+        dq = jnp.clip(jnp.round(dyf / dy_scale), -127, 127).astype(jnp.int8)
+        dx = _i8_dot_last(dq, q, 1).astype(jnp.float32) * dy_scale
+    else:
+        dims = (((dy.ndim - 1,), (1,)), ((), ()))
+        dx = jax.lax.dot_general(
+            dyf.astype(jnp.bfloat16), q.astype(jnp.bfloat16), dims,
+            preferred_element_type=jnp.float32,
+        )
+    dq_zero = np.zeros(q.shape, jax.dtypes.float0)
+    dy_amax = jnp.max(jnp.abs(dyf))
+    return (
+        dx.astype(dy.dtype), dq_zero, jnp.zeros_like(scale),
+        jnp.maximum(dy_amax / 127.0, 1e-8),  # OWG: next refresh's dy_scale
+        jnp.zeros((), jnp.float32),
+    )
+
+
+int8_matmul_dycal.defvjp(_int8_matmul_dycal_fwd, _int8_matmul_dycal_bwd)

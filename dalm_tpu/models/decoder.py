@@ -116,6 +116,14 @@ class DecoderConfig:
     norm_topk_prob: bool = True
     moe_impl: str = "auto"
     moe_capacity_factor: Optional[float] = None
+    # GShard-style token grouping for the dispatch path: tokens split
+    # into groups of ≤ this many, each dispatched independently (the
+    # one-hot dispatch tensor is (S·K, E, C) PER GROUP, so memory stays
+    # linear in T instead of the single-group O(T²·K/E)). None → one
+    # group (exact dropless possible); with groups, capacity counts are
+    # per group. 2048 bounds the group dispatch tensor to ~64 MB bf16
+    # at E=16, cf=1.25.
+    moe_group_size: Optional[int] = 2048
     # int8 MXU compute for packed frozen kernels ("none"|"fwd"|"all") —
     # see kernels/int8_matmul.py; no effect without int8 quant storage.
     int8_compute: str = "none"
@@ -306,6 +314,20 @@ class DecoderConfig:
             num_kv_heads=8, intermediate_size=14336,
             max_position_embeddings=32768, rope_theta=1000000.0,
             num_experts=8, num_experts_per_tok=2,
+            remat=True, param_dtype=jnp.bfloat16,
+        )
+
+    @staticmethod
+    def mixtral_mini_4b() -> "DecoderConfig":
+        # Serve-bench MoE tier: mixtral-style few-big-experts scaled to
+        # ~3.6B total / ~1.1B active params — the largest top-2 8-expert
+        # shape whose int8 weights (~3.6 GB) fit one 16 GB chip beside a
+        # full slot pool's KV cache (tools/bench_moe.py).
+        return DecoderConfig(
+            vocab_size=32000, hidden_size=2048, num_layers=16, num_heads=32,
+            num_kv_heads=8, head_dim_override=64, intermediate_size=4096,
+            num_experts=8, num_experts_per_tok=2,
+            max_position_embeddings=4096, rope_theta=1000000.0,
             remat=True, param_dtype=jnp.bfloat16,
         )
 

@@ -88,10 +88,21 @@ class FlexLinear(nn.Module):
                 # Calibrated per-tensor activation scale: quantize is
                 # pure elementwise (no absmax pass) — +7.3% measured on
                 # the flagship step (RESULTS.md static-scale probe).
-                y = int8_matmul_cal(
-                    x, q, scale, self.get_variable("quant", "a_scale"),
-                    self.int8_compute == "all",
-                )
+                if self.int8_compute == "all" and self.has_variable("quant", "dy_scale"):
+                    # Calibrated BACKWARD dy scale too (delayed scaling,
+                    # refreshed by the a8_dy_calibrate probe step): the
+                    # bwd rowquant absmax pass vanishes as well.
+                    from dalm_tpu.kernels.int8_matmul import int8_matmul_dycal
+
+                    y = int8_matmul_dycal(
+                        x, q, scale, self.get_variable("quant", "a_scale"),
+                        self.get_variable("quant", "dy_scale"), True,
+                    )
+                else:
+                    y = int8_matmul_cal(
+                        x, q, scale, self.get_variable("quant", "a_scale"),
+                        self.int8_compute == "all",
+                    )
             else:
                 y = int8_matmul(x, q, scale, self.int8_compute == "all")
         elif quantized:

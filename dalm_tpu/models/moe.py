@@ -20,9 +20,12 @@ The reference framework has no MoE support (its generator is whatever
   for the expert FFNs — everything static-shape, every contraction on
   the MXU, no gather/scatter. Tokens over capacity are DROPPED (their
   residual passes through untouched) exactly as in Switch; with
-  ``moe_capacity_factor=None`` capacity is T (dropless, exact — the
-  per-expert assignment count can never exceed the token count since
-  top-k indices are distinct per token).
+  ``moe_capacity_factor=None`` capacity is the group size (dropless,
+  exact — the per-expert assignment count can never exceed the token
+  count since top-k indices are distinct per token). Tokens are split
+  into GShard-style groups of ``moe_group_size`` (each group carries
+  its own dispatch tensor and capacity budget) so dispatch memory is
+  linear in T rather than the single-group O(T²·K/E).
 
 Expert parallelism: stacked expert weights carry the logical axis
 ``"expert"`` which `core/mesh.py` maps to the mesh ``model`` axis — each
@@ -140,33 +143,48 @@ class MoEBlock(nn.Module):
             return out.reshape(B, S, H).astype(x.dtype), aux
 
         # ---- dispatch path -------------------------------------------------
-        cf = cfg.moe_capacity_factor
-        if cf is None:
-            C = T  # dropless: an expert can receive at most T assignments
-        else:
-            import math
+        # GShard-style token GROUPS (cfg.moe_group_size): each group of
+        # S_g tokens builds its own (S_g·K, E, C) one-hot dispatch tensor
+        # and capacity budget, so dispatch memory is LINEAR in T
+        # (T·K·E·S_g elements total) instead of the single-group
+        # O(T²·K/E). Dropless stays exact under grouping: within a group
+        # an expert can receive at most S_g assignments (top-k indices
+        # are distinct per token), so C = S_g loses nothing.
+        import math
 
-            C = min(T, max(1, math.ceil(T * K * float(cf) / E)))
-        A = T * K  # assignments, token-major then choice-minor (HF order)
-        flat_idx = idx.reshape(A)
-        assign = jax.nn.one_hot(flat_idx, E, dtype=jnp.int32)  # (A, E)
+        cf = cfg.moe_capacity_factor
+        g_size = min(cfg.moe_group_size or T, T)
+        T_pad = -(-T // g_size) * g_size
+        G = T_pad // g_size
+        Ag = g_size * K  # assignments per group (token-major, HF order)
+        if cf is None:
+            C = g_size  # dropless
+        else:
+            C = min(g_size, max(1, math.ceil(g_size * K * float(cf) / E)))
+        flat_idx = jnp.pad(idx, ((0, T_pad - T), (0, 0))).reshape(T_pad * K)
+        # padded rows must not consume capacity: zero their assignment
+        valid = jnp.repeat(jnp.arange(T_pad) < T, K)  # (T_pad·K,)
+        assign = jax.nn.one_hot(flat_idx, E, dtype=jnp.int32) * valid[:, None]
+        assign = assign.reshape(G, Ag, E)
         # Position of each assignment within its expert's buffer = number
-        # of PRIOR assignments to the same expert (cumsum minus self).
-        prior = jnp.cumsum(assign, axis=0) - assign
-        pos = jnp.sum(assign * prior, axis=-1)  # (A,)
+        # of PRIOR assignments (in its group) to the same expert.
+        prior = jnp.cumsum(assign, axis=1) - assign
+        pos = jnp.sum(assign * prior, axis=-1)  # (G, Ag)
         keep = pos < C
-        # One-hot dispatch (A, E, C): exactly one (e, c) per kept assignment.
+        # One-hot dispatch (G, Ag, E, C): one (e, c) per kept assignment.
         disp = (
-            assign[:, :, None] * jax.nn.one_hot(pos, C, dtype=jnp.int32)[:, None, :]
-        ) * keep[:, None, None]
-        disp = disp.astype(cfg.dtype)  # (A, E, C) one-hot → MXU contractions
-        x_rep = jnp.broadcast_to(x2[:, None, :], (T, K, H)).reshape(A, H)
-        xe = jnp.einsum("aec,ah->ech", disp, x_rep)  # (E, C, H)
-        g = jnp.einsum("ech,ehm->ecm", xe, w_gate)
-        u = jnp.einsum("ech,ehm->ecm", xe, w_up)
-        ye = jnp.einsum("ecm,emh->ech", act(g) * u, w_down)
-        y_rep = jnp.einsum("aec,ech->ah", disp, ye)  # dropped rows → 0
+            assign[..., None] * jax.nn.one_hot(pos, C, dtype=jnp.int32)[:, :, None, :]
+        ) * keep[..., None, None]
+        disp = disp.astype(cfg.dtype)  # one-hot → MXU contractions
+        x_pad = jnp.pad(x2, ((0, T_pad - T), (0, 0)))
+        x_rep = jnp.broadcast_to(x_pad[:, None, :], (T_pad, K, H)).reshape(G, Ag, H)
+        xe = jnp.einsum("gaec,gah->gech", disp, x_rep)  # (G, E, C, H)
+        g = jnp.einsum("gech,ehm->gecm", xe, w_gate)
+        u = jnp.einsum("gech,ehm->gecm", xe, w_up)
+        ye = jnp.einsum("gecm,emh->gech", act(g) * u, w_down)
+        y_rep = jnp.einsum("gaec,gech->gah", disp, ye)  # dropped rows → 0
         out = jnp.sum(
-            y_rep.reshape(T, K, H) * gate_w[:, :, None].astype(cfg.dtype), axis=1
+            y_rep.reshape(T_pad, K, H)[:T] * gate_w[:, :, None].astype(cfg.dtype),
+            axis=1,
         )
         return out.reshape(B, S, H).astype(x.dtype), aux

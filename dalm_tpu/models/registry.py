@@ -46,6 +46,7 @@ DECODER_PRESETS = {
     "qwen2.5-7b": DecoderConfig.qwen25_7b,
     "qwen3-8b": DecoderConfig.qwen3_8b,
     "mixtral-8x7b": DecoderConfig.mixtral_8x7b,
+    "mixtral-mini-4b": DecoderConfig.mixtral_mini_4b,
     "qwen3-moe-30b": DecoderConfig.qwen3_moe_30b,
     "llama3.1-8b": DecoderConfig.llama31_8b,
     "phi3-mini": DecoderConfig.phi3_mini,

@@ -103,6 +103,17 @@ def train_generator(
     # twin; 0 disables — mandatory >0 when training a router from
     # scratch or experts collapse onto the top few).
     moe_aux_weight: float = 0.0,
+    # Pipeline parallelism (train/pipeline_parallel.py): >1 shards the
+    # LAYER stack over a `stage` mesh axis, microbatches flow GPipe-style
+    # through one SPMD program. Full-parameter training only
+    # (use_peft=False): PP exists for layer stacks too big for one
+    # chip's HBM, where LoRA-on-a-frozen-base does not shrink the
+    # dominant cost (the resident base weights themselves). Composes
+    # with MoE (moe_aux_weight) and with TP (pp_model_parallel>1 adds a
+    # GSPMD-auto `model` axis inside each stage).
+    pipeline_stages: int = 0,
+    pp_microbatches: int = 0,  # per-data-shard; default = local batch size
+    pp_model_parallel: int = 1,
 ) -> dict:
     args = {
         k: v for k, v in locals().items()
@@ -112,7 +123,32 @@ def train_generator(
     # built (jax.devices() is global after this). No-op single-host.
     initialize_distributed()
     multihost = jax.process_count() > 1
-    if mesh is None:
+    pp = int(pipeline_stages) > 1
+    pp_mb = 0
+    if pp:
+        if use_peft:
+            raise ValueError(
+                "pipeline_stages requires use_peft=False: PP trains the full "
+                "parameter set (a frozen LoRA base would still have to be "
+                "resident per stage, defeating the layer sharding)"
+            )
+        if context_parallel:
+            raise ValueError(
+                "pipeline_stages and context_parallel are mutually exclusive "
+                "(PP pipelines microbatches over layers; CP shards the "
+                "sequence over the model axis — compose TP with PP via "
+                "pp_model_parallel instead)"
+            )
+        from dalm_tpu.train.pipeline_parallel import make_pp_mesh
+
+        mesh = make_pp_mesh(int(pipeline_stages), model_parallel=int(pp_model_parallel))
+        pp_mb = int(pp_microbatches) or per_device_train_batch_size
+        if per_device_train_batch_size % pp_mb:
+            raise ValueError(
+                f"per_device_train_batch_size {per_device_train_batch_size} "
+                f"must be divisible by pp_microbatches {pp_mb}"
+            )
+    elif mesh is None:
         mesh = make_mesh(MeshConfig())
     global_batch = per_device_train_batch_size * mesh.shape["data"]
 
@@ -219,20 +255,31 @@ def train_generator(
 
     lora_spec = None
     base_params = None
-    if use_peft:
-        from dalm_tpu.models import lora as lora_mod
+    if pp:
+        from dalm_tpu.train import pipeline_parallel as pp_mod
 
-        lora_spec = lora_mod.LoraSpec(
-            rank=lora_r, alpha=lora_alpha, dropout=lora_dropout,
-            target_modules=lora_mod.CAUSAL_LM_TARGETS,
-        )
-        base_params = jax.device_put(init_params, replicated(mesh))
-        trainable = lora_mod.init_lora_params(jax.random.fold_in(init_rng, 3), init_params, lora_spec)
+        io_h, stacked_h = pp_mod.split_decoder_params(init_params, cfg.num_layers)
+        io_p, st_p = pp_mod.place_pp_params(io_h, stacked_h, mesh, model=model)
+        del init_params, io_h, stacked_h
+        trainable = {"io": io_p, "stacked": st_p}
+        # optax init (zeros_like) inherits each leaf's sharding, so the
+        # Adam moments live stage-sharded next to their params.
+        state = TrainState.create(trainable, tx)
     else:
-        trainable = init_params
+        if use_peft:
+            from dalm_tpu.models import lora as lora_mod
 
-    state = TrainState.create(trainable, tx)
-    state = jax.device_put(state, replicated(mesh))
+            lora_spec = lora_mod.LoraSpec(
+                rank=lora_r, alpha=lora_alpha, dropout=lora_dropout,
+                target_modules=lora_mod.CAUSAL_LM_TARGETS,
+            )
+            base_params = jax.device_put(init_params, replicated(mesh))
+            trainable = lora_mod.init_lora_params(jax.random.fold_in(init_rng, 3), init_params, lora_spec)
+        else:
+            trainable = init_params
+
+        state = TrainState.create(trainable, tx)
+        state = jax.device_put(state, replicated(mesh))
 
     def effective(params, base):
         if not use_peft:
@@ -241,7 +288,25 @@ def train_generator(
 
         return lora_mod.merge_lora(base, params, lora_spec, None)
 
-    if context_parallel:
+    if pp:
+        pp_loss = pp_mod.build_pp_lm_loss(
+            model, mesh, pp_mb,
+            moe_aux_weight=float(moe_aux_weight),
+            neftune_alpha=float(neftune_noise_alpha),
+        )
+
+        def loss_fn(params, base, batch, step_rng):
+            return pp_loss(
+                params["io"], params["stacked"],
+                batch["input_ids"], batch["attention_mask"], step_rng,
+            )
+
+        def eval_loss_fn(params, base, batch):
+            return pp_loss(
+                params["io"], params["stacked"],
+                batch["input_ids"], batch["attention_mask"],
+            )
+    elif context_parallel:
         from dalm_tpu.train.context_parallel import build_cp_loss
 
         cp_loss = build_cp_loss(
@@ -322,6 +387,11 @@ def train_generator(
             return float("nan")
         losses = []
         ebs = per_device_eval_batch_size * mesh.shape["data"]
+        if pp:
+            # the pipelined program reshapes each data shard's rows into
+            # pp_mb microbatches — eval batches must divide the same way
+            div = mesh.shape["data"] * pp_mb
+            ebs = max(div, ebs - ebs % div)
         if multihost:
             # host_batch_slice floor-divides by process_count; mirror the
             # train loop's lcm rounding so a host-spanning model axis cannot
@@ -355,6 +425,8 @@ def train_generator(
         # per-(seed, epoch) stream: resume-stable shuffle order
         order = np.random.default_rng([seed, epoch]).permutation(len(train_blocks))
         shards = mesh.shape["data"]
+        if pp:
+            shards *= pp_mb  # each shard's rows must split into pp_mb microbatches
         if multihost:
             # partial batches must also split evenly across processes
             shards = math.lcm(shards, jax.process_count())
@@ -390,7 +462,8 @@ def train_generator(
         # save per epoch (reference save_strategy="epoch")
         if output_dir:
             _save(output_dir, cfg, state, base_params, lora_spec, tok, tokenizer, use_peft,
-                  export_peft=export_peft, base_name=model_name)
+                  export_peft=export_peft, base_name=model_name,
+                  pp_layers=cfg.num_layers if pp else None)
             timer.mark(completed)  # exclude the save from throughput windows
 
     if last is not None:
@@ -399,7 +472,8 @@ def train_generator(
     if output_dir:
         final_dir = os.path.join(output_dir, "final_checkpoint")
         _save(final_dir, cfg, state, base_params, lora_spec, tok, tokenizer, use_peft,
-              export_peft=export_peft, base_name=model_name)
+              export_peft=export_peft, base_name=model_name,
+              pp_layers=cfg.num_layers if pp else None)
     tracker.close()
     val = run_validation(state.params)
     return {
@@ -412,10 +486,22 @@ def train_generator(
 
 
 def _save(out_dir, cfg, state, base_params, lora_spec, tok, tokenizer_name, use_peft,
-          export_peft=False, base_name=""):
+          export_peft=False, base_name="", pp_layers=None):
     # fetch_global is a collective (all processes call _save together);
     # the file writes land on process 0 only.
     main = is_main_process()
+    if pp_layers:
+        # PP export: re-merge the stage-stacked layer tree into the
+        # standard per-layer dict so the artifact loads everywhere
+        # (load_pretrained / serve / eval are PP-agnostic).
+        from dalm_tpu.train.pipeline_parallel import merge_decoder_params
+
+        io_h = fetch_global(state.params["io"])
+        st_h = fetch_global(state.params["stacked"])
+        if main:
+            merged = merge_decoder_params(io_h, st_h, pp_layers)
+            save_pretrained(out_dir, cfg, merged, extra={"tokenizer": tokenizer_name})
+        return
     if use_peft:
         from dalm_tpu.models import lora as lora_mod
 

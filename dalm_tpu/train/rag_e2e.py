@@ -148,8 +148,21 @@ def train_e2e(
     # refreshed from sowed amaxes every N optimizer steps — removes the
     # per-step absmax passes (+7.3% measured, RESULTS.md static-scale
     # probe) at the cost of per-tensor (vs per-row) activation quant
-    # with clipping between refreshes. 0 = dynamic per-row (default).
-    a8_calibrate_every: int = 0,
+    # with clipping between refreshes. 0 = dynamic per-row. Default 16
+    # since round 5: the paired flagship A/B measured +2.7% throughput
+    # at an equivalent loss trajectory (9.4208 vs 9.4574, Δ0.39% —
+    # RESULTS.md W8A8 section), and the bench measures the shipped
+    # default with a final_loss witness. Set 0 for strict per-row quant.
+    a8_calibrate_every: int = 16,
+    # Calibrated BACKWARD-dy scales too (delayed scaling): the backward
+    # rowquant absmax passes (trace-attributed 9.1%+1.8% of the flagship
+    # step) vanish. dy scales refresh on the a8_calibrate_every cadence
+    # through a PROBE train step that differentiates wrt the activation
+    # scales — the custom_vjp returns max|dy·w_scale|/127 as that
+    # cotangent (out-of-band gradient, the fp8 TransformerEngine trick;
+    # kernels/int8_matmul.py), so the refresh costs no extra pass.
+    # Requires int8_compute="all" and gradient_accumulation_steps=1.
+    a8_dy_calibrate: bool = False,
     export_peft: bool = False,  # also write torch-PEFT adapter_model.bin
     profile_dir: Optional[str] = None,
     profile_start_step: int = 10,
@@ -797,6 +810,90 @@ def train_e2e(
                     frozen_trees["quant"][s], inters[s]
                 )
 
+    # ---- calibrated backward-dy scales (a8_dy_calibrate) -----------------
+    # Delayed scaling for the backward: on the refresh cadence, ONE train
+    # step runs as a PROBE that additionally differentiates wrt the
+    # a_scale leaves; the kernels' custom_vjp returns max|dy·w_scale|/127
+    # through that cotangent channel (an out-of-band "gradient" — see
+    # kernels/int8_matmul.py), which becomes the frozen `dy_scale` leaf
+    # every other step's backward quantizes against. The bootstrap probe
+    # (first step, no dy_scale leaves yet) runs the exact dynamic-dy
+    # backward, so no step ever computes with uninitialized scales.
+    dy_probe_step = None
+    if a8_cal_subs and a8_dy_calibrate:
+        if int8_compute != "all":
+            raise ValueError("a8_dy_calibrate requires int8_compute='all' (int8 backward)")
+        if gradient_accumulation_steps != 1:
+            raise ValueError(
+                "a8_dy_calibrate requires gradient_accumulation_steps=1: the "
+                "out-of-band amax channel would be summed across microsteps"
+            )
+
+        def _is_q_site(t):
+            return isinstance(t, dict) and "q" in t and not isinstance(t["q"], dict)
+
+        def _take_a(qtree):
+            """→ (tree minus a_scale leaves, structure-matched a_scale tree)."""
+            if _is_q_site(qtree):
+                return {k: v for k, v in qtree.items() if k != "a_scale"}, qtree["a_scale"]
+            if isinstance(qtree, dict):
+                stripped, scales = {}, {}
+                for k, v in qtree.items():
+                    stripped[k], scales[k] = _take_a(v)
+                return stripped, scales
+            return qtree, None
+
+        def _put_a(qtree, scales):
+            if _is_q_site(qtree):
+                return {**qtree, "a_scale": scales}
+            if isinstance(qtree, dict):
+                return {k: _put_a(v, scales[k]) for k, v in qtree.items()}
+            return qtree
+
+        def _put_dy(qtree, amax):
+            if _is_q_site(qtree):
+                return {**qtree, "dy_scale": jnp.maximum(
+                    jnp.asarray(amax, jnp.float32), 1e-8
+                )}
+            if isinstance(qtree, dict):
+                return {k: _put_dy(v, amax[k]) for k, v in qtree.items()}
+            return qtree
+
+        def _make_probe_step(use_marg):
+            lf = partial(loss_fn, use_marg=use_marg)
+
+            @partial(jax.jit, donate_argnums=(0,))
+            def probe_step(state, frozen, scales, batch, step_rng, index_embs=None):
+                def lf2(params, sc):
+                    q2 = dict(frozen["quant"])
+                    for s in a8_cal_subs:
+                        q2[s] = _put_a(q2[s], sc[s])
+                    return lf(params, {**frozen, "quant": q2}, batch, step_rng, index_embs)
+
+                (loss, (r_loss, g_loss)), (grads, sgrads) = jax.value_and_grad(
+                    lf2, argnums=(0, 1), has_aux=True
+                )(state.params, scales)
+                return state.apply_gradients(grads), loss, r_loss, g_loss, sgrads
+
+            return probe_step
+
+        dy_probe_step = _make_probe_step(True)
+
+        def _dy_probe(state, batch, step_rng, index_arg):
+            stripped_q, scales = {}, {}
+            for s2, t2 in frozen_trees["quant"].items():
+                if s2 in a8_cal_subs:
+                    stripped_q[s2], scales[s2] = _take_a(t2)
+                else:
+                    stripped_q[s2] = t2
+            state, loss, r_loss, g_loss, sgrads = dy_probe_step(
+                state, {**frozen_trees, "quant": stripped_q}, scales,
+                batch, step_rng, index_arg,
+            )
+            for s2 in a8_cal_subs:
+                frozen_trees["quant"][s2] = _put_dy(frozen_trees["quant"][s2], sgrads[s2])
+            return state, loss, r_loss, g_loss
+
     # Host-side metric streams come from process 0 only (the reference
     # gated trackers on `accelerator.is_main_process`).
     tracker = MetricsLogger(
@@ -860,9 +957,17 @@ def train_e2e(
             multiple_of=mesh.shape["data"], process_shard=multihost,
         ):
             batch = put_batch(batch_np, mesh, np.int32)
-            if a8_cal_subs and micro_steps % max(
-                1, int(a8_calibrate_every) * gradient_accumulation_steps
-            ) == 0:
+            # dy-calibration adds an extra refresh at micro step 1: the
+            # steady-state programs (train step with dy_scale present +
+            # steady probe) then both compile inside the first throughput
+            # window instead of mid-measurement at step a8_calibrate_every.
+            a8_refresh = a8_cal_subs and (
+                micro_steps % max(
+                    1, int(a8_calibrate_every) * gradient_accumulation_steps
+                ) == 0
+                or (dy_probe_step is not None and micro_steps == 1)
+            )
+            if a8_refresh:
                 _recalibrate(state.params, batch)
             step_rng = jax.random.fold_in(
                 dropout_rng, int(start_steps * gradient_accumulation_steps + micro_steps)
@@ -871,14 +976,19 @@ def train_e2e(
             index_arg = (
                 refresher.index.embeddings if (live_negatives_k or marginalize_k) else None
             )
-            step_fn = (
-                warmup_train_step
-                if warmup_train_step is not None and completed_steps < marginalize_warmup_steps
-                else train_step
+            in_warmup = (
+                warmup_train_step is not None and completed_steps < marginalize_warmup_steps
             )
-            state, loss, r_loss, g_loss = step_fn(
-                state, frozen_trees, batch, step_rng, index_arg
-            )
+            step_fn = warmup_train_step if in_warmup else train_step
+            if dy_probe_step is not None and a8_refresh and not in_warmup:
+                # refresh-cadence step doubles as the dy-scale probe
+                state, loss, r_loss, g_loss = _dy_probe(
+                    state, batch, step_rng, index_arg
+                )
+            else:
+                state, loss, r_loss, g_loss = step_fn(
+                    state, frozen_trees, batch, step_rng, index_arg
+                )
             if refresher is not None:
                 refresh_stats = refresher.tick(state.params)
             last = (loss, r_loss, g_loss)

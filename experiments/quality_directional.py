@@ -584,6 +584,9 @@ def main():
                     num_warmup_steps=args.warmup,
                     use_peft="both", use_bnb="both", lora_runtime="fused",
                     int8_compute=mode,
+                    # pin the dynamic per-row arm: this A/B's recorded
+                    # rounds predate the a8_calibrate_every=16 default
+                    a8_calibrate_every=0,
                 )
                 ev = evaluate_retriever(
                     test_ds, os.path.join(f_out, "retriever"),

@@ -131,6 +131,7 @@ def test_train_e2e_fused_int8_compute(tmp_path, toy_csv, mode):
         use_peft="both", use_bnb="both",
         lora_runtime="fused",
         int8_compute=mode,
+        a8_calibrate_every=0,  # exercise the dynamic per-row path
         with_tracking=False,
         output_dir=str(tmp_path / "out"),
         use_dropout=False,
@@ -158,8 +159,10 @@ def test_cal_matmul_matches_dequant():
 
 @pytest.mark.parametrize("bwd_int8", [False, True])
 def test_cal_matmul_gradients(bwd_int8):
-    """STE backward matches the dynamic path: dx ~= dy @ W_dequant^T and
-    no gradient reaches frozen storage or the calibration scale."""
+    """STE backward matches the dynamic path: dx ~= dy @ W_dequant^T, no
+    gradient reaches frozen storage, and a_scale's cotangent carries the
+    OUT-OF-BAND dy amax (max|dy·scale|/127 — the delayed-scaling channel
+    the a8_dy_calibrate probe step pulls, kernels/int8_matmul.py)."""
     from dalm_tpu.kernels.int8_matmul import int8_matmul_cal
 
     x, w, q, scale = _make(12, 8, 128, 64)
@@ -175,7 +178,81 @@ def test_cal_matmul_gradients(bwd_int8):
     tol = 0.06 if bwd_int8 else 0.03
     assert float(jnp.abs(gx - gref).max()) / denom < tol
     assert float(jnp.abs(gs).max()) == 0.0
-    assert float(jnp.abs(ga).max()) == 0.0
+    # OWG channel: dy here is cos(y) of the kernel's own forward output
+    y = int8_matmul_cal(x, q, scale, a_scale, bwd_int8)
+    expect_amax = float(jnp.max(jnp.abs(jnp.cos(y) * scale)) / 127.0)
+    np.testing.assert_allclose(float(ga), expect_amax, rtol=1e-5)
+
+
+def test_dycal_matmul_forward_and_backward():
+    """int8_matmul_dycal: forward identical to the cal path; backward
+    quantizes dy·scale with the given per-tensor dy_scale (matches a
+    hand-computed per-tensor-quantized dx exactly), emits the fresh dy
+    amax through a_scale's cotangent, and zero through dy_scale's."""
+    from dalm_tpu.kernels.int8_matmul import int8_matmul_cal, int8_matmul_dycal
+
+    x, w, q, scale = _make(13, 8, 128, 64)
+    a_scale = jnp.max(jnp.abs(x)) / 127.0
+
+    y_cal = int8_matmul_cal(x, q, scale, a_scale, True)
+    dy_scale = jnp.max(jnp.abs(jnp.cos(y_cal) * scale)) / 127.0
+    y_dy = int8_matmul_dycal(x, q, scale, a_scale, dy_scale, True)
+    np.testing.assert_array_equal(np.asarray(y_dy), np.asarray(y_cal))
+
+    def f(x, scale, a_scale, dy_scale):
+        return jnp.sum(jnp.sin(int8_matmul_dycal(x, q, scale, a_scale, dy_scale, True)))
+
+    gx, gs, ga, gdy = jax.grad(f, argnums=(0, 1, 2, 3))(x, scale, a_scale, dy_scale)
+    # oracle: per-tensor quantized dy backward
+    dyf = jnp.cos(y_dy).astype(jnp.float32) * scale
+    dq = jnp.clip(jnp.round(dyf / dy_scale), -127, 127).astype(jnp.int8)
+    dx_ref = (
+        jax.lax.dot_general(
+            dq, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+        ).astype(jnp.float32) * dy_scale
+    )
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(dx_ref), rtol=1e-6)
+    assert float(jnp.abs(gs).max()) == 0.0
+    np.testing.assert_allclose(
+        float(ga), float(jnp.max(jnp.abs(dyf)) / 127.0), rtol=1e-5
+    )
+    assert float(gdy) == 0.0
+    # and the quantized dx tracks the exact backward
+    wd = q.astype(jnp.float32) * scale
+    gref = jax.grad(lambda x: jnp.sum(jnp.sin(x @ wd)))(x)
+    assert float(jnp.abs(gx - gref).max()) / float(jnp.abs(gref).max()) < 0.06
+
+
+def test_flexlinear_dycal_routing():
+    """A dy_scale leaf (+ int8_compute='all') routes FlexLinear through
+    the dycal kernel: forward equals the cal path, backward uses the
+    frozen dy_scale (visible through the distinct dx quantization)."""
+    from dalm_tpu.models.layers import FlexLinear
+
+    x = jax.random.normal(jax.random.PRNGKey(21), (4, 128), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(22), (128, 64), jnp.float32) * 0.05
+    qt = quantize_tensor(w)
+    a_scale = jnp.max(jnp.abs(x)) / 127.0
+    quant_cal = {"q": qt["__int8__"], "scale": qt["scale"], "a_scale": a_scale}
+    quant_dy = {**quant_cal, "dy_scale": jnp.asarray(1e-3, jnp.float32)}
+
+    def loss(variables):
+        return jnp.sum(FlexLinear(64, int8_compute="all").apply(variables, x) ** 2)
+
+    y_cal = FlexLinear(64, int8_compute="all").apply({"params": {}, "quant": quant_cal}, x)
+    y_dy = FlexLinear(64, int8_compute="all").apply({"params": {}, "quant": quant_dy}, x)
+    np.testing.assert_array_equal(np.asarray(y_dy), np.asarray(y_cal))
+    gx_dyn = jax.grad(lambda x: jnp.sum(
+        FlexLinear(64, int8_compute="all").apply({"params": {}, "quant": quant_cal}, x) ** 2
+    ))(x)
+    gx_dy = jax.grad(lambda x: jnp.sum(
+        FlexLinear(64, int8_compute="all").apply({"params": {}, "quant": quant_dy}, x) ** 2
+    ))(x)
+    # different quantization (per-row dynamic vs tiny per-tensor scale)
+    # must produce a different-but-close dx
+    assert not np.array_equal(np.asarray(gx_dyn), np.asarray(gx_dy))
+    denom = float(jnp.abs(gx_dyn).max())
+    assert float(jnp.abs(gx_dyn - gx_dy).max()) / denom < 0.2
 
 
 def test_flexlinear_calibrated_path_and_sow():
@@ -230,7 +307,9 @@ def test_train_e2e_fused_a8_calibrated(tmp_path, toy_csv):
     )
     assert np.isfinite(out_cal["final_loss"])
     out_dyn = train_e2e(
-        toy_csv, "tiny", "tiny", output_dir=str(tmp_path / "dyn"), **kwargs
+        toy_csv, "tiny", "tiny", output_dir=str(tmp_path / "dyn"),
+        a8_calibrate_every=0,  # the strict per-row dynamic arm
+        **kwargs,
     )
     # per-tensor vs per-row activation quant: same trajectory up to
     # quantization granularity
@@ -304,3 +383,55 @@ def test_w8a8_fused_kernel_matches_per_tile_oracle():
     true = xf @ np.asarray(w, np.float32)
     rel_true = np.abs(np.asarray(out, np.float32) - true).max() / np.abs(true).max()
     assert rel_true < 0.06, rel_true
+
+
+def test_train_e2e_fused_a8_dy_calibrated(tmp_path, toy_csv):
+    """a8_dy_calibrate: the probe step injects frozen dy_scale leaves on
+    the refresh cadence and training proceeds on the dycal backward —
+    finite loss, trajectory close to the dynamic-dy calibrated run."""
+    from dalm_tpu.train.rag_e2e import train_e2e
+
+    kwargs = dict(
+        query_max_len=16, passage_max_len=24, generator_max_len=48,
+        per_device_train_batch_size=2,
+        num_train_epochs=2,
+        use_peft="both", use_bnb="both",
+        lora_runtime="fused",
+        int8_compute="all",
+        with_tracking=False,
+        use_dropout=False,
+    )
+    out_dy = train_e2e(
+        toy_csv, "tiny", "tiny", output_dir=str(tmp_path / "dy"),
+        a8_calibrate_every=2, a8_dy_calibrate=True, **kwargs,
+    )
+    assert np.isfinite(out_dy["final_loss"])
+    out_cal = train_e2e(
+        toy_csv, "tiny", "tiny", output_dir=str(tmp_path / "cal"),
+        a8_calibrate_every=2, **kwargs,
+    )
+    assert abs(out_dy["final_loss"] - out_cal["final_loss"]) < 0.15 * abs(
+        out_cal["final_loss"]
+    ) + 0.05
+
+
+def test_a8_dy_calibrate_guards(toy_csv):
+    """Loud rejections: dy calibration needs the int8 backward and no
+    gradient accumulation (the OWG channel would sum across microsteps)."""
+    from dalm_tpu.train.rag_e2e import train_e2e
+
+    with pytest.raises(ValueError, match="int8_compute='all'"):
+        train_e2e(
+            toy_csv, "tiny", "tiny", lora_runtime="fused", int8_compute="fwd",
+            use_peft="both", use_bnb="both", a8_calibrate_every=2,
+            a8_dy_calibrate=True, with_tracking=False,
+            query_max_len=16, passage_max_len=24, generator_max_len=48,
+        )
+    with pytest.raises(ValueError, match="gradient_accumulation_steps=1"):
+        train_e2e(
+            toy_csv, "tiny", "tiny", lora_runtime="fused", int8_compute="all",
+            use_peft="both", use_bnb="both", a8_calibrate_every=2,
+            a8_dy_calibrate=True, gradient_accumulation_steps=2,
+            with_tracking=False,
+            query_max_len=16, passage_max_len=24, generator_max_len=48,
+        )
