@@ -243,6 +243,78 @@ def _int4_kernel_i8mxu(
         out_ref[:] = (acc[:] * xs_ref[:]).astype(out_ref.dtype)
 
 
+def _int4_kernel_pcol(x_lo_ref, x_hi_ref, xs_ref, q_ref, s_ref, out_ref, iacc):
+    """Per-COLUMN-scale variant (storage: models/quant.py
+    quantize_tensor_int4pc): the one layout door round-4's i8mxu
+    analysis left open. With no K-groups the whole (bh, bn) tile
+    contracts as TWO full-depth int8×int8 → int32 MXU dots (vs i8mxu's
+    depth-64 dots, latency-bound at decode M), the int32 accumulator
+    carries across k-blocks, and BOTH scales (per-row activation, per-
+    column weight) fold into one f32 multiply at the final write —
+    zero per-tile float dequant work."""
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _init():
+        iacc[:] = jnp.zeros_like(iacc)
+
+    p32 = q_ref[:].astype(jnp.int32)
+    lo = ((p32 & 0xF) - 8).astype(jnp.int8)
+    hi = ((p32 >> 4) - 8).astype(jnp.int8)
+    dims = (((1,), (0,)), ((), ()))
+    iacc[:] += jax.lax.dot_general(
+        x_lo_ref[:], lo, dims, preferred_element_type=jnp.int32
+    )
+    iacc[:] += jax.lax.dot_general(
+        x_hi_ref[:], hi, dims, preferred_element_type=jnp.int32
+    )
+
+    @pl.when(i == pl.num_programs(1) - 1)
+    def _write():
+        out_ref[:] = (iacc[:].astype(jnp.float32) * xs_ref[:] * s_ref[:]).astype(
+            out_ref.dtype
+        )
+
+
+@partial(jax.jit, static_argnames=("block_k", "block_n", "interpret"))
+def _int4pc_matmul_fwd_pallas(
+    x2, q4, scale4, *, block_k: int = 512, block_n: int = 512, interpret: bool = False
+):
+    """(M, K) f* @ per-column-scale int4-packed (K/2, N) → (M, N)."""
+    from dalm_tpu.kernels.int8_matmul import rowquant
+
+    M, K = x2.shape
+    half, N = q4.shape
+    assert half * 2 == K and scale4.shape == (1, N), (x2.shape, q4.shape, scale4.shape)
+    bn = _fit(N, block_n)
+    bh = _fit(half, max(block_k // 2, 8))
+    while bh > 8 and (2 * M * bh + 5 * bh * bn + 8 * M * bn) > 60 * 1024 * 1024:
+        bh //= 2
+    nk, nn = half // bh, N // bn
+    xq, xs = rowquant(x2)
+    return pl.pallas_call(
+        _int4_kernel_pcol,
+        grid=(nn, nk),
+        in_specs=[
+            pl.BlockSpec((M, bh), lambda j, i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (M, bh), lambda j, i, nk=nk: (0, i + nk), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((M, 1), lambda j, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bh, bn), lambda j, i: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((M, bn), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, N), x2.dtype),
+        scratch_shapes=[pltpu.VMEM((M, bn), jnp.int32)],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(xq, xq, xs, q4, scale4)
+
+
 def _nf4_lookup(idx):
     """idx (int32 in [0, 15]) → NF4 codebook value, as a 15-select binary
     tree over the nibble's bits (Mosaic has no general small-table gather;
@@ -445,16 +517,20 @@ def _dequant_xla(q4, scale4, dtype, nf4: bool = False):
     return dequantize_tensor_int4(d, dtype)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def int4_matmul(x, q4, scale4, interpret: bool = False, nf4: bool = False):
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def int4_matmul(
+    x, q4, scale4, interpret: bool = False, nf4: bool = False, pcol: bool = False
+):
     """``x @ dequant(q4)`` with block-wise VMEM dequant (frozen weights).
 
     x: (..., K) float; q4: (K/2, N) uint8 half-split nibbles;
     scale4: (K/group, N) f32. ``nf4``: decode nibbles through the
     NormalFloat4 codebook (quality tier) instead of the linear map.
-    Returns (..., N) in x.dtype.
+    ``pcol``: per-column-scale storage (scale4 (1, N)) — full-depth
+    int8 MXU dots, see ``_int4_kernel_pcol``. Returns (..., N) in
+    x.dtype.
     """
-    out, _ = _int4_fwd(x, q4, scale4, interpret, nf4)
+    out, _ = _int4_fwd(x, q4, scale4, interpret, nf4, pcol)
     return out
 
 
@@ -468,10 +544,16 @@ def _kernel_feasible(half: int, group: int) -> bool:
     return False
 
 
-def _int4_fwd(x, q4, scale4, interpret, nf4: bool = False):
+def _int4_fwd(x, q4, scale4, interpret, nf4: bool = False, pcol: bool = False):
     lead = x.shape[:-1]
     K = x.shape[-1]
     M = int(np.prod(lead)) if lead else 1
+    if pcol:
+        if jax.default_backend() == "tpu" or interpret:
+            y2 = _int4pc_matmul_fwd_pallas(x.reshape(M, K), q4, scale4, interpret=interpret)
+        else:
+            y2 = x.reshape(M, K) @ _dequant_xla(q4, scale4, x.dtype, False)
+        return y2.reshape(*lead, q4.shape[1]), (q4, scale4)
     group = K // scale4.shape[0]
     on_tpu = jax.default_backend() == "tpu" and _kernel_feasible(K // 2, group)
     if on_tpu or interpret:
@@ -484,7 +566,7 @@ def _int4_fwd(x, q4, scale4, interpret, nf4: bool = False):
     return y2.reshape(*lead, q4.shape[1]), (q4, scale4)
 
 
-def _int4_bwd(interpret, nf4, res, dy):
+def _int4_bwd(interpret, nf4, pcol, res, dy):
     q4, scale4 = res
     # frozen storage: only dx flows; dequant fallback is fine off the hot path
     w = _dequant_xla(q4, scale4, jnp.bfloat16, nf4)

@@ -59,6 +59,9 @@ class FlexLinear(nn.Module):
                 # "nf4" marker leaf => NormalFloat4 codebook dequant
                 # (bnb-parity quality tier; models/quant.py)
                 self.has_variable("quant", "nf4"),
+                # "pcol" marker => per-column scales, full-depth int8
+                # MXU dots (kernels/int4_matmul.py _int4_kernel_pcol)
+                self.has_variable("quant", "pcol"),
             )
             if self.has_variable("lora", "a"):
                 a = self.get_variable("lora", "a").astype(self.dtype)

@@ -94,12 +94,17 @@ def pack_qlora_frozen(
         if kernel.size < min_size:
             continue
         module_path = path[:-1]  # strip "kernel"
-        if quantize in ("int4", "nf4"):
+        if quantize in ("int4", "nf4", "int4pc"):
             if quantize == "nf4":
                 from dalm_tpu.models.quant import quantize_tensor_nf4
 
                 qt = quantize_tensor_nf4(jnp.asarray(kernel))
                 _set(quant, module_path + ("nf4",), qt["nf4"])
+            elif quantize == "int4pc":
+                from dalm_tpu.models.quant import quantize_tensor_int4pc
+
+                qt = quantize_tensor_int4pc(jnp.asarray(kernel))
+                _set(quant, module_path + ("pcol",), qt["pcol"])
             else:
                 qt = quantize_tensor_int4(jnp.asarray(kernel))
             _set(quant, module_path + ("q4",), qt["q4"])
@@ -254,12 +259,17 @@ def init_packed_on_device(
             )
             if big_kernel:
                 leaf = (jax.random.normal(sub, struct.shape, jnp.float32) * 0.02).astype(dtype)
-                if quantize in ("int4", "nf4"):
+                if quantize in ("int4", "nf4", "int4pc"):
                     if quantize == "nf4":
                         from dalm_tpu.models.quant import quantize_tensor_nf4
 
                         qt = quantize_tensor_nf4(leaf)
                         _set(quant, module_path + ("nf4",), qt["nf4"])
+                    elif quantize == "int4pc":
+                        from dalm_tpu.models.quant import quantize_tensor_int4pc
+
+                        qt = quantize_tensor_int4pc(leaf)
+                        _set(quant, module_path + ("pcol",), qt["pcol"])
                     else:
                         qt = quantize_tensor_int4(leaf)
                     _set(quant, module_path + ("q4",), qt["q4"])

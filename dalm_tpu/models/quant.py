@@ -96,6 +96,35 @@ def quantize_tensor_int4(w: jax.Array, group: int = 64) -> Dict[str, jax.Array]:
     return {"q4": packed, "scale4": scale[:, 0, :].astype(jnp.float32)}
 
 
+def quantize_tensor_int4pc(w: jax.Array) -> Dict[str, jax.Array]:
+    """Per-COLUMN-scale int4: one f32 scale per output channel (1, N).
+
+    The storage-layout door the round-4 i8mxu analysis left open
+    (RESULTS.md): per-group scales force depth-`group` MXU dots
+    (latency-bound at decode M); a single per-column scale lets the
+    kernel contract the FULL block depth as one int8×int8 → int32 dot
+    and fold the scale into the existing column rescale at the final
+    write. Coarser quantization than per-group-64 (absmax over the whole
+    K column ≈ 1.5× larger scale on ~normal weights → ~2× MSE); nf4
+    remains the quality tier. Same half-split packing; a ``"pcol"``
+    marker leaf routes consumers (`dequantize_tensor_int4` handles the
+    (1, N) scale through its generic group arithmetic)."""
+    w = w.astype(jnp.float32)
+    K, N = w.shape
+    assert K % 2 == 0, f"int4 packing needs even K (got {K})"
+    absmax = jnp.max(jnp.abs(w), axis=0, keepdims=True)  # (1, N)
+    scale = jnp.where(absmax > 0, absmax / 7.0, 1.0)
+    q = jnp.clip(jnp.round(w / scale), -7, 7)
+    stored = (q + 8).astype(jnp.uint8)
+    half = K // 2
+    packed = (stored[:half] | (stored[half:] << 4)).astype(jnp.uint8)
+    return {
+        "q4": packed,
+        "scale4": scale.astype(jnp.float32),
+        "pcol": jnp.ones((), jnp.int8),
+    }
+
+
 # bitsandbytes' NormalFloat4 codebook (QLoRA, Dettmers et al. 2023):
 # the 16 quantiles of N(0, 1) normalized to [-1, 1], asymmetric around an
 # exact zero. Non-uniform spacing is what preserves 4-bit *quality* on

@@ -132,3 +132,86 @@ def test_variant_kernels_match_dequant_oracle(variant):
         jnp.max(jnp.abs(ref))
     )
     assert rel < 0.02, (variant, rel)
+
+
+def test_pcol_variant_matches_int8_quantized_oracle():
+    """Per-column-scale kernel (interpret mode): exact vs the hand-built
+    int8-activation × int4-weight integer oracle — full-depth int32
+    accumulation with both scales folded at the write."""
+    from dalm_tpu.kernels.int8_matmul import rowquant
+    from dalm_tpu.models.quant import dequantize_tensor_int4, quantize_tensor_int4pc
+
+    rng = np.random.default_rng(11)
+    M, K, N = 8, 256, 128
+    x = jnp.asarray(rng.normal(size=(M, K)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(K, N)), jnp.float32) * 0.05
+    d = quantize_tensor_int4pc(w)
+    assert d["scale4"].shape == (1, N) and "pcol" in d
+
+    got = int4_matmul(x, d["q4"], d["scale4"], True, False, True)
+
+    xq, xs = rowquant(x)
+    wq = jnp.round(
+        dequantize_tensor_int4({k: v for k, v in d.items() if k != "pcol"}, jnp.float32)
+        / d["scale4"]
+    ).astype(jnp.int32)
+    acc = (xq.astype(jnp.int32) @ wq).astype(jnp.float32)
+    want = acc * xs * d["scale4"]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+    # and it tracks the float matmul to PER-COLUMN quantization tolerance
+    # (absmax over the whole K column => ~3-4x coarser than per-group-64;
+    # the quality A/B on the testbed decides whether serving wears it)
+    denom = float(jnp.abs(x @ w).max())
+    assert float(jnp.abs(got - x @ w).max()) / denom < 0.2
+
+
+def test_pcol_flexlinear_routing_and_quality():
+    """FlexLinear routes a `pcol` marker through the per-column kernel
+    (XLA fallback off-TPU is the generic dequant) and per-column int4 is
+    coarser than per-group — bounded, and nf4/per-group remain better."""
+    from dalm_tpu.models.layers import FlexLinear
+    from dalm_tpu.models.quant import (
+        dequantize_tensor_int4, quantize_tensor_int4, quantize_tensor_int4pc,
+    )
+
+    rng = np.random.default_rng(12)
+    K, N = 256, 128
+    w = jnp.asarray(rng.normal(size=(K, N)), jnp.float32) * 0.05
+    x = jnp.asarray(rng.normal(size=(4, K)), jnp.float32)
+
+    d_pc = quantize_tensor_int4pc(w)
+    d_pg = quantize_tensor_int4(w)
+    mse_pc = float(jnp.mean((dequantize_tensor_int4(d_pc) - w) ** 2))
+    mse_pg = float(jnp.mean((dequantize_tensor_int4(d_pg) - w) ** 2))
+    assert mse_pg <= mse_pc <= 10 * mse_pg  # coarser but same order
+
+    quant = {"q4": d_pc["q4"], "scale4": d_pc["scale4"], "pcol": d_pc["pcol"]}
+    y = FlexLinear(N).apply({"params": {}, "quant": quant}, x)
+    ref = x @ w
+    denom = float(jnp.abs(ref).max())
+    assert float(jnp.abs(y - ref).max()) / denom < 0.2
+
+
+def test_pcol_qlora_packing_tier():
+    """init_packed_on_device(quantize='int4pc') stores per-column-scale
+    packed kernels with the pcol marker, and the packed decoder's
+    forward tracks the unquantized one."""
+    from dalm_tpu.models import lora as lora_mod
+    from dalm_tpu.models import qlora as qlora_mod
+    from dalm_tpu.models.decoder import Decoder, DecoderConfig
+
+    cfg = DecoderConfig.tiny(vocab_size=256)
+    gen = Decoder(cfg)
+    ids = jnp.zeros((1, 8), jnp.int32)
+    residual, quant, lora = qlora_mod.init_packed_on_device(
+        gen, jax.random.PRNGKey(0), (ids, jnp.ones_like(ids)),
+        spec=lora_mod.LoraSpec.for_causal_lm(), quantize="int4pc",
+    )
+    leaves = jax.tree_util.tree_leaves_with_path(quant)
+    assert any("pcol" in str(p) for p, _ in leaves)
+    assert any("scale4" in str(p) for p, _ in leaves)
+    out = gen.apply(
+        {"params": residual, "quant": quant, "lora": lora},
+        ids, jnp.ones_like(ids),
+    )
+    assert np.isfinite(np.asarray(out)).all()
