@@ -3,7 +3,11 @@
 Twin of `/root/reference/dalm/cli.py` (typer app, 6 commands:
 ``version``, ``train-rag-e2e``, ``train-retriever-only``, ``qa-gen``,
 ``eval-rag``, ``eval-retriever``), built on click (typer isn't in this
-image; click provides the same dash-separated commands/options).
+image; click provides the same dash-separated commands/options). Two
+beyond-reference commands: ``serve`` (HTTP + OpenAI-compatible serving)
+and ``train-generator`` (the reference's generator-SFT script surface,
+`training/generator_only/trainer.py`, which its CLI never exposed —
+with --context-parallel / --pipeline-stages / --pp-model-parallel).
 
 Flag names mirror the reference's. TPU-native extras every command
 accepts: ``--tokenizer`` (byte | local HF path), ``--model-parallel``
