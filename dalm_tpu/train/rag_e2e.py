@@ -980,8 +980,16 @@ def train_e2e(
                 warmup_train_step is not None and completed_steps < marginalize_warmup_steps
             )
             step_fn = warmup_train_step if in_warmup else train_step
-            if dy_probe_step is not None and a8_refresh and not in_warmup:
-                # refresh-cadence step doubles as the dy-scale probe
+            if dy_probe_step is not None and not in_warmup:
+                # EVERY step runs as the probe, so dy_scale is exactly one
+                # step stale. The first flagship A/B refreshed dy on the
+                # 16-step a_scale cadence and the witness FAILED (loss
+                # 14.06 vs 9.46): dy magnitudes decay fast early in
+                # training, and a 16-step-stale per-tensor scale
+                # underflows typical elements to zero — dx through the
+                # frozen base dies. The probe IS a train step (the OWG
+                # amaxes ride the backward's existing reads), so per-step
+                # refresh costs only the tiny scalar injections.
                 state, loss, r_loss, g_loss = _dy_probe(
                     state, batch, step_rng, index_arg
                 )
