@@ -12,5 +12,12 @@ timeout 3600 python tools/bench_moe.py --train > experiments/results_r5_moe_trai
 sleep 45
 
 timeout 2400 python tools/bench_moe.py --serve > experiments/results_r5_moe_serve.log 2>&1
+sleep 45
+
+# spec mismatch attribution: greedy-vs-greedy across program shapes
+# (no speculation) — if these flip on chip like the spec arms did,
+# the bf16 program-shape-sensitivity attribution holds (CPU/f32 is
+# exact on all arms).
+timeout 2400 python tools/spec_mismatch_probe.py > experiments/results_r5_spec_mismatch_probe.log 2>&1
 
 echo "QUEUE_R5F DONE"

@@ -1,0 +1,94 @@
+"""Attribute the chip-side spec-vs-greedy mismatches (bench_spec_win).
+
+On CPU/f32 the speculative outputs are bit-exact vs lockstep greedy on
+the SAME trained generator and workload (0/32 mismatches; probe run
+recorded in RESULTS.md). On the chip, bench_spec_win recorded 42/128
+fused-schedule requests differing from the gamma=0 arm. Hypothesis:
+bf16 near-tie argmax flips between PROGRAM SHAPES — the verification
+pass evaluates gamma+1 positions per step while plain decode evaluates
+one, so logits round differently; on near-ties the argmax flips and the
+greedy suffix diverges. Speculation would then be incidental: ANY two
+program shapes should flip outputs at a similar rate.
+
+Control arms (no speculation anywhere):
+  1. lockstep greedy, batch 32  (reference)
+  2. lockstep greedy, batch 128 — same 32 rows read out of the bigger
+     batch; identical math modulo XLA's batch-tiling choices
+  3. fused continuous-batching engine at gamma=0, 64 slots — the
+     serving program, single-token steps
+One JSON line per comparison: requests whose outputs differ from arm 1.
+If 2 and 3 mismatch at a rate comparable to the speculative arms', the
+attribution holds and the bf16 caveat is program-shape sensitivity,
+not a speculation defect.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+PREP_DIR = "experiments/spec_win"
+
+
+def main() -> None:
+    import logging
+
+    logging.disable(logging.WARNING)
+    import jax
+
+    if "--cpu" in sys.argv:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_default_matmul_precision", "float32")
+    import jax.numpy as jnp
+
+    from dalm_tpu.data.tokenizer import ByteTokenizer
+    from dalm_tpu.models.decode_engine import DecodeEngine
+    from dalm_tpu.models.generate import build_greedy_generate
+    from dalm_tpu.models.registry import build_decoder, resolve_decoder
+
+    cfg, params = resolve_decoder(os.path.join(PREP_DIR, "model", "generator"))
+    dec = build_decoder(cfg)
+    with open(os.path.join(PREP_DIR, "test_rows.json")) as f:
+        rows = json.load(f)
+    P, MAX_NEW = 256, 96
+    tok = ByteTokenizer()
+    tok.padding_side = "left"
+    prompts = [
+        f"#query# {r['Question']} #passage# {r['Abstract']} #answer# "
+        for r in rows[:128]
+    ]
+    t = tok(prompts, padding="max_length", max_length=P, truncation=True)
+    ids = np.asarray(t["input_ids"], np.int32)
+    mask = np.asarray(t["attention_mask"], np.int32)
+
+    greedy = build_greedy_generate(dec, MAX_NEW, eos_token_id=None, pad_token_id=0)
+    ref32 = np.asarray(greedy(params, jnp.asarray(ids[:32]), jnp.asarray(mask[:32])))
+
+    big = np.asarray(greedy(params, jnp.asarray(ids), jnp.asarray(mask)))[:32]
+    n_big = int((big != ref32).any(axis=1).sum())
+    print(json.dumps({
+        "comparison": "lockstep_greedy_b128_vs_b32",
+        "mismatch_requests": n_big, "of": 32,
+    }), flush=True)
+
+    eng = DecodeEngine(
+        dec, params, num_slots=64, max_prompt_len=P,
+        max_new_tokens=MAX_NEW, eos_token_id=None, pad_token_id=0,
+    )
+    outs = eng.generate_fused(ids[:32], mask[:32])
+    n_fused = sum(
+        list(o) != list(r[: len(o)]) for o, r in zip(outs, ref32)
+    )
+    print(json.dumps({
+        "comparison": "fused_gamma0_vs_lockstep_b32",
+        "mismatch_requests": n_fused, "of": 32,
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
