@@ -156,11 +156,13 @@ def train_e2e(
     a8_calibrate_every: int = 16,
     # Calibrated BACKWARD-dy scales too (delayed scaling): the backward
     # rowquant absmax passes (trace-attributed 9.1%+1.8% of the flagship
-    # step) vanish. dy scales refresh on the a8_calibrate_every cadence
-    # through a PROBE train step that differentiates wrt the activation
-    # scales — the custom_vjp returns max|dy·w_scale|/127 as that
-    # cotangent (out-of-band gradient, the fp8 TransformerEngine trick;
-    # kernels/int8_matmul.py), so the refresh costs no extra pass.
+    # step) vanish. Every train step runs as a PROBE that differentiates
+    # wrt the activation scales — the custom_vjp returns
+    # max|dy·w_scale|/127 as that cotangent (out-of-band gradient, the
+    # fp8 TransformerEngine trick; kernels/int8_matmul.py), so dy_scale
+    # is exactly ONE step stale at no extra pass. (A 16-step-stale
+    # refresh failed the loss witness — dy decays too fast early in
+    # training; see the loop-site comment.)
     # Requires int8_compute="all" and gradient_accumulation_steps=1.
     a8_dy_calibrate: bool = False,
     export_peft: bool = False,  # also write torch-PEFT adapter_model.bin
