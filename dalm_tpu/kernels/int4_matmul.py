@@ -288,7 +288,11 @@ def _int4pc_matmul_fwd_pallas(
     assert half * 2 == K and scale4.shape == (1, N), (x2.shape, q4.shape, scale4.shape)
     bn = _fit(N, block_n)
     bh = _fit(half, max(block_k // 2, 8))
-    while bh > 8 and (2 * M * bh + 5 * bh * bn + 8 * M * bn) > 60 * 1024 * 1024:
+    # lane-alignment floor: x blocks (M, bh) slice the (M, K) array, so
+    # on real TPU bh must stay a multiple of 128 (the interpret-mode
+    # oracle tests use tiny shapes and skip the constraint)
+    bh_floor = 8 if interpret else 128
+    while bh > bh_floor and (2 * M * bh + 5 * bh * bn + 8 * M * bn) > 60 * 1024 * 1024:
         bh //= 2
     nk, nn = half // bh, N // bn
     xq, xs = rowquant(x2)
@@ -414,18 +418,30 @@ def _int4_matmul_fwd_pallas(
         return 8 * M * bh + 5 * bh * bn + 4 * M * bn + 8 * (bh // group) * bn
 
     budget = 60 * 1024 * 1024
+
+    # Mosaic block legality: x lo/hi blocks are (M, bh) slices of the
+    # full (M, K) array, so bh must be lane-aligned (%128) — `bh == half`
+    # does NOT qualify because the block still differs from the array's
+    # K dim. Same for bn vs N (where bn == N IS the full dim). Interpret
+    # mode (CPU oracle tests, tiny shapes) has no such constraint.
+    def legal_k(c):
+        return interpret or c % 128 == 0
+
+    def legal_n(b):
+        return interpret or b % 128 == 0 or b == N
+
     bh = 0
     bn = _fit(N, block_n)
-    while bn >= 1:
+    while bn >= 1 and legal_n(bn):
         want = max(block_k // 2, unit)
         for cand in range(want - want % unit, 0, -unit):
-            if half % cand == 0 and vmem_cost(cand, bn) <= budget:
+            if half % cand == 0 and legal_k(cand) and vmem_cost(cand, bn) <= budget:
                 bh = cand
                 break
         if bh == 0:
             t = unit
             while t <= half:
-                if half % t == 0 and vmem_cost(t, bn) <= budget:
+                if half % t == 0 and legal_k(t) and vmem_cost(t, bn) <= budget:
                     bh = t
                     break
                 t += unit
@@ -535,13 +551,23 @@ def int4_matmul(
 
 
 def _kernel_feasible(half: int, group: int) -> bool:
+    # A lowerable K-slice must be a multiple of 8·group (scale-tile
+    # sublanes) AND of 128 (lane alignment of the x lo/hi blocks, which
+    # slice the full (M, K) array) that divides K/2. Sub-tile shapes
+    # (tiny models) take the XLA dequant fallback instead of crashing
+    # Mosaic's block-mapping check.
     unit = 8 * group
     t = unit
     while t <= half:
-        if half % t == 0:
+        if half % t == 0 and t % 128 == 0:
             return True
         t += unit
     return False
+
+
+def _pcol_feasible(half: int, n: int) -> bool:
+    bn = _fit(n, 512)
+    return half % 128 == 0 and (bn % 128 == 0 or bn == n)
 
 
 def _int4_fwd(x, q4, scale4, interpret, nf4: bool = False, pcol: bool = False):
@@ -549,7 +575,8 @@ def _int4_fwd(x, q4, scale4, interpret, nf4: bool = False, pcol: bool = False):
     K = x.shape[-1]
     M = int(np.prod(lead)) if lead else 1
     if pcol:
-        if jax.default_backend() == "tpu" or interpret:
+        on_tpu_pc = jax.default_backend() == "tpu" and _pcol_feasible(K // 2, q4.shape[1])
+        if on_tpu_pc or interpret:
             y2 = _int4pc_matmul_fwd_pallas(x.reshape(M, K), q4, scale4, interpret=interpret)
         else:
             y2 = x.reshape(M, K) @ _dequant_xla(q4, scale4, x.dtype, False)

@@ -30,6 +30,7 @@ from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 logger = logging.getLogger(__name__)
 
@@ -131,7 +132,11 @@ def quantize_tensor_int4pc(w: jax.Array) -> Dict[str, jax.Array]:
 # real pretrained weights (which are ~normal) — the one asterisk the
 # round-3 VERDICT left on the "replaces bitsandbytes" claim
 # (`/root/reference/dalm/models/retriever_only_base_model.py:85-91`).
-NF4_CODEBOOK = jnp.asarray(
+# Stored as a NUMPY constant on purpose: a module-level `jnp.asarray`
+# becomes a leaked tracer if this module's first import happens inside a
+# jit trace (deferred imports in kernels do exactly that — caught by an
+# end-to-end serve drive, round 5). jnp ops consume the np array as-is.
+NF4_CODEBOOK = np.asarray(
     [
         -1.0, -0.6961928009986877, -0.5250730514526367, -0.39491748809814453,
         -0.28444138169288635, -0.18477343022823334, -0.09105003625154495, 0.0,
@@ -139,7 +144,7 @@ NF4_CODEBOOK = jnp.asarray(
         0.33791524171829224, 0.44070982933044434, 0.5626170039176941,
         0.7229568362236023, 1.0,
     ],
-    jnp.float32,
+    np.float32,
 )
 
 

@@ -154,15 +154,20 @@ def train_e2e(
     # RESULTS.md W8A8 section), and the bench measures the shipped
     # default with a final_loss witness. Set 0 for strict per-row quant.
     a8_calibrate_every: int = 16,
-    # Calibrated BACKWARD-dy scales too (delayed scaling): the backward
-    # rowquant absmax passes (trace-attributed 9.1%+1.8% of the flagship
-    # step) vanish. Every train step runs as a PROBE that differentiates
-    # wrt the activation scales — the custom_vjp returns
-    # max|dy·w_scale|/127 as that cotangent (out-of-band gradient, the
-    # fp8 TransformerEngine trick; kernels/int8_matmul.py), so dy_scale
-    # is exactly ONE step stale at no extra pass. (A 16-step-stale
-    # refresh failed the loss witness — dy decays too fast early in
-    # training; see the loop-site comment.)
+    # Calibrated BACKWARD-dy scales (delayed scaling) — RECORDED
+    # NEGATIVE, keep False: the backward rowquant absmax passes
+    # (trace-attributed 9.1%+1.8% of the flagship step) do vanish —
+    # every train step runs as a PROBE whose custom_vjp returns
+    # max|dy·w_scale|/127 through an out-of-band cotangent (the fp8
+    # TransformerEngine trick; kernels/int8_matmul.py), so dy_scale is
+    # exactly ONE step stale at no extra pass — but BOTH flagship A/Bs
+    # (16-step-stale AND one-step-stale) failed the loss witness
+    # identically (final_loss 14.06 vs 9.46; RESULTS.md "Backward-dy"):
+    # dy is outlier-dominated at 7B shapes, so a per-tensor scale
+    # zeroes typical gradient rows and dx through the frozen base dies.
+    # Per-row dynamic quant is load-bearing for int8 gradients; rows
+    # have no stable identity across steps, so there is nothing to
+    # calibrate them against. Kept as a guarded experimental flag.
     # Requires int8_compute="all" and gradient_accumulation_steps=1.
     a8_dy_calibrate: bool = False,
     export_peft: bool = False,  # also write torch-PEFT adapter_model.bin

@@ -215,3 +215,29 @@ def test_pcol_qlora_packing_tier():
         ids, jnp.ones_like(ids),
     )
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_mosaic_legality_gates_sub_tile_shapes():
+    """Tiny models (hidden < 128) must take the XLA dequant fallback on
+    TPU: the Pallas x lo/hi blocks slice the full (M, K) array, so the
+    K-slice must be a 128-lane multiple — a (22528, 64)-activation
+    matmul crashed Mosaic's block-mapping check on chip before this
+    gate (quality_int4_tiers run, round 5). Serving shapes stay on the
+    kernel path."""
+    from dalm_tpu.kernels.int4_matmul import _kernel_feasible, _pcol_feasible
+
+    # tiny shapes: infeasible -> XLA fallback
+    assert not _kernel_feasible(32, 64)   # K=64 (hidden 64), group 64
+    assert not _kernel_feasible(64, 64)   # K=128
+    assert not _pcol_feasible(32, 256)
+    assert not _pcol_feasible(96, 256)    # 96 % 128 != 0
+    # serving shapes: the kernel path must remain selected
+    assert _kernel_feasible(2048, 64)     # 7B hidden 4096 (qkvo, up/gate)
+    assert _kernel_feasible(2048, 128)    # group 128
+    # 5504 = 128*43 has no multiple-of-(8*64) divisor — but this combo
+    # never occurs: quantize_tensor_int4's _int4_group drops the 7B
+    # down-proj (K=11008) to group 16, whose unit (128) divides 5504
+    assert not _kernel_feasible(5504, 64)
+    assert _kernel_feasible(5504, 16)     # the group actually stored
+    assert _pcol_feasible(2048, 4096)
+    assert _pcol_feasible(5504, 4096)     # pcol needs only half % 128

@@ -254,3 +254,44 @@ class TestNF4:
         got = decoder.apply({"params": residual, "quant": quant}, ids, mask)
         denom = float(jnp.abs(full).max())
         assert float(jnp.abs(got - full).max()) / denom < 0.12
+
+
+def test_quant_module_import_under_trace_is_safe():
+    """The NF4 codebook must be a host constant: when this module's
+    FIRST import happens inside a jit trace (deferred imports in
+    kernels do exactly that), a module-level `jnp.asarray` becomes a
+    tracer that escapes the trace and poisons every later use
+    (UnexpectedTracerError — hit by the round-5 serve drive). Fresh
+    subprocess so the first import really is inside the trace."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    code = """
+import jax, jax.numpy as jnp
+jax.config.update("jax_platforms", "cpu")
+
+@jax.jit
+def f(x):
+    from dalm_tpu.models.quant import NF4_CODEBOOK  # first import, traced
+    return x + jnp.take(jnp.asarray(NF4_CODEBOOK), jnp.zeros((), jnp.int32))
+
+f(jnp.ones(()))
+# second use OUTSIDE any trace must not see a leaked tracer
+from dalm_tpu.models.quant import quantize_tensor_nf4, dequantize_tensor_int4
+import numpy as np
+w = np.random.default_rng(0).normal(size=(64, 8)).astype(np.float32)
+d = quantize_tensor_nf4(jnp.asarray(w))
+out = dequantize_tensor_int4(d, jnp.float32)
+assert np.isfinite(np.asarray(out)).all()
+print("IMPORT_UNDER_TRACE_OK")
+"""
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    out = subprocess.run(
+        [sys.executable, "-c", code], env=env, cwd=repo,
+        capture_output=True, text=True, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "IMPORT_UNDER_TRACE_OK" in out.stdout
