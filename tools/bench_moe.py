@@ -88,12 +88,15 @@ def bench_train() -> None:
             ids = jnp.asarray(rng.integers(5, 32000, size=(b, s)).astype(np.int32))
             mask = jnp.ones_like(ids)
             params, opt_state, loss = jstep(params, opt_state, ids, mask)  # compile
-            jax.block_until_ready(loss)
+            float(loss)  # scalar readback — the axon transport acks
+            # block_until_ready EARLY (bench.py discipline); timing via
+            # block_until_ready records dispatch, not device time (the
+            # first r5 run's dense-T=512 "1.75 ms" was that artifact)
             n_iter = 10
             t0 = time.perf_counter()
             for _ in range(n_iter):
                 params, opt_state, loss = jstep(params, opt_state, ids, mask)
-            jax.block_until_ready(loss)
+            float(loss)
             dt = (time.perf_counter() - t0) / n_iter
             print(
                 json.dumps(

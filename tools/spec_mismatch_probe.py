@@ -89,6 +89,34 @@ def main() -> None:
         "mismatch_requests": n_fused, "of": 32,
     }), flush=True)
 
+    # Arm 3 — the discriminator the first probe round demanded: both
+    # controls above came back 0/32 on chip (greedy is batch-shape
+    # STABLE in bf16), so the spec mismatches are specific to the
+    # (gamma+1)-position verification forward. Run lockstep spec vs
+    # greedy at f32/HIGHEST matmul precision ON THE CHIP: if the
+    # mismatches vanish, they are verification-forward ROUNDING on
+    # near-ties (numerics); if they persist, the spec path has a logic
+    # bug f32-CPU hides.
+    from dalm_tpu.models.speculative import build_speculative_generate
+
+    params32 = jax.tree.map(
+        lambda a: a.astype(jnp.float32) if hasattr(a, "astype") else a, params
+    )
+    with jax.default_matmul_precision("highest"):
+        greedy32 = build_greedy_generate(dec, MAX_NEW, eos_token_id=None, pad_token_id=0)
+        want32 = np.asarray(greedy32(params32, jnp.asarray(ids[:32]), jnp.asarray(mask[:32])))
+        for gamma in (4, 8):
+            spec = build_speculative_generate(
+                dec, MAX_NEW, eos_token_id=None, pad_token_id=0,
+                gamma=gamma, return_stats=True,
+            )
+            got, _passes = spec(params32, jnp.asarray(ids[:32]), jnp.asarray(mask[:32]))
+            n = int((np.asarray(got) != want32).any(axis=1).sum())
+            print(json.dumps({
+                "comparison": f"spec_gamma{gamma}_vs_greedy_f32_highest_onchip",
+                "mismatch_requests": n, "of": 32,
+            }), flush=True)
+
 
 if __name__ == "__main__":
     main()
