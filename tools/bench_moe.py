@@ -62,6 +62,11 @@ def bench_train() -> None:
 
     B = 4
     shapes = [(B, 128), (B, 512), (B, 2048)]
+    if os.environ.get("DALM_MOE_SMALL"):
+        # crossover hunt at decode-ish widths: the honest (readback-
+        # synced) table showed dispatch winning at every train shape
+        # incl. T=512, so the dense regime — if it exists — is below
+        shapes = [(B, 4), (B, 8), (B, 16), (B, 32), (B, 64)]
     arms = [("dense", None), ("dispatch", 2048)]
     rng = np.random.default_rng(0)
     for impl, group in arms:
