@@ -107,9 +107,11 @@ class DecoderConfig:
     # the reference has no MoE support, beyond-parity). num_experts set →
     # every layer's MLP is a sparse MoE block. moe_impl: "dense" (exact,
     # all experts all tokens — parity tests, decode), "dispatch"
-    # (capacity-C dispatch einsums — training scale), "auto" (dense for
-    # T ≤ 512 tokens else dispatch). moe_capacity_factor: dispatch
-    # capacity C = ceil(T·K·cf / E); None → C = T (dropless, exact).
+    # (capacity-C dispatch einsums — training scale), "auto" (dense when
+    # decoding from a KV cache, dispatch otherwise — calibrated from the
+    # measured crossover table, models/moe.py). moe_capacity_factor:
+    # dispatch capacity C = ceil(T·K·cf / E); None → C = T (dropless,
+    # exact).
     num_experts: Optional[int] = None
     num_experts_per_tok: int = 2
     moe_intermediate_size: Optional[int] = None
@@ -681,7 +683,7 @@ class DecoderLayer(nn.Module):
         if cfg.num_experts:
             from dalm_tpu.models.moe import MoEBlock
 
-            down, moe_aux = MoEBlock(cfg, name="moe")(normed)
+            down, moe_aux = MoEBlock(cfg, name="moe")(normed, decode=kv_cache is not None)
         else:
             gate = _proj(cfg.intermediate_size, "gate_proj", cfg, ("embed", "mlp"))(normed)
             up = _proj(cfg.intermediate_size, "up_proj", cfg, ("embed", "mlp"))(normed)

@@ -72,7 +72,7 @@ class MoEBlock(nn.Module):
     cfg: Any  # DecoderConfig (duck-typed to avoid a circular import)
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, decode: bool = False) -> jax.Array:
         cfg = self.cfg
         B, S, H = x.shape
         E = cfg.num_experts
@@ -128,7 +128,18 @@ class MoEBlock(nn.Module):
 
         impl = cfg.moe_impl
         if impl == "auto":
-            impl = "dense" if T <= 512 else "dispatch"
+            # Set FROM the measured table, not asserted: the on-chip
+            # fwd+bwd A/B (tools/bench_moe.py --train, readback-synced,
+            # results_r5_moe_train{,_small}.log) has dispatch ahead at
+            # EVERY shape from T=16 (13.0 vs 16.1 ms) to T=8192 (272.7
+            # vs 314.3 ms) at capacity 1.25 — the original "dense if
+            # T<=512" crossover was an artifact of block_until_ready
+            # timing. Dense remains the DECODE choice for exactness
+            # (capacity dispatch may drop tokens mid-generation) and
+            # because at slot-width batches every touched expert's
+            # weights stream from HBM anyway — the extra dense FLOPs
+            # ride the weight DMA.
+            impl = "dense" if decode else "dispatch"
 
         if impl == "dense":
             # All experts on all tokens; combine with the sparse gate

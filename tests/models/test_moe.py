@@ -336,3 +336,29 @@ def test_dispatch_grouping_capacity_is_per_group():
     # differ, but every kept row matches one of the two exact paths
     assert np.isfinite(np.asarray(y_one)).all()
     assert np.isfinite(np.asarray(y_grp)).all()
+
+
+def test_auto_impl_keys_on_decode_not_token_count():
+    """moe_impl="auto" resolves from the measured crossover table
+    (results_r5_moe_train{,_small}.log): dispatch for cache-less
+    forwards at ANY T (it won every fwd+bwd shape from T=16 up), dense
+    when decoding from a KV cache (exactness: capacity dispatch may
+    drop tokens). Observable: with a deliberately starved capacity,
+    the cache-less auto forward drops tokens (differs from dense) while
+    the decode auto forward is exactly dense."""
+    cfg = tiny_moe_cfg(moe_impl="auto", moe_capacity_factor=0.125)
+    blk = MoEBlock(cfg)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 16, 32)), jnp.float32)
+    params = blk.init(jax.random.PRNGKey(0), x)["params"]
+
+    out_train, _ = blk.apply({"params": params}, x)               # dispatch
+    out_decode, _ = blk.apply({"params": params}, x, decode=True)  # dense
+
+    dense = MoEBlock(dataclasses.replace(cfg, moe_impl="dense"))
+    out_dense, _ = dense.apply({"params": params}, x)
+
+    np.testing.assert_array_equal(np.asarray(out_decode), np.asarray(out_dense))
+    assert not np.allclose(np.asarray(out_train), np.asarray(out_dense)), (
+        "starved-capacity dispatch must drop tokens; auto picked dense?"
+    )
