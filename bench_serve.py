@@ -54,6 +54,12 @@ def bench_7b_decode(int4: bool = False) -> None:
         # this cache length): the small-model tier; MHA cache (~76 MB/
         # slot at len 192) caps slots before HBM does.
         ("phi3-mini", DecoderConfig.phi3_mini(), 64),
+        # MLA tier (models/mla.py): the latent cache is 576 floats/token
+        # TOTAL (vs phi3's 32 heads x 2 x 96 = 6144, llama2-7B's 8192) —
+        # ~6 MB/slot at len 192, so the slot pool is bounded by program
+        # temps, not cache bytes. Decode batches over slots ⇒ the cache
+        # compression converts directly to throughput.
+        ("deepseek-v3-mini-mla", DecoderConfig.deepseek_v3_mini(), 256),
     ]
     if int4:
         # the CAPACITY tier: 13B fits a 16 GB chip only at 4-bit weights

@@ -141,8 +141,36 @@ class DecoderConfig:
     # single-token, one-hot multi-token) stay bit-identical to each
     # other — only attention numerics carry the (bounded) rounding.
     kv_quant: bool = False
+    # Multi-head latent attention (DeepSeek-V2/V3, models/mla.py;
+    # beyond-parity — the reference has no MLA support). kv_lora_rank
+    # set → every layer's attention is MLA: K/V live as one shared
+    # compressed latent per token (kv_lora_rank wide) plus one shared
+    # rope key (qk_rope_head_dim wide) — the KV cache stores ONLY those
+    # (r + d_rope vs n_heads·2·head_dim bytes/token: 57× smaller at V3
+    # shapes). Cache-less forwards decompress through kv_b and run
+    # standard attention; cached decode runs the ABSORBED formulation
+    # (q pulled through kv_b's K half, scores against the latent cache
+    # directly — all MXU einsums, no per-step decompression). HF
+    # reference: transformers deepseek_v3 modeling (DeepseekV3Attention
+    # forward, eager path).
+    q_lora_rank: Optional[int] = None       # None → direct q_proj
+    kv_lora_rank: Optional[int] = None      # set → MLA attention
+    qk_nope_head_dim: Optional[int] = None
+    qk_rope_head_dim: Optional[int] = None
+    v_head_dim: Optional[int] = None
+    # DeepSeek checkpoints store rope-dim weights pair-interleaved
+    # (HF rope_interleave=True): de-interleave before rotate_half.
+    rope_interleave: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+
+    @property
+    def mla(self) -> bool:
+        return self.kv_lora_rank is not None
+
+    @property
+    def qk_head_dim(self) -> int:
+        return (self.qk_nope_head_dim or 0) + (self.qk_rope_head_dim or 0)
 
     @property
     def head_dim(self) -> int:
@@ -229,6 +257,33 @@ class DecoderConfig:
         return dataclasses.replace(
             DecoderConfig.tiny(vocab_size), num_experts=4,
             num_experts_per_tok=2, moe_intermediate_size=64,
+        )
+
+    @staticmethod
+    def tiny_mla(vocab_size: int = 512) -> "DecoderConfig":
+        """CPU-testable MLA config (models/mla.py; DeepSeek-V3 geometry
+        scaled down — latent rank 16 vs per-head KV 4·2·16)."""
+        return dataclasses.replace(
+            DecoderConfig.tiny(vocab_size),
+            q_lora_rank=24, kv_lora_rank=16,
+            qk_nope_head_dim=16, qk_rope_head_dim=8, v_head_dim=16,
+            rope_interleave=True,
+        )
+
+    @staticmethod
+    def deepseek_v3_mini() -> "DecoderConfig":
+        """Chip-serveable dense-MLP MLA model (V3 attention geometry at
+        ~4B dense scale: latent rank 512 + rope 64 → 1152 cache
+        bytes/token in bf16 vs llama2-7B's 32768 — the serving tier
+        MLA exists for)."""
+        return DecoderConfig(
+            vocab_size=32000, hidden_size=2560, num_layers=28,
+            num_heads=20, num_kv_heads=20, intermediate_size=8960,
+            max_position_embeddings=4096, rope_theta=10000.0,
+            q_lora_rank=1024, kv_lora_rank=512,
+            qk_nope_head_dim=128, qk_rope_head_dim=64, v_head_dim=128,
+            rope_interleave=True, remat=True,
+            dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
         )
 
     @staticmethod
@@ -668,7 +723,13 @@ class DecoderLayer(nn.Module):
                            unit_offset=cfg.rmsnorm_unit_offset, name=name)
 
         normed = _norm("input_norm")(hidden)
-        attn_out, new_cache = DecoderAttention(cfg, layer_idx=self.layer_idx, name="attention")(
+        if cfg.mla:
+            from dalm_tpu.models.mla import MLAAttention
+
+            attn_cls = MLAAttention
+        else:
+            attn_cls = DecoderAttention
+        attn_out, new_cache = attn_cls(cfg, layer_idx=self.layer_idx, name="attention")(
             normed, mask, cos, sin, kv_cache, cache_index, segment_mask
         )
         if cfg.post_norms:
@@ -704,6 +765,25 @@ class Decoder(nn.Module):
     def init_kv_cache(self, batch_size: int, max_len: int, dtype=None) -> dict:
         cfg = self.cfg
         dtype = dtype or cfg.dtype
+        if cfg.mla:
+            # MLA latent cache: one shared compressed latent + one shared
+            # rope key per token — (r + d_rope) · bytes/token vs the
+            # standard tier's kv_heads·2·head_dim. The latent IS the
+            # compression (57× at V3 shapes), so the int8-KV tier does
+            # not stack on it (rejected loudly).
+            if cfg.kv_quant:
+                raise ValueError(
+                    "kv_quant is not supported with MLA: the latent cache "
+                    "is already the compressed tier (kv_lora_rank + "
+                    "qk_rope_head_dim floats/token)"
+                )
+            return {
+                f"layer_{i}": {
+                    "k": jnp.zeros((batch_size, max_len, cfg.kv_lora_rank), dtype),
+                    "pe": jnp.zeros((batch_size, max_len, cfg.qk_rope_head_dim), dtype),
+                }
+                for i in range(cfg.num_layers)
+            }
         shape = (batch_size, max_len, cfg.kv_heads, cfg.head_dim)
         if cfg.kv_quant:
             # int8 KV tier: int8 values + per-(token, head) f32 scales.
@@ -787,7 +867,10 @@ class Decoder(nn.Module):
         if cfg.rope_scaling_factor:
             pos_global = positions.astype(jnp.float32) / cfg.rope_scaling_factor
         cos, sin = rope_cos_sin(
-            pos_global, cfg.head_dim, cfg.rope_theta, cfg.dtype,
+            pos_global,
+            # MLA rotates only the decoupled rope slice (q_pe/k_pe)
+            cfg.qk_rope_head_dim if cfg.mla else cfg.head_dim,
+            cfg.rope_theta, cfg.dtype,
             llama3_scaling=cfg.rope_llama3,
         )
         cos_local = sin_local = None

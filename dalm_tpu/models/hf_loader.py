@@ -210,6 +210,29 @@ def load_hf_decoder(path: str, dtype=None) -> Tuple[DecoderConfig, Any]:
                 f"{model_type!r}: only 'linear' and 'llama3' are "
                 "implemented (refusing to ignore it silently)"
             )
+    # DeepSeek-V3 (MLA attention, models/mla.py). Supported surface:
+    # dense-MLP configs (first_k_dense_replace >= num_hidden_layers) with
+    # no rope_scaling — the V3 MoE block (sigmoid scores, group-limited
+    # routing, noaux-tc bias, shared experts) and yarn+mscale rope are
+    # NOT the mixtral/qwen3 semantics this repo implements, so configs
+    # that need them are rejected loudly rather than mis-loaded.
+    mla = model_type == "deepseek_v3"
+    if mla:
+        if hf.get("rope_scaling") is not None:
+            raise ValueError(
+                "deepseek_v3 with rope_scaling (yarn + mscale attention "
+                "rescale) is not implemented; only rope_scaling=null "
+                "configs load"
+            )
+        n_routed = hf.get("n_routed_experts")
+        first_dense = hf.get("first_k_dense_replace", 0)
+        if n_routed and first_dense < hf["num_hidden_layers"]:
+            raise ValueError(
+                "deepseek_v3 MoE layers (sigmoid routing + shared experts "
+                "+ noaux-tc bias) are not implemented: only dense-MLP "
+                "configs (first_k_dense_replace >= num_hidden_layers) load"
+            )
+
     gemma3_sliding: "tuple | None" = None
     if gemma3:
         layer_types = hf.get("layer_types") or [
@@ -310,6 +333,14 @@ def load_hf_decoder(path: str, dtype=None) -> Tuple[DecoderConfig, Any]:
         num_experts_per_tok=hf.get("num_experts_per_tok") or 2,
         moe_intermediate_size=hf.get("moe_intermediate_size"),
         norm_topk_prob=bool(hf.get("norm_topk_prob", True)),
+        # MLA (deepseek_v3): latent-KV attention geometry + the
+        # pair-interleaved rope weight layout V3 checkpoints ship.
+        q_lora_rank=hf.get("q_lora_rank") if mla else None,
+        kv_lora_rank=hf.get("kv_lora_rank") if mla else None,
+        qk_nope_head_dim=hf.get("qk_nope_head_dim") if mla else None,
+        qk_rope_head_dim=hf.get("qk_rope_head_dim") if mla else None,
+        v_head_dim=hf.get("v_head_dim") if mla else None,
+        rope_interleave=bool(hf.get("rope_interleave", True)) if mla else False,
     )
     if model_type == "gemma2" and hf.get("layer_types"):
         expected = [
@@ -359,6 +390,33 @@ def load_hf_decoder(path: str, dtype=None) -> Tuple[DecoderConfig, Any]:
             gate_up = state[f"{hf_layer}.mlp.gate_up_proj.weight"]
             gate_w = gate_up[: cfg.intermediate_size].T.astype(np.float32)
             up_w = gate_up[cfg.intermediate_size:].T.astype(np.float32)
+        elif cfg.mla:
+            # DeepSeek-V3 MLA projections (models/mla.py). kv_b_proj is
+            # a RAW kernel param (both paths contract it explicitly —
+            # the decode path absorbs its K half into the query), so it
+            # maps to the bare (r, nh·(dn+dv)) array, not a FlexLinear
+            # {"kernel": ...} dict.
+            sa = f"{hf_layer}.self_attn"
+            attention = {
+                "kv_a_proj": _maybe_bias(
+                    {"kernel": W(f"{sa}.kv_a_proj_with_mqa.weight")},
+                    arr, f"{sa}.kv_a_proj_with_mqa.bias", cfg),
+                "kv_a_norm": {"scale": arr(f"{sa}.kv_a_layernorm.weight")},
+                "kv_b_proj": W(f"{sa}.kv_b_proj.weight"),
+                "o_proj": _maybe_bias({"kernel": W(f"{sa}.o_proj.weight")},
+                                      arr, f"{sa}.o_proj.bias", cfg),
+            }
+            if cfg.q_lora_rank:
+                attention.update({
+                    "q_a_proj": _maybe_bias({"kernel": W(f"{sa}.q_a_proj.weight")},
+                                            arr, f"{sa}.q_a_proj.bias", cfg),
+                    "q_a_norm": {"scale": arr(f"{sa}.q_a_layernorm.weight")},
+                    "q_b_proj": {"kernel": W(f"{sa}.q_b_proj.weight")},
+                })
+            else:
+                attention["q_proj"] = {"kernel": W(f"{sa}.q_proj.weight")}
+            gate_w = W(f"{hf_layer}.mlp.gate_proj.weight")
+            up_w = W(f"{hf_layer}.mlp.up_proj.weight")
         else:
             attention = {
                 "q_proj": _maybe_bias({"kernel": W(f"{hf_layer}.self_attn.q_proj.weight")},

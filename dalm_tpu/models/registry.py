@@ -54,6 +54,8 @@ DECODER_PRESETS = {
     "gemma2-2b": DecoderConfig.gemma2_2b,
     "gemma3-1b": DecoderConfig.gemma3_1b,
     "tiny-moe": DecoderConfig.tiny_moe,
+    "tiny-mla": DecoderConfig.tiny_mla,
+    "deepseek-v3-mini": DecoderConfig.deepseek_v3_mini,
     "tiny-gpt2": GPT2Config.tiny,
     "gpt2": GPT2Config.gpt2_124m,
 }
