@@ -116,6 +116,18 @@ class DecoderConfig:
     num_experts_per_tok: int = 2
     moe_intermediate_size: Optional[int] = None
     norm_topk_prob: bool = True
+    # Router semantics: "softmax" (Mixtral/Qwen3-MoE — f32 softmax over
+    # all experts, top-k) or "noaux_tc" (DeepSeek-V3 — sigmoid scores,
+    # aux-free e_score_correction_bias for CHOICE only, group-limited
+    # top-k; models/moe.py route_noaux_tc).
+    moe_router: str = "softmax"
+    moe_n_group: Optional[int] = None        # noaux_tc: expert groups
+    moe_topk_group: Optional[int] = None     # noaux_tc: groups kept
+    moe_routed_scaling_factor: float = 1.0   # noaux_tc: weight scale
+    moe_n_shared_experts: int = 0            # V3 always-on dense experts
+    # First k layers use a dense MLP instead of MoE (DeepSeek-V3
+    # first_k_dense_replace); 0 → every layer is MoE.
+    moe_layer_start: int = 0
     moe_impl: str = "auto"
     moe_capacity_factor: Optional[float] = None
     # GShard-style token grouping for the dispatch path: tokens split
@@ -741,7 +753,7 @@ class DecoderLayer(nn.Module):
 
         normed = _norm("pre_feedforward_norm" if cfg.post_norms else "post_attention_norm")(hidden)
         moe_aux = jnp.zeros((), jnp.float32)
-        if cfg.num_experts:
+        if cfg.num_experts and self.layer_idx >= cfg.moe_layer_start:
             from dalm_tpu.models.moe import MoEBlock
 
             down, moe_aux = MoEBlock(cfg, name="moe")(normed, decode=kv_cache is not None)

@@ -174,6 +174,13 @@ def load_hf_decoder(path: str, dtype=None) -> Tuple[DecoderConfig, Any]:
     num_experts = (
         hf.get("num_local_experts") if model_type == "mixtral"
         else hf.get("num_experts") if model_type == "qwen3_moe"
+        # deepseek_v3: only when some layer actually IS MoE (all-dense
+        # configs — first_k_dense_replace >= layers — load as plain MLA)
+        else hf.get("n_routed_experts") if (
+            model_type == "deepseek_v3"
+            and hf.get("n_routed_experts")
+            and hf.get("first_k_dense_replace", 0) < hf["num_hidden_layers"]
+        )
         else None
     )
     # Phi-3-small-class checkpoints rotate only part of head_dim; this
@@ -210,13 +217,11 @@ def load_hf_decoder(path: str, dtype=None) -> Tuple[DecoderConfig, Any]:
                 f"{model_type!r}: only 'linear' and 'llama3' are "
                 "implemented (refusing to ignore it silently)"
             )
-    # DeepSeek-V3 (MLA attention, models/mla.py). Supported surface:
-    # dense-MLP configs (first_k_dense_replace >= num_hidden_layers) with
-    # no rope_scaling — the V3 MoE block (sigmoid scores, group-limited
-    # routing, noaux-tc bias, shared experts) and yarn+mscale rope are
-    # NOT the mixtral/qwen3 semantics this repo implements, so configs
-    # that need them are rejected loudly rather than mis-loaded.
+    # DeepSeek-V3 (MLA attention, models/mla.py + noaux-tc MoE,
+    # models/moe.py route_noaux_tc). yarn+mscale rope is NOT implemented
+    # — rejected loudly rather than mis-loaded beyond original context.
     mla = model_type == "deepseek_v3"
+    ds_moe = False
     if mla:
         if hf.get("rope_scaling") is not None:
             raise ValueError(
@@ -224,14 +229,9 @@ def load_hf_decoder(path: str, dtype=None) -> Tuple[DecoderConfig, Any]:
                 "rescale) is not implemented; only rope_scaling=null "
                 "configs load"
             )
-        n_routed = hf.get("n_routed_experts")
-        first_dense = hf.get("first_k_dense_replace", 0)
-        if n_routed and first_dense < hf["num_hidden_layers"]:
-            raise ValueError(
-                "deepseek_v3 MoE layers (sigmoid routing + shared experts "
-                "+ noaux-tc bias) are not implemented: only dense-MLP "
-                "configs (first_k_dense_replace >= num_hidden_layers) load"
-            )
+        ds_moe = bool(hf.get("n_routed_experts")) and (
+            hf.get("first_k_dense_replace", 0) < hf["num_hidden_layers"]
+        )
 
     gemma3_sliding: "tuple | None" = None
     if gemma3:
@@ -341,6 +341,14 @@ def load_hf_decoder(path: str, dtype=None) -> Tuple[DecoderConfig, Any]:
         qk_rope_head_dim=hf.get("qk_rope_head_dim") if mla else None,
         v_head_dim=hf.get("v_head_dim") if mla else None,
         rope_interleave=bool(hf.get("rope_interleave", True)) if mla else False,
+        # deepseek_v3 MoE (noaux-tc router + shared experts + leading
+        # dense layers); inert (defaults) for every other family.
+        moe_router="noaux_tc" if ds_moe else "softmax",
+        moe_n_group=hf.get("n_group") if ds_moe else None,
+        moe_topk_group=hf.get("topk_group") if ds_moe else None,
+        moe_routed_scaling_factor=float(hf.get("routed_scaling_factor", 1.0)) if ds_moe else 1.0,
+        moe_n_shared_experts=int(hf.get("n_shared_experts") or 0) if ds_moe else 0,
+        moe_layer_start=int(hf.get("first_k_dense_replace", 0)) if ds_moe else 0,
     )
     if model_type == "gemma2" and hf.get("layer_types"):
         expected = [
@@ -373,6 +381,9 @@ def load_hf_decoder(path: str, dtype=None) -> Tuple[DecoderConfig, Any]:
     phi3 = model_type == "phi3"
     for i in range(cfg.num_layers):
         hf_layer = f"model.layers.{i}"
+        # deepseek_v3: layers below first_k_dense_replace are plain
+        # dense MLPs even in MoE checkpoints
+        moe_layer = bool(cfg.num_experts) and i >= cfg.moe_layer_start
         if phi3:
             # Phi3 fuses the projections: qkv_proj stacks [q; k; v] rows,
             # gate_up_proj stacks [gate; up] (HF Phi3Attention slices in
@@ -415,8 +426,10 @@ def load_hf_decoder(path: str, dtype=None) -> Tuple[DecoderConfig, Any]:
                 })
             else:
                 attention["q_proj"] = {"kernel": W(f"{sa}.q_proj.weight")}
-            gate_w = W(f"{hf_layer}.mlp.gate_proj.weight")
-            up_w = W(f"{hf_layer}.mlp.up_proj.weight")
+            gate_w = up_w = None
+            if not moe_layer:
+                gate_w = W(f"{hf_layer}.mlp.gate_proj.weight")
+                up_w = W(f"{hf_layer}.mlp.up_proj.weight")
         else:
             attention = {
                 "q_proj": _maybe_bias({"kernel": W(f"{hf_layer}.self_attn.q_proj.weight")},
@@ -442,12 +455,13 @@ def load_hf_decoder(path: str, dtype=None) -> Tuple[DecoderConfig, Any]:
             "attention": attention,
             "input_norm": {"scale": arr(f"{hf_layer}.input_layernorm.weight")},
         }
-        if cfg.num_experts:
+        if moe_layer:
             # MoE checkpoints store per-expert tensors; stack them into
             # this block's (E, H, M)/(E, M, H) batched-einsum layout
             # (models/moe.py). Mixtral: block_sparse_moe.gate +
-            # experts.{j}.w1/w3/w2 (gate/up/down). Qwen3-MoE: mlp.gate +
-            # experts.{j}.{gate,up,down}_proj.
+            # experts.{j}.w1/w3/w2 (gate/up/down). Qwen3-MoE and
+            # DeepSeek-V3: mlp.gate + experts.{j}.{gate,up,down}_proj;
+            # V3 adds the noaux-tc gate bias and the shared experts.
             if model_type == "mixtral":
                 base = f"{hf_layer}.block_sparse_moe"
                 names = ("w1.weight", "w3.weight", "w2.weight")
@@ -465,6 +479,17 @@ def load_hf_decoder(path: str, dtype=None) -> Tuple[DecoderConfig, Any]:
                 "router": W(f"{base}.gate.weight"),
                 **stack,
             }
+            if cfg.moe_router == "noaux_tc":
+                params[f"layer_{i}"]["moe"]["e_score_correction_bias"] = arr(
+                    f"{base}.gate.e_score_correction_bias"
+                )
+            if cfg.moe_n_shared_experts:
+                se = f"{base}.shared_experts"
+                params[f"layer_{i}"]["moe"].update({
+                    "shared_gate": W(f"{se}.gate_proj.weight"),
+                    "shared_up": W(f"{se}.up_proj.weight"),
+                    "shared_down": W(f"{se}.down_proj.weight"),
+                })
         else:
             params[f"layer_{i}"].update({
                 "gate_proj": {"kernel": gate_w},

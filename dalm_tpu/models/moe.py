@@ -66,6 +66,37 @@ def route_topk(router_logits: jax.Array, k: int, norm_topk: bool):
     return weights, idx
 
 
+def route_noaux_tc(
+    router_logits: jax.Array, bias: jax.Array, k: int, n_group: int,
+    topk_group: int, norm_topk: bool, scaling: float,
+):
+    """DeepSeek-V3 routing (HF ``DeepseekV3TopkRouter``): sigmoid scores,
+    the aux-loss-free ``e_score_correction_bias`` added for CHOICE only
+    (combine weights use the raw sigmoid scores), and group-limited
+    selection — experts partition into ``n_group`` groups, a group's
+    score is the sum of its top-2 biased scores, only the ``topk_group``
+    best groups stay eligible, then plain top-k over the survivors.
+
+    router_logits: (T, E) f32 → (weights (T, k) f32, indices (T, k)).
+    """
+    T, E = router_logits.shape
+    scores = jax.nn.sigmoid(router_logits)
+    choice = scores + bias[None, :]
+    gs = choice.reshape(T, n_group, E // n_group)
+    group_scores = jnp.sum(jax.lax.top_k(gs, 2)[0], axis=-1)  # (T, G)
+    _, gidx = jax.lax.top_k(group_scores, topk_group)
+    group_mask = jnp.sum(
+        jax.nn.one_hot(gidx, n_group, dtype=jnp.float32), axis=-2
+    )  # (T, G)
+    score_mask = jnp.repeat(group_mask, E // n_group, axis=-1)  # (T, E)
+    masked = jnp.where(score_mask > 0, choice, 0.0)
+    _, idx = jax.lax.top_k(masked, k)
+    weights = jnp.take_along_axis(scores, idx, axis=-1)
+    if norm_topk:
+        weights = weights / (jnp.sum(weights, axis=-1, keepdims=True) + 1e-20)
+    return weights * scaling, idx
+
+
 class MoEBlock(nn.Module):
     """Sparse MoE MLP: SwiGLU experts with stacked, EP-sharded weights."""
 
@@ -97,8 +128,26 @@ class MoEBlock(nn.Module):
             cfg.param_dtype,
         )
         x2 = x.reshape(T, H)
-        router_logits = x2 @ router_kernel.astype(cfg.dtype)  # (T, E)
-        gate_w, idx = route_topk(router_logits, K, cfg.norm_topk_prob)
+        if cfg.moe_router == "noaux_tc":
+            # DeepSeek-V3: HF computes the gate matmul in f32 explicitly
+            # (DeepseekV3TopkRouter.forward), sigmoid scores, and the
+            # aux-free correction bias (a checkpoint BUFFER — here a
+            # frozen param the loader fills; selection-only, so it never
+            # receives gradients through top-k anyway).
+            bias = self.param(
+                "e_score_correction_bias",
+                nn.with_logical_partitioning(nn.initializers.zeros_init(), (None,)),
+                (E,), jnp.float32,
+            )
+            router_logits = x2.astype(jnp.float32) @ router_kernel.astype(jnp.float32)
+            gate_w, idx = route_noaux_tc(
+                router_logits, jnp.asarray(bias), K,
+                cfg.moe_n_group or 1, cfg.moe_topk_group or 1,
+                cfg.norm_topk_prob, cfg.moe_routed_scaling_factor,
+            )
+        else:
+            router_logits = x2 @ router_kernel.astype(cfg.dtype)  # (T, E)
+            gate_w, idx = route_topk(router_logits, K, cfg.norm_topk_prob)
 
         def stacked(name, shape, axes):
             return self.param(
@@ -118,13 +167,30 @@ class MoEBlock(nn.Module):
         # sow mutations inside a rematted layer are off the supported
         # path (the a8-calibration twin exists for exactly that reason,
         # train/rag_e2e.py).
-        assign_frac = jnp.mean(
-            jax.nn.one_hot(idx, E, dtype=jnp.float32), axis=(0, 1)
-        )  # (E,) — fraction of (token, k) assignments per expert, ×1/K·E≈1
-        mean_prob = jnp.mean(
-            jax.nn.softmax(router_logits.astype(jnp.float32), axis=-1), axis=0
-        )
-        aux = jnp.asarray(E, jnp.float32) * jnp.sum(assign_frac * mean_prob)
+        if cfg.moe_router == "noaux_tc":
+            # V3 is AUX-FREE by design: balance comes from the correction
+            # bias (updated out-of-band during pretraining), not a loss.
+            aux = jnp.zeros((), jnp.float32)
+        else:
+            assign_frac = jnp.mean(
+                jax.nn.one_hot(idx, E, dtype=jnp.float32), axis=(0, 1)
+            )  # (E,) — fraction of (token, k) assignments per expert, ×1/K·E≈1
+            mean_prob = jnp.mean(
+                jax.nn.softmax(router_logits.astype(jnp.float32), axis=-1), axis=0
+            )
+            aux = jnp.asarray(E, jnp.float32) * jnp.sum(assign_frac * mean_prob)
+
+        # DeepSeek-V3 shared experts: an always-on dense SwiGLU of width
+        # n_shared·M whose output ADDS to the routed combine (HF
+        # DeepseekV3MoE.forward: moe(...) + shared_experts(residuals)).
+        # Replicated (every token runs it) — no EP axis.
+        shared = None
+        if cfg.moe_n_shared_experts:
+            Ms = M * cfg.moe_n_shared_experts
+            ws_g = stacked("shared_gate", (H, Ms), ("embed", "moe_mlp"))
+            ws_u = stacked("shared_up", (H, Ms), ("embed", "moe_mlp"))
+            ws_d = stacked("shared_down", (Ms, H), ("moe_mlp", "embed"))
+            shared = (act(x2 @ ws_g) * (x2 @ ws_u)) @ ws_d  # (T, H)
 
         impl = cfg.moe_impl
         if impl == "auto":
@@ -151,6 +217,8 @@ class MoEBlock(nn.Module):
             u = jnp.einsum("th,ehm->etm", x2, w_up)
             y = jnp.einsum("etm,emh->eth", act(g) * u, w_down)
             out = jnp.einsum("eth,te->th", y, full_gate.astype(cfg.dtype))
+            if shared is not None:
+                out = out + shared
             return out.reshape(B, S, H).astype(x.dtype), aux
 
         # ---- dispatch path -------------------------------------------------
@@ -198,4 +266,6 @@ class MoEBlock(nn.Module):
             y_rep.reshape(T_pad, K, H)[:T] * gate_w[:, :, None].astype(cfg.dtype),
             axis=1,
         )
+        if shared is not None:
+            out = out + shared
         return out.reshape(B, S, H).astype(x.dtype), aux

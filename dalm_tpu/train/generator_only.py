@@ -158,6 +158,17 @@ def train_generator(
     compute_dtype = parse_dtype(dtype) if dtype else None
     vocab = -(-tok.vocab_size // 128) * 128
     cfg, init_params = resolve_decoder(model_name, dtype=compute_dtype, vocab_size=vocab)
+    if cfg.vocab_size < tok.vocab_size:
+        # A loaded checkpoint keeps its own embedding table (resolve's
+        # vocab_size only applies to presets). Token ids beyond it would
+        # gather out of bounds — XLA clamps silently and training NaNs
+        # instead of erroring (hit by a round-5 drive with a 128-vocab
+        # toy checkpoint under the 256-id ByteTokenizer).
+        raise ValueError(
+            f"model vocab_size {cfg.vocab_size} < tokenizer vocab "
+            f"{tok.vocab_size}: token ids would index out of bounds; use a "
+            "tokenizer the checkpoint was built for"
+        )
     field_names = {f.name for f in dataclasses.fields(cfg)}
     if gradient_checkpointing and "remat" in field_names:
         cfg = dataclasses.replace(cfg, remat=True)

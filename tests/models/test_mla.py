@@ -191,14 +191,50 @@ def test_deepseek_v3_no_q_lora_parity(v3_noqlora_dir):
     assert cfg.q_lora_rank is None
 
 
-def test_loader_rejects_v3_moe_and_yarn(tmp_path_factory):
-    cfg = _v3_config(first_k_dense_replace=0, n_routed_experts=4,
-                     num_experts_per_tok=2, n_group=2, topk_group=1,
-                     moe_intermediate_size=16)
-    path, _ = _save(cfg, tmp_path_factory, "hf_dsv3_moe")
-    with pytest.raises(ValueError, match="MoE layers .* not implemented"):
-        load_hf_decoder(path)
+def test_deepseek_v3_moe_logits_parity(tmp_path_factory):
+    """Full V3: MLA attention + noaux-tc MoE (sigmoid scores, correction
+    bias for CHOICE only, group-limited top-k, routed_scaling_factor,
+    shared experts, first_k_dense_replace leading dense layer) — logits
+    parity vs HF torch on the exact dense expert path."""
+    cfg = _v3_config(
+        first_k_dense_replace=1, n_routed_experts=4, num_experts_per_tok=2,
+        n_group=2, topk_group=1, moe_intermediate_size=16,
+        n_shared_experts=1, routed_scaling_factor=2.5, norm_topk_prob=True,
+    )
+    model_t = transformers.DeepseekV3ForCausalLM(cfg)
+    model_t.eval()
+    # non-zero correction bias: exercises biased CHOICE vs raw-score
+    # combine weights (zeros would make the bias path vacuous)
+    with torch.no_grad():
+        for layer in model_t.model.layers[1:]:
+            layer.mlp.gate.e_score_correction_bias.uniform_(-0.2, 0.2)
+    d = tmp_path_factory.mktemp("hf_dsv3_moe")
+    model_t.save_pretrained(d, safe_serialization=True)
 
+    jcfg, params = load_hf_decoder(str(d))
+    assert jcfg.mla and jcfg.moe_router == "noaux_tc"
+    assert jcfg.num_experts == 4 and jcfg.moe_layer_start == 1
+    assert jcfg.moe_n_group == 2 and jcfg.moe_topk_group == 1
+    assert jcfg.moe_n_shared_experts == 1
+    assert jcfg.moe_routed_scaling_factor == 2.5
+    # layer 0 is dense, layer 1 is MoE — both present in the tree
+    assert "gate_proj" in params["layer_0"] and "moe" in params["layer_1"]
+    assert "e_score_correction_bias" in params["layer_1"]["moe"]
+    assert "shared_gate" in params["layer_1"]["moe"]
+
+    model = Decoder(dataclasses.replace(jcfg, moe_impl="dense"))
+    rng = np.random.default_rng(0)
+    ids = rng.integers(1, 120, size=(2, 12)).astype(np.int64)
+    with torch.no_grad():
+        expected = model_t(torch.tensor(ids)).logits.numpy()
+    got = np.asarray(
+        model.apply({"params": params}, jnp.asarray(ids, jnp.int32),
+                    jnp.ones((2, 12), jnp.int32))
+    )
+    np.testing.assert_allclose(got, expected, atol=3e-4)
+
+
+def test_loader_rejects_yarn(tmp_path_factory):
     cfg2 = _v3_config(rope_scaling={
         "rope_type": "yarn", "factor": 4.0, "beta_fast": 32.0,
         "beta_slow": 1.0, "mscale": 1.0, "mscale_all_dim": 0,

@@ -290,3 +290,32 @@ def test_sft_pp_rejects_peft_and_cp(messages_dataset):
             "tiny", messages_dataset, pipeline_stages=2, use_peft=False,
             context_parallel=True,
         )
+
+
+def test_sft_rejects_undersized_checkpoint_vocab(messages_dataset, tmp_path):
+    """A loaded checkpoint whose vocab is smaller than the tokenizer's id
+    range must error loudly — XLA clamps the OOB gathers silently and
+    training NaNs instead (hit by a round-5 drive with a 128-vocab toy
+    checkpoint under the 256-id ByteTokenizer)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    import pytest
+
+    from dalm_tpu.models.decoder import Decoder, DecoderConfig
+    from dalm_tpu.models.registry import save_pretrained
+    from dalm_tpu.core.mesh import unbox
+    from dalm_tpu.train.generator_only import train_generator
+
+    cfg = dataclasses.replace(DecoderConfig.tiny(vocab_size=128))
+    dec = Decoder(cfg)
+    import jax
+
+    params = unbox(dec.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32),
+                            jnp.ones((1, 8), jnp.int32))["params"])
+    ckpt = str(tmp_path / "small_vocab")
+    save_pretrained(ckpt, cfg, params)
+    with pytest.raises(ValueError, match="vocab_size 128 < tokenizer"):
+        train_generator(ckpt, messages_dataset, local_dataset=True,
+                        output_dir=str(tmp_path / "out"), num_train_epochs=1,
+                        seq_length=32, per_device_train_batch_size=1)
