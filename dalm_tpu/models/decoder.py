@@ -173,6 +173,15 @@ class DecoderConfig:
     # DeepSeek checkpoints store rope-dim weights pair-interleaved
     # (HF rope_interleave=True): de-interleave before rotate_half.
     rope_interleave: bool = False
+    # YaRN NTK rope (DeepSeek-V2/V3 long-context checkpoints):
+    # (factor, beta_fast, beta_slow, original_max_position_embeddings,
+    # attention_factor) — see rope_cos_sin. attention_factor is the
+    # precomputed mscale ratio multiplied into cos/sin.
+    rope_yarn: Optional[tuple] = None
+    # Extra multiplier on the attention softmax scale (DeepSeek yarn
+    # mscale_all_dim: scaling *= get_mscale(factor, mscale_all_dim)^2,
+    # HF DeepseekV3Attention.__init__).
+    attn_scale_mult: float = 1.0
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -434,6 +443,7 @@ def rotate_half(x: jax.Array) -> jax.Array:
 def rope_cos_sin(
     positions: jax.Array, head_dim: int, theta: float, dtype,
     llama3_scaling: Optional[tuple] = None,
+    yarn: Optional[tuple] = None,
 ) -> tuple:
     """positions: (B, S) → cos/sin of shape (B, S, head_dim).
 
@@ -442,8 +452,36 @@ def rope_cos_sin(
     frequency-band inv_freq rewrite (HF ``_compute_llama3_parameters``):
     long wavelengths (> original/low) divide by ``factor``, short ones
     (< original/high) pass through, the middle band interpolates.
+
+    ``yarn=(factor, beta_fast, beta_slow, original_max_position_
+    embeddings, attention_factor)`` applies the YaRN NTK rewrite (HF
+    ``_compute_yarn_parameters``, truncate=True): per-dimension linear
+    blend between interpolated (inv_freq/factor) and extrapolated
+    frequencies over the beta correction range, cos/sin multiplied by
+    ``attention_factor`` (precomputed at load — the mscale ratio).
+    DeepSeek-V2/V3 checkpoints train with this.
     """
     inv_freq = 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
+    if yarn is not None:
+        import math as _math
+
+        factor, beta_fast, beta_slow, old_len, _af = (float(v) for v in yarn)
+
+        def _corr_dim(rot):
+            return (head_dim * _math.log(old_len / (rot * 2 * _math.pi))) / (
+                2 * _math.log(theta)
+            )
+
+        low = max(_math.floor(_corr_dim(beta_fast)), 0)
+        high = min(_math.ceil(_corr_dim(beta_slow)), head_dim - 1)
+        ramp = jnp.clip(
+            (jnp.arange(head_dim // 2, dtype=jnp.float32) - low) / max(high - low, 1e-3),
+            0.0, 1.0,
+        )
+        extrapolation_factor = 1.0 - ramp
+        inv_freq = (inv_freq / factor) * (1.0 - extrapolation_factor) + (
+            inv_freq * extrapolation_factor
+        )
     if llama3_scaling is not None:
         factor, low, high, old_len = (float(v) for v in llama3_scaling)
         wavelen = 2.0 * jnp.pi / inv_freq
@@ -454,7 +492,8 @@ def rope_cos_sin(
         inv_freq = jnp.where(medium, smoothed, scaled)
     freqs = positions[..., None].astype(jnp.float32) * inv_freq[None, None, :]
     emb = jnp.concatenate([freqs, freqs], axis=-1)
-    return jnp.cos(emb).astype(dtype), jnp.sin(emb).astype(dtype)
+    af = float(yarn[4]) if yarn is not None else 1.0
+    return (jnp.cos(emb) * af).astype(dtype), (jnp.sin(emb) * af).astype(dtype)
 
 
 def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
@@ -884,6 +923,7 @@ class Decoder(nn.Module):
             cfg.qk_rope_head_dim if cfg.mla else cfg.head_dim,
             cfg.rope_theta, cfg.dtype,
             llama3_scaling=cfg.rope_llama3,
+            yarn=cfg.rope_yarn,
         )
         cos_local = sin_local = None
         if cfg.rope_local_theta is not None:

@@ -199,7 +199,8 @@ def load_hf_decoder(path: str, dtype=None) -> Tuple[DecoderConfig, Any]:
     # that produces wrong attention beyond its original context.
     rope_scaling_factor = None
     rope_llama3 = None
-    if isinstance(hf.get("rope_scaling"), dict):
+    # deepseek_v3 handles its own rope_scaling (yarn) below
+    if isinstance(hf.get("rope_scaling"), dict) and model_type != "deepseek_v3":
         rs = hf["rope_scaling"]
         rs_type = rs.get("rope_type", rs.get("type"))
         if rs_type == "linear":
@@ -218,16 +219,50 @@ def load_hf_decoder(path: str, dtype=None) -> Tuple[DecoderConfig, Any]:
                 "implemented (refusing to ignore it silently)"
             )
     # DeepSeek-V3 (MLA attention, models/mla.py + noaux-tc MoE,
-    # models/moe.py route_noaux_tc). yarn+mscale rope is NOT implemented
-    # — rejected loudly rather than mis-loaded beyond original context.
+    # models/moe.py route_noaux_tc + YaRN rope with mscale).
     mla = model_type == "deepseek_v3"
     ds_moe = False
+    rope_yarn = None
+    attn_scale_mult = 1.0
     if mla:
-        if hf.get("rope_scaling") is not None:
+        rs = hf.get("rope_scaling")
+        if isinstance(rs, dict) and (rs.get("rope_type", rs.get("type"))) == "yarn":
+            # YaRN (HF _compute_yarn_parameters, truncate default):
+            # attention_factor multiplies cos/sin; DeepSeek's
+            # mscale_all_dim additionally rescales the softmax scale by
+            # get_mscale(factor, mscale_all_dim)^2
+            # (DeepseekV3Attention.__init__).
+            import math as _math
+
+            def _get_mscale(scale, ms=1.0):
+                return 1.0 if scale <= 1 else 0.1 * ms * _math.log(scale) + 1.0
+
+            yfactor = float(rs["factor"])
+            af = rs.get("attention_factor")
+            msc, msc_all = rs.get("mscale"), rs.get("mscale_all_dim")
+            if af is None:
+                if msc and msc_all:
+                    af = _get_mscale(yfactor, msc) / _get_mscale(yfactor, msc_all)
+                else:
+                    af = _get_mscale(yfactor)
+            if not rs.get("truncate", True):
+                raise ValueError("yarn with truncate=false is not implemented")
+            rope_yarn = (
+                yfactor,
+                float(rs.get("beta_fast") or 32),
+                float(rs.get("beta_slow") or 1),
+                float(rs.get("original_max_position_embeddings")
+                      or hf.get("max_position_embeddings", 4096)),
+                float(af),
+            )
+            if msc_all:
+                m = _get_mscale(yfactor, float(msc_all))
+                attn_scale_mult = m * m
+            hf = dict(hf, rope_scaling=None)  # consumed here, not by the generic branch
+        elif rs is not None:
             raise ValueError(
-                "deepseek_v3 with rope_scaling (yarn + mscale attention "
-                "rescale) is not implemented; only rope_scaling=null "
-                "configs load"
+                f"deepseek_v3 rope_scaling type {rs.get('rope_type', rs.get('type'))!r} "
+                "is not implemented (yarn and null are)"
             )
         ds_moe = bool(hf.get("n_routed_experts")) and (
             hf.get("first_k_dense_replace", 0) < hf["num_hidden_layers"]
@@ -341,6 +376,8 @@ def load_hf_decoder(path: str, dtype=None) -> Tuple[DecoderConfig, Any]:
         qk_rope_head_dim=hf.get("qk_rope_head_dim") if mla else None,
         v_head_dim=hf.get("v_head_dim") if mla else None,
         rope_interleave=bool(hf.get("rope_interleave", True)) if mla else False,
+        rope_yarn=rope_yarn,
+        attn_scale_mult=attn_scale_mult,
         # deepseek_v3 MoE (noaux-tc router + shared experts + leading
         # dense layers); inert (defaults) for every other family.
         moe_router="noaux_tc" if ds_moe else "softmax",

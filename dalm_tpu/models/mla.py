@@ -76,7 +76,7 @@ class MLAAttention(nn.Module):
         r = cfg.kv_lora_rank
         dn, dr, dv = cfg.qk_nope_head_dim, cfg.qk_rope_head_dim, cfg.v_head_dim
         dh = dn + dr
-        scale = dh ** -0.5
+        scale = dh ** -0.5 * cfg.attn_scale_mult  # yarn mscale^2 lands here
         assert cfg.attention_impl != "ring", "MLA has no ring/CP path yet"
         assert not cfg.sliding_window, "MLA has no sliding-window support"
 

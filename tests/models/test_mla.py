@@ -234,14 +234,34 @@ def test_deepseek_v3_moe_logits_parity(tmp_path_factory):
     np.testing.assert_allclose(got, expected, atol=3e-4)
 
 
-def test_loader_rejects_yarn(tmp_path_factory):
-    cfg2 = _v3_config(rope_scaling={
+def test_deepseek_v3_yarn_parity(tmp_path_factory):
+    """YaRN rope (the long-context scaling real V2/V3 checkpoints train
+    with): per-dim NTK inv_freq blend over the beta correction range,
+    attention_factor on cos/sin, AND DeepSeek's mscale_all_dim softmax
+    rescale (scaling *= get_mscale(factor, mscale_all_dim)^2) — logits
+    parity vs HF torch with real-V3-style mscale=mscale_all_dim=1.0."""
+    cfg = _v3_config(rope_scaling={
         "rope_type": "yarn", "factor": 4.0, "beta_fast": 32.0,
-        "beta_slow": 1.0, "mscale": 1.0, "mscale_all_dim": 0,
+        "beta_slow": 1.0, "mscale": 1.0, "mscale_all_dim": 1.0,
+        "original_max_position_embeddings": 32,
+    })
+    path, hf_model = _save(cfg, tmp_path_factory, "hf_dsv3_yarn")
+    jcfg, _, _ = _parity(path, hf_model)
+    assert jcfg.rope_yarn is not None
+    import math
+
+    m = 0.1 * 1.0 * math.log(4.0) + 1.0
+    assert abs(jcfg.attn_scale_mult - m * m) < 1e-9
+    assert abs(jcfg.rope_yarn[4] - 1.0) < 1e-9  # mscale == mscale_all_dim
+
+
+def test_loader_rejects_unknown_v3_rope(tmp_path_factory):
+    cfg2 = _v3_config(rope_scaling={
+        "rope_type": "dynamic", "factor": 4.0,
         "original_max_position_embeddings": 512,
     })
-    path2, _ = _save(cfg2, tmp_path_factory, "hf_dsv3_yarn")
-    with pytest.raises(ValueError, match="rope_scaling"):
+    path2, _ = _save(cfg2, tmp_path_factory, "hf_dsv3_dynrope")
+    with pytest.raises(ValueError, match="not implemented"):
         load_hf_decoder(path2)
 
 
