@@ -129,6 +129,21 @@ def stacked_tp_specs(model) -> dict:
 def _check_cfg(cfg) -> None:
     assert cfg.sliding_layers == "all", "PP requires homogeneous layers"
     assert cfg.rope_local_theta is None, "PP requires a single rope base"
+    if getattr(cfg, "moe_layer_start", 0):
+        # DeepSeek-V3 first_k_dense_replace: the leading dense layers
+        # have a DIFFERENT param tree than the MoE layers, so the
+        # stacked-homogeneous-layer scan cannot represent the stack.
+        raise ValueError(
+            "PP requires homogeneous layers: moe_layer_start "
+            f"({cfg.moe_layer_start}) mixes dense and MoE layer kinds — "
+            "train DeepSeek-V3-style stacks with TP/EP instead"
+        )
+    if getattr(cfg, "mla", False):
+        raise ValueError(
+            "PP has no MLA layer support yet — compose TP with MLA "
+            "instead (the latent cache and absorbed decode are "
+            "TP-compatible; see models/mla.py)"
+        )
 
 
 def build_pp_lm_loss(

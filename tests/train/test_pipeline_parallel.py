@@ -245,3 +245,23 @@ def test_pp_neftune_noise(setup):
     clean = float(jax.jit(build_pp_lm_loss(model, mesh, num_microbatches=2))(io_p, st_p, ids, mask))
     assert a == b
     assert a != c and a != clean and np.isfinite(a)
+
+
+def test_pp_rejects_v3_mixed_layers_and_mla():
+    """PP stacks homogeneous layers; DeepSeek-V3's leading dense layers
+    (moe_layer_start) and MLA attention are loudly rejected with a
+    pointer to the supported composition."""
+    import dataclasses
+
+    import pytest
+
+    from dalm_tpu.models.decoder import DecoderConfig
+    from dalm_tpu.train.pipeline_parallel import _check_cfg
+
+    cfg = dataclasses.replace(
+        DecoderConfig.tiny_moe(), moe_layer_start=1
+    )
+    with pytest.raises(ValueError, match="moe_layer_start"):
+        _check_cfg(cfg)
+    with pytest.raises(ValueError, match="MLA"):
+        _check_cfg(DecoderConfig.tiny_mla())
