@@ -60,6 +60,11 @@ def bench_7b_decode(int4: bool = False) -> None:
         # temps, not cache bytes. Decode batches over slots ⇒ the cache
         # compression converts directly to throughput.
         ("deepseek-v3-mini-mla", DecoderConfig.deepseek_v3_mini(), 256),
+        # 7B-class MLA: llama2-7B geometry with V3 latent attention —
+        # the direct MLA-vs-MHA serve comparison (llama2's MHA cache
+        # caps this chip at 32 slots; the latent cache makes slots
+        # nearly free, so the pool grows until weight streaming binds).
+        ("deepseek-v3-mid-7B-mla", DecoderConfig.deepseek_v3_mid_7b(), 192),
     ]
     if int4:
         # the CAPACITY tier: 13B fits a 16 GB chip only at 4-bit weights

@@ -292,6 +292,23 @@ class DecoderConfig:
         )
 
     @staticmethod
+    def deepseek_v3_mid_7b() -> "DecoderConfig":
+        """7B-CLASS dense MLA (llama2-7B's hidden/layers/mlp geometry
+        with V3 attention: latent 512 + rope 64 + q-LoRA 1536 — ~5.9B
+        params). The direct MLA-vs-MHA serving comparison: llama2-7B's
+        MHA cache caps the 16 GB chip at 32 slots; this model's latent
+        cache (~1.2 KB/token) makes slots nearly free."""
+        return DecoderConfig(
+            vocab_size=32000, hidden_size=4096, num_layers=32,
+            num_heads=32, num_kv_heads=32, intermediate_size=11008,
+            max_position_embeddings=4096, rope_theta=10000.0,
+            q_lora_rank=1536, kv_lora_rank=512,
+            qk_nope_head_dim=128, qk_rope_head_dim=64, v_head_dim=128,
+            rope_interleave=True, remat=True,
+            dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
+        )
+
+    @staticmethod
     def deepseek_v3_mini() -> "DecoderConfig":
         """Chip-serveable dense-MLP MLA model (V3 attention geometry at
         ~4B dense scale: latent rank 512 + rope 64 → 1152 cache

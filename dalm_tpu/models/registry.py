@@ -56,6 +56,7 @@ DECODER_PRESETS = {
     "tiny-moe": DecoderConfig.tiny_moe,
     "tiny-mla": DecoderConfig.tiny_mla,
     "deepseek-v3-mini": DecoderConfig.deepseek_v3_mini,
+    "deepseek-v3-mid-7b": DecoderConfig.deepseek_v3_mid_7b,
     "tiny-gpt2": GPT2Config.tiny,
     "gpt2": GPT2Config.gpt2_124m,
 }
