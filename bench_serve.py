@@ -46,7 +46,12 @@ def bench_7b_decode(int4: bool = False) -> None:
     from dalm_tpu.models.decoder import Decoder, DecoderConfig
     import dataclasses
 
-    P, MAX_NEW = 64, 128
+    # DALM_PROMPT_LEN: long-context serve arms — at P=1024 an MHA 7B
+    # cache costs ~0.6 GB/slot and caps the pool near single digits,
+    # while the MLA latent cache stays ~1.3 MB/slot (the regime the
+    # 57x byte ratio actually compounds in).
+    P = int(os.environ.get("DALM_PROMPT_LEN", "64"))
+    MAX_NEW = 128
     rows = [
         ("llama2-7B", DecoderConfig.llama2_7b(), 32),
         ("llama3-8B-gqa", DecoderConfig.llama3_8b(), 96),
@@ -126,7 +131,7 @@ def bench_7b_decode(int4: bool = False) -> None:
         print(
             json.dumps(
                 {
-                    "metric": f"decode_tokens_per_sec_per_chip[{preset}-shape,{tier + '-weights' if int4 else 'int8-w8a8'}{',int8-kv' if kvq else ''},{slots}-slots,continuous-batching,1xv5e-16GB]",
+                    "metric": f"decode_tokens_per_sec_per_chip[{preset}-shape,{tier + '-weights' if int4 else 'int8-w8a8'}{',int8-kv' if kvq else ''}{f',p{P}' if P != 64 else ''},{slots}-slots,continuous-batching,1xv5e-16GB]",
                     "value": round(per_chip, 1),
                     "unit": "tokens/sec/chip",
                     "vs_baseline": None,
