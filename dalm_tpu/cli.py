@@ -306,6 +306,10 @@ def eval_rag_cmd(dataset_path, retriever_name_or_path, generator_name_or_path, *
 @click.option("--index-quantize", default="none",
               type=click.Choice(["none", "int8", "int4"]), show_default=True,
               help="index row storage: int8 = 2x corpus/HBM byte, int4 = 4x")
+@click.option("--prefill-chunk", default=0, show_default=True,
+              help="blocked admission prefill in C-column chunks (0 = whole "
+                   "prompt at once); at long --max-prompt-len the one-shot "
+                   "prefill's intermediates OOM before the KV cache does")
 @click.option("--temperature", default=0.0, show_default=True,
               help="0 = greedy; >0 samples (keys per request+position)")
 @click.option("--sampling-top-k", default=0, show_default=True)
@@ -315,8 +319,8 @@ def serve_cmd(retriever_name_or_path, generator_name_or_path, passages_path,
               passage_column_name, host, port, num_slots, max_new_tokens,
               max_prompt_len, retriever_peft_path, generator_peft_path,
               retriever_tokenizer, generator_tokenizer, quantize_generator,
-              kv_quant, index_quantize, temperature, sampling_top_k,
-              sampling_top_p, sampling_seed):
+              kv_quant, index_quantize, prefill_chunk, temperature,
+              sampling_top_k, sampling_top_p, sampling_seed):
     """Serve RAG answers over HTTP (beyond the reference — it has no
     serving surface): POST /answer for full answers, POST /stream for
     token streaming, GET /healthz; plus an OpenAI-compatible surface
@@ -350,6 +354,7 @@ def serve_cmd(retriever_name_or_path, generator_name_or_path, passages_path,
         max_prompt_len=max_prompt_len, max_new_tokens=max_new_tokens,
         quantize_generator=quantize_generator, kv_quant=kv_quant,
         sampler=sampler, index_quantize=index_quantize,
+        prefill_chunk=prefill_chunk or None,
     )
     serve_pipeline(pipe, host=host, port=port, num_slots=num_slots)
 

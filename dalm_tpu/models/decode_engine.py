@@ -64,6 +64,7 @@ class DecodeEngine:
         extra_collections: Optional[dict] = None,
         sampler: Optional[SamplerConfig] = None,
         speculative_gamma: int = 0,
+        prefill_chunk: Optional[int] = None,
     ):
         """``extra_collections``: additional flax variable collections,
         e.g. ``{"quant": ..., "lora": ...}`` for a packed int8 generator
@@ -82,7 +83,21 @@ class DecodeEngine:
         so spans verify at once. Composes with ``sampler`` via rejection
         verification (`speculative.rejection_verify`): every emitted
         token follows exactly the sampler's distribution, keyed by
-        (request, token index) so streams stay engine-invariant."""
+        (request, token index) so streams stay engine-invariant.
+
+        ``prefill_chunk``: blocked admission prefill. By default the
+        admission branch runs ONE forward over the whole (rows, P)
+        prompt block, so its attention scores / absorbed-MLA
+        intermediates scale with rows×P — at P=1024 that OOMs a 16 GB
+        chip long before the KV cache does (RESULTS.md "Long context").
+        With ``prefill_chunk=C`` the prefill becomes a ``lax.scan`` over
+        P/C column blocks, each a cached forward writing C cache rows at
+        ``cache_index = c*C`` — intermediates scale with rows×C while
+        attention still sees the full prefix through the cache (the
+        slot-causal mask is over absolute cache slots, so the math is
+        identical to the one-shot program). C is rounded down to the
+        largest divisor of P. bf16 accumulation order differs from the
+        one-shot program (same as any blocked attention), f32 is exact."""
         self.decoder = decoder
         self.params = params
         self.samp = resolve(sampler)
@@ -100,6 +115,49 @@ class DecodeEngine:
 
         B, P, L = num_slots, self.P, self.L
 
+        if prefill_chunk is None or prefill_chunk >= P:
+            self.prefill_C = P  # one-shot prefill (the original program)
+        else:
+            C = max(1, int(prefill_chunk))
+            while P % C:  # largest divisor of P not above the request
+                C -= 1
+            self.prefill_C = C
+
+        def prefill_rows(variables, ids, mask, positions):
+            """Admission prefill over (rows, P) prompts.
+
+            Returns (row_cache of length P, last-token logits (rows, V)).
+            The row cache is P long — NOT L — so the admission branch
+            never materialises a second pool-length cache; decode
+            continues in the pool cache after the merge.
+            """
+            rows = ids.shape[0]
+            rc = decoder.init_kv_cache(rows, P)
+            C = self.prefill_C
+            if C >= P:
+                logits, rc = decoder.apply(
+                    variables, ids, mask, positions=positions,
+                    kv_cache=rc, cache_index=0, logits_last_only=True,
+                )
+                return rc, logits[:, -1, :]
+
+            def chunk(rc, c):
+                ids_c = jax.lax.dynamic_slice_in_dim(ids, c * C, C, 1)
+                pos_c = jax.lax.dynamic_slice_in_dim(positions, c * C, C, 1)
+                logits, rc = decoder.apply(
+                    variables, ids_c, mask, positions=pos_c,
+                    kv_cache=rc, cache_index=c * C, logits_last_only=True,
+                )
+                return rc, logits[:, -1, :]
+
+            rc, lasts = jax.lax.scan(chunk, rc, jnp.arange(P // C))
+            return rc, lasts[-1]
+
+        def merge_rows(big, rows, safe):
+            """Scatter length-P prefill rows into the pool cache's first
+            P columns (rows beyond P are decode territory, untouched)."""
+            return big.at[safe, :P].set(rows.astype(big.dtype), mode="drop")
+
         def admit_step(variables, state, ids, mask, slot_ids, valid, req_ids):
             """Prefill (m, P) prompts and scatter them into ``slot_ids``.
 
@@ -108,22 +166,17 @@ class DecodeEngine:
             """
             cache, tok, pos, write_pos, slot_mask = state
             m = ids.shape[0]
-            row_cache = decoder.init_kv_cache(m, L)
             positions = jnp.clip(jnp.cumsum(mask, axis=1) - 1, min=0)
             row_slot_mask = jnp.concatenate(
                 [mask, jnp.ones((m, L - P), mask.dtype)], axis=1
             )
-            logits, row_cache = decoder.apply(
-                variables, ids, row_slot_mask,
-                positions=positions, kv_cache=row_cache, cache_index=0,
-            )
+            row_cache, last_logits = prefill_rows(variables, ids, mask, positions)
             first_tok = select_token(
-                logits[:, -1, :], samp, req_ids, jnp.zeros_like(req_ids)
+                last_logits, samp, req_ids, jnp.zeros_like(req_ids)
             )  # (m,) — token index 0 of each admitted request
             safe = jnp.where(valid, slot_ids, B)  # B = out of bounds -> drop
             cache = jax.tree.map(
-                lambda big, rows: big.at[safe].set(rows.astype(big.dtype), mode="drop"),
-                cache, row_cache,
+                lambda big, rows: merge_rows(big, rows, safe), cache, row_cache
             )
             tok = tok.at[safe].set(first_tok, mode="drop")
             pos = pos.at[safe].set(mask.sum(axis=1), mode="drop")
@@ -247,27 +300,26 @@ class DecodeEngine:
                 ids = input_ids[safe_req]
                 mask = jnp.where(take[:, None], attention_mask[safe_req], 0)
                 mask = mask.at[:, -1].max(1)  # untaken rows: one valid token
-                row_cache = decoder.init_kv_cache(B, L)
                 positions = jnp.clip(jnp.cumsum(mask, axis=1) - 1, min=0)
                 row_slot_mask = jnp.concatenate(
                     [mask, jnp.ones((B, L - P), mask.dtype)], axis=1
                 )
-                logits, row_cache = decoder.apply(
-                    variables, ids, row_slot_mask,
-                    positions=positions, kv_cache=row_cache, cache_index=0,
-                )
+                row_cache, last_logits = prefill_rows(variables, ids, mask, positions)
                 # sampling keys use ORIGINAL request ids (zero-budget
                 # requests are compacted out of this program's rows)
                 first = select_token(
-                    logits[:, -1, :], samp, req_ids[safe_req], jnp.zeros_like(safe_req)
+                    last_logits, samp, req_ids[safe_req], jnp.zeros_like(safe_req)
                 )
                 def _merge(big, rows):
                     # rank-aware slot select: value buffers are (B,L,H,D),
                     # the int8-KV tier's scale buffers are (B,L,H) — a
                     # fixed (B,1,1,1) select would broadcast a 3-d buffer
                     # to (B,B,L,H) and blow up the cond's output shapes.
+                    # rows are P long (prefill never allocates a pool-
+                    # length cache); columns P..L keep the pool values.
                     sel = take.reshape((B,) + (1,) * (big.ndim - 1))
-                    return jnp.where(sel, rows.astype(big.dtype), big)
+                    head = jnp.where(sel, rows.astype(big.dtype), big[:, :P])
+                    return jnp.concatenate([head, big[:, P:]], axis=1)
 
                 cache = jax.tree.map(_merge, s["cache"], row_cache)
                 cap_take = caps[safe_req]

@@ -884,6 +884,7 @@ class Decoder(nn.Module):
         neftune_alpha: float = 0.0,
         noise_rng: Optional[jax.Array] = None,
         return_moe_aux: bool = False,
+        logits_last_only: bool = False,
     ):
         """Full-sequence: logits (B, S, V). With kv_cache: (logits, new_cache).
 
@@ -891,6 +892,13 @@ class Decoder(nn.Module):
         positions when decoding with a cache. ``return_moe_aux=True``
         additionally returns the layer-mean MoE load-balancing aux
         (models/moe.py) as the last element — 0.0 for dense configs.
+
+        ``logits_last_only=True`` computes the LM head only for the final
+        sequence position, returning logits (B, 1, V). Prefill only needs
+        the last token's distribution, and a full (B, P, V) logit tensor
+        is the largest intermediate of a long-prompt admission (1 GB at
+        B=16, P=1024, V=32k) — slicing the hidden state first keeps the
+        head matmul (B, 1, H)×(H, V).
         """
         cfg = self.cfg
         B, S = input_ids.shape
@@ -1008,6 +1016,8 @@ class Decoder(nn.Module):
                          unit_offset=cfg.rmsnorm_unit_offset, name="final_norm")(hidden)
         if return_hidden:
             return hidden
+        if logits_last_only:
+            hidden = hidden[:, -1:, :]
 
         if cfg.tie_embeddings:
             embed = self.variables["params"]["embed_tokens"]["embedding"]

@@ -163,6 +163,7 @@ class GPT2Decoder(nn.Module):
         return_hidden: bool = False,
         neftune_alpha: float = 0.0,
         noise_rng: Optional[jax.Array] = None,
+        logits_last_only: bool = False,
     ):
         cfg = self.cfg
         B, S = input_ids.shape
@@ -219,6 +220,10 @@ class GPT2Decoder(nn.Module):
         )(hidden)
         if return_hidden:
             return hidden
+        if logits_last_only:
+            # prefill only needs the final position's distribution; see
+            # decoder.Decoder.__call__ — kills the (B, P, V) intermediate
+            hidden = hidden[:, -1:, :]
 
         # GPT-2 ties the LM head to wte.
         embed = self.variables["params"]["wte"]["embedding"]

@@ -67,6 +67,7 @@ class RagPipeline:
         sampler=None,  # models.sampling.SamplerConfig; None = greedy
         speculative: bool = False,  # prompt-lookup speculative decode (greedy only)
         speculative_gamma: int = 8,
+        prefill_chunk: "int | None" = None,  # blocked admission prefill (long prompts)
     ):
         """``quantize_generator``: pack the generator's big kernels into
         int8 `quant` storage (models/qlora.py). Decode is HBM-bandwidth
@@ -116,6 +117,10 @@ class RagPipeline:
         self.sampler = resolve(sampler)
         self._embed = build_embed_fn(self.retriever, self.r_params)
         self._spec_gamma = speculative_gamma if speculative else 0
+        # Blocked admission prefill (models/decode_engine.py): at long
+        # max_prompt_len the one-shot (pool, P) prefill's intermediates
+        # OOM before the KV cache does; C-column chunks bound them.
+        self._prefill_chunk = prefill_chunk
         if speculative:
             # Prompt-lookup speculative decode (models/speculative.py):
             # RAG answers quote passages, so drafts verify in spans — a
@@ -261,6 +266,7 @@ class RagPipeline:
                 extra_collections=self._g_extra,
                 sampler=self.sampler,
                 speculative_gamma=self._spec_gamma,
+                prefill_chunk=self._prefill_chunk,
             )
             self._engine_key = key
 
@@ -322,6 +328,7 @@ class RagPipeline:
             extra_collections=self._g_extra,
             sampler=self.sampler,
             speculative_gamma=self._spec_gamma,
+            prefill_chunk=self._prefill_chunk,
         )
         return RagStreamSession(self, engine)
 
