@@ -103,6 +103,10 @@ def bench_7b_decode(int4: bool = False) -> None:
     # one-shot (pool, P) prefill's intermediates OOM before the cache
     # does (RESULTS.md "Long context"); chunking bounds them at (pool, C).
     pchunk = int(os.environ.get("DALM_PREFILL_CHUNK", "0")) or None
+    # DALM_ADMIT_WIDTH=W: compact-width admission — the full-pool
+    # admission branch wastes ~half its prefill FLOPs at the steady-state
+    # trigger; at long P admission FLOPs dominate the workload.
+    awidth = int(os.environ.get("DALM_ADMIT_WIDTH", "0")) or None
     for preset, base_cfg, slots in rows:
         slots = slots_abs or slots * slots_mult
         cfg = dataclasses.replace(
@@ -120,7 +124,7 @@ def bench_7b_decode(int4: bool = False) -> None:
             generator, residual, num_slots=slots, max_prompt_len=P,
             max_new_tokens=MAX_NEW, eos_token_id=None, pad_token_id=0,
             extra_collections={"quant": quant, "lora": lora},
-            prefill_chunk=pchunk,
+            prefill_chunk=pchunk, admit_width=awidth,
         )
         rng = np.random.default_rng(0)
         N = 2 * slots
@@ -136,7 +140,7 @@ def bench_7b_decode(int4: bool = False) -> None:
         print(
             json.dumps(
                 {
-                    "metric": f"decode_tokens_per_sec_per_chip[{preset}-shape,{tier + '-weights' if int4 else 'int8-w8a8'}{',int8-kv' if kvq else ''}{f',p{P}' if P != 64 else ''}{f',pfc{eng.prefill_C}' if pchunk else ''},{slots}-slots,continuous-batching,1xv5e-16GB]",
+                    "metric": f"decode_tokens_per_sec_per_chip[{preset}-shape,{tier + '-weights' if int4 else 'int8-w8a8'}{',int8-kv' if kvq else ''}{f',p{P}' if P != 64 else ''}{f',pfc{eng.prefill_C}' if pchunk else ''}{f',aw{awidth}' if awidth else ''},{slots}-slots,continuous-batching,1xv5e-16GB]",
                     "value": round(per_chip, 1),
                     "unit": "tokens/sec/chip",
                     "vs_baseline": None,

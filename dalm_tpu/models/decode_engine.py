@@ -65,6 +65,7 @@ class DecodeEngine:
         sampler: Optional[SamplerConfig] = None,
         speculative_gamma: int = 0,
         prefill_chunk: Optional[int] = None,
+        admit_width: Optional[int] = None,
     ):
         """``extra_collections``: additional flax variable collections,
         e.g. ``{"quant": ..., "lora": ...}`` for a packed int8 generator
@@ -97,7 +98,19 @@ class DecodeEngine:
         slot-causal mask is over absolute cache slots, so the math is
         identical to the one-shot program). C is rounded down to the
         largest divisor of P. bf16 accumulation order differs from the
-        one-shot program (same as any blocked attention), f32 is exact."""
+        one-shot program (same as any blocked attention), f32 is exact.
+
+        ``admit_width``: compact-width admission for the FUSED schedule.
+        The default admission branch prefills at full pool width B and
+        scatter-drops untaken rows — at the steady-state trigger (B/2
+        slots free) half those prefill FLOPs are waste, and at long P
+        admission FLOPs dominate the whole workload (P prefilled vs
+        max_new decoded tokens per request). ``admit_width=W`` prefills
+        exactly W rows — the first W free slots × the next W pending
+        requests — per admission; a wave larger than W admits over
+        consecutive loop iterations. Outputs are identical either way
+        (greedy and sampling are keyed per request+position, never by
+        slot or admission shape). W=B/2 matches the trigger exactly."""
         self.decoder = decoder
         self.params = params
         self.samp = resolve(sampler)
@@ -122,6 +135,10 @@ class DecodeEngine:
             while P % C:  # largest divisor of P not above the request
                 C -= 1
             self.prefill_C = C
+
+        if admit_width is not None and not (1 <= admit_width <= B):
+            raise ValueError(f"admit_width must be in [1, num_slots]; got {admit_width}")
+        self.admit_W = admit_width if (admit_width and admit_width < B) else None
 
         def prefill_rows(variables, ids, mask, positions):
             """Admission prefill over (rows, P) prompts.
@@ -344,6 +361,70 @@ class DecodeEngine:
                     out=out,
                     out_len=out_len,
                 )
+
+            W = self.admit_W
+
+            def admit_branch_compact(s):
+                """W-width admission: prefill exactly the first W free
+                slots × the next W pending requests (see ``admit_width``
+                in the constructor docstring). Same per-request math as
+                the full-width branch — only the scatter geometry
+                differs (rank-compacted rows, like the host-loop's
+                ``admit_step``, but inside the fused program)."""
+                free = s["slot_req"] < 0
+                rank = jnp.cumsum(free.astype(jnp.int32)) - 1
+                # slot index of the w-th free slot; W entries, B = none
+                slots_w = (
+                    jnp.full((W,), B, jnp.int32)
+                    .at[jnp.where(free, rank, W)]
+                    .set(jnp.arange(B, dtype=jnp.int32), mode="drop")
+                )
+                req_w = s["next_req"] + jnp.arange(W, dtype=jnp.int32)
+                valid = (slots_w < B) & (req_w < N)
+                safe_req = jnp.clip(req_w, 0, N - 1)
+                ids = input_ids[safe_req]
+                mask = jnp.where(valid[:, None], attention_mask[safe_req], 0)
+                mask = mask.at[:, -1].max(1)  # invalid rows: one valid token
+                positions = jnp.clip(jnp.cumsum(mask, axis=1) - 1, min=0)
+                row_slot_mask = jnp.concatenate(
+                    [mask, jnp.ones((W, L - P), mask.dtype)], axis=1
+                )
+                row_cache, last_logits = prefill_rows(variables, ids, mask, positions)
+                first = select_token(
+                    last_logits, samp, req_ids[safe_req], jnp.zeros_like(safe_req)
+                )
+                safe_slot = jnp.where(valid, slots_w, B)
+                cache = jax.tree.map(
+                    lambda big, rows: merge_rows(big, rows, safe_slot),
+                    s["cache"], row_cache,
+                )
+                cap_take = caps[safe_req]
+                first_eos = (first == eos) & has_eos
+                fin0 = valid & (first_eos | (cap_take <= 1))
+                write0 = valid & ~first_eos
+                out = s["out"].at[jnp.where(write0, safe_req, N), 0].set(
+                    first, mode="drop"
+                )
+                out_len = s["out_len"].at[jnp.where(fin0, safe_req, N)].set(
+                    jnp.where(first_eos, 0, jnp.minimum(cap_take, 1)), mode="drop"
+                )
+                return dict(
+                    cache=cache,
+                    tok=s["tok"].at[safe_slot].set(first, mode="drop"),
+                    pos=s["pos"].at[safe_slot].set(mask.sum(axis=1), mode="drop"),
+                    write_pos=s["write_pos"].at[safe_slot].set(P, mode="drop"),
+                    slot_mask=s["slot_mask"].at[safe_slot].set(row_slot_mask, mode="drop"),
+                    slot_req=s["slot_req"].at[safe_slot].set(
+                        jnp.where(fin0, -1, safe_req), mode="drop"
+                    ),
+                    gen_count=s["gen_count"].at[safe_slot].set(1, mode="drop"),
+                    next_req=s["next_req"] + valid.sum(dtype=jnp.int32),
+                    out=out,
+                    out_len=out_len,
+                )
+
+            if W:
+                admit_branch = admit_branch_compact
 
             def single_token_step(s, active, safe_req, cap_slot, g0):
                 """Emit ≤1 token per active slot (the classic schedule)."""

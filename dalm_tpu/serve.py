@@ -68,6 +68,7 @@ class RagPipeline:
         speculative: bool = False,  # prompt-lookup speculative decode (greedy only)
         speculative_gamma: int = 8,
         prefill_chunk: "int | None" = None,  # blocked admission prefill (long prompts)
+        admit_width: "int | None" = None,  # compact-width fused admission
     ):
         """``quantize_generator``: pack the generator's big kernels into
         int8 `quant` storage (models/qlora.py). Decode is HBM-bandwidth
@@ -121,6 +122,7 @@ class RagPipeline:
         # max_prompt_len the one-shot (pool, P) prefill's intermediates
         # OOM before the KV cache does; C-column chunks bound them.
         self._prefill_chunk = prefill_chunk
+        self._admit_width = admit_width
         if speculative:
             # Prompt-lookup speculative decode (models/speculative.py):
             # RAG answers quote passages, so drafts verify in spans — a
@@ -267,6 +269,7 @@ class RagPipeline:
                 sampler=self.sampler,
                 speculative_gamma=self._spec_gamma,
                 prefill_chunk=self._prefill_chunk,
+                admit_width=self._admit_width,
             )
             self._engine_key = key
 

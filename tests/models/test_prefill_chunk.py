@@ -106,6 +106,53 @@ def test_chunked_prefill_speculative_and_sampled():
     assert blk.generate(ids, mask) == want
 
 
+@pytest.mark.parametrize("width", [1, 2])
+def test_compact_admission_matches_full_width(width):
+    """admit_width=W admits in W-slot waves; per-request outputs are
+    identical to full-width admission (keys are request-indexed)."""
+    decoder, params = _init(CONFIGS["mha"]())
+    ids, mask = _prompts(8, rng_seed=9)
+    ref, _ = _engines(decoder, params, chunk=None, num_slots=4)
+    cmp = DecodeEngine(
+        decoder, params, num_slots=4, max_prompt_len=P, max_new_tokens=6,
+        eos_token_id=None, pad_token_id=0, decode_chunk=2,
+        admit_width=width, prefill_chunk=4,
+    )
+    assert cmp.generate_fused(ids, mask) == ref.generate_fused(ids, mask)
+
+
+def test_compact_admission_eos_budgets_sampled_spec():
+    """Compact admission under slot churn (EOS + budgets), sampling, and
+    speculation — the full scheduling surface stays request-invariant."""
+    decoder, params = _init(CONFIGS["mha"]())
+    ids, mask = _prompts(9, rng_seed=21)
+    samp = SamplerConfig(temperature=0.8, top_k=30, seed=7)
+    kw = dict(
+        num_slots=4, max_prompt_len=P, max_new_tokens=7, eos_token_id=2,
+        pad_token_id=0, decode_chunk=2, sampler=samp, speculative_gamma=2,
+    )
+    ref = DecodeEngine(decoder, params, **kw)
+    cmp = DecodeEngine(decoder, params, admit_width=2, prefill_chunk=8, **kw)
+    budgets = [7, 1, 4, 7, 2, 7, 3, 7, 5]
+    want = ref.generate_fused(ids, mask, budgets=budgets)
+    assert cmp.generate_fused(ids, mask, budgets=budgets) == want
+
+
+def test_admit_width_validation():
+    decoder, params = _init(CONFIGS["mha"]())
+    with pytest.raises(ValueError, match="admit_width"):
+        DecodeEngine(
+            decoder, params, num_slots=2, max_prompt_len=P,
+            max_new_tokens=4, admit_width=5,
+        )
+    # full-width request (W == B) is the default branch, not an error
+    eng = DecodeEngine(
+        decoder, params, num_slots=2, max_prompt_len=P,
+        max_new_tokens=4, admit_width=2,
+    )
+    assert eng.admit_W is None
+
+
 def test_chunked_prefill_eos_and_budgets():
     """Slot recycling mid-stream re-admits through the chunked program."""
     decoder, params = _init(CONFIGS["mha"]())
