@@ -553,13 +553,30 @@ class DecodeEngine:
         self._fused = jax.jit(fused_schedule)
 
         self._vars = {"params": params, **self.extra}
-        self.state = (
-            decoder.init_kv_cache(B, L),
-            jnp.zeros((B,), jnp.int32),       # tok
-            jnp.zeros((B,), jnp.int32),       # pos
-            jnp.full((B,), P, jnp.int32),     # write_pos
-            jnp.zeros((B, L), jnp.int32),     # slot_mask
-        )
+        self._state = None  # host-loop pool state; see the property below
+
+    @property
+    def state(self):
+        """Host-loop pool state (cache, tok, pos, write_pos, slot_mask),
+        allocated LAZILY on first host-loop/streaming use. The fused
+        schedule keeps its entire state inside the XLA program, so an
+        eagerly-allocated second pool cache here would double the
+        cache's HBM footprint against the fused path's budget (2.5 GB
+        dead weight at MLA-7B geometry, 64 slots, L=1152 — the
+        difference between fitting 96 long-context slots and OOM)."""
+        if self._state is None:
+            self._state = (
+                self.decoder.init_kv_cache(self.num_slots, self.L),
+                jnp.zeros((self.num_slots,), jnp.int32),       # tok
+                jnp.zeros((self.num_slots,), jnp.int32),       # pos
+                jnp.full((self.num_slots,), self.P, jnp.int32),  # write_pos
+                jnp.zeros((self.num_slots, self.L), jnp.int32),  # slot_mask
+            )
+        return self._state
+
+    @state.setter
+    def state(self, value):
+        self._state = value
 
     # ---- host-side scheduling -------------------------------------------
     def host_draft(self, history: "np.ndarray", ngram: int = 2) -> "np.ndarray":
