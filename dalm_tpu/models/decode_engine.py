@@ -327,18 +327,18 @@ class DecodeEngine:
                 first = select_token(
                     last_logits, samp, req_ids[safe_req], jnp.zeros_like(safe_req)
                 )
-                def _merge(big, rows):
-                    # rank-aware slot select: value buffers are (B,L,H,D),
-                    # the int8-KV tier's scale buffers are (B,L,H) — a
-                    # fixed (B,1,1,1) select would broadcast a 3-d buffer
-                    # to (B,B,L,H) and blow up the cond's output shapes.
-                    # rows are P long (prefill never allocates a pool-
-                    # length cache); columns P..L keep the pool values.
-                    sel = take.reshape((B,) + (1,) * (big.ndim - 1))
-                    head = jnp.where(sel, rows.astype(big.dtype), big[:, :P])
-                    return jnp.concatenate([head, big[:, P:]], axis=1)
-
-                cache = jax.tree.map(_merge, s["cache"], row_cache)
+                # Scatter-merge, NOT where+concatenate: rows are P long
+                # and row i targets slot i, so untaken rows drop via the
+                # OOB index. The select/concat formulation materialized a
+                # full second pool cache inside the cond branch — at MLA
+                # 128 slots that 2× (5.4 GB) was the compile-OOM term
+                # (mem probe, RESULTS.md "Long context"); a scatter lets
+                # XLA update the carried cache in place.
+                safe_slot = jnp.where(take, jnp.arange(B), B)
+                cache = jax.tree.map(
+                    lambda big, rows: merge_rows(big, rows, safe_slot),
+                    s["cache"], row_cache,
+                )
                 cap_take = caps[safe_req]
                 first_eos = (first == eos) & has_eos
                 fin0 = take & (first_eos | (cap_take <= 1))
