@@ -130,9 +130,17 @@ def bench_7b_decode(int4: bool = False) -> None:
         N = 2 * slots
         p_ids = rng.integers(5, min(31000, cfg.vocab_size - 1), size=(N, P)).astype(np.int32)
         p_mask = np.ones((N, P), np.int32)
-        _ = eng.generate_fused(p_ids[:N], p_mask[:N])  # warm/compile
+        # DALM_SCHEDULE=hostloop: the host-loop schedule holds ONE cache
+        # copy (donated dispatches) vs the fused while-carry's two, so
+        # its capacity ceiling is ~2x — at the cost of a readback per
+        # decode_chunk tokens on this tunneled transport.
+        gen = (
+            eng.generate if os.environ.get("DALM_SCHEDULE") == "hostloop"
+            else eng.generate_fused
+        )
+        _ = gen(p_ids[:N], p_mask[:N])  # warm/compile
         t0 = time.perf_counter()
-        outs = eng.generate_fused(p_ids, p_mask)
+        outs = gen(p_ids, p_mask)
         dt = time.perf_counter() - t0
         total_tokens = sum(len(o) for o in outs)
         assert total_tokens == N * MAX_NEW
@@ -140,7 +148,7 @@ def bench_7b_decode(int4: bool = False) -> None:
         print(
             json.dumps(
                 {
-                    "metric": f"decode_tokens_per_sec_per_chip[{preset}-shape,{tier + '-weights' if int4 else 'int8-w8a8'}{',int8-kv' if kvq else ''}{f',p{P}' if P != 64 else ''}{f',pfc{eng.prefill_C}' if pchunk else ''}{f',aw{awidth}' if awidth else ''},{slots}-slots,continuous-batching,1xv5e-16GB]",
+                    "metric": f"decode_tokens_per_sec_per_chip[{preset}-shape,{tier + '-weights' if int4 else 'int8-w8a8'}{',int8-kv' if kvq else ''}{f',p{P}' if P != 64 else ''}{f',pfc{eng.prefill_C}' if pchunk else ''}{f',aw{awidth}' if awidth else ''}{',hostloop' if os.environ.get('DALM_SCHEDULE') == 'hostloop' else ''},{slots}-slots,continuous-batching,1xv5e-16GB]",
                     "value": round(per_chip, 1),
                     "unit": "tokens/sec/chip",
                     "vs_baseline": None,

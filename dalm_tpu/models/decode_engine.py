@@ -100,8 +100,13 @@ class DecodeEngine:
         largest divisor of P. bf16 accumulation order differs from the
         one-shot program (same as any blocked attention), f32 is exact.
 
-        ``admit_width``: compact-width admission for the FUSED schedule.
-        The default admission branch prefills at full pool width B and
+        ``admit_width``: compact-width admission (all schedules). The
+        host-loop and streaming schedulers cap each admission wave at W
+        rows (the admit program's row cache is rows × P ×
+        cache-bytes/token of HLO temp — the compile-OOM term of
+        long-context host-loop serving; remaining requests admit on the
+        next scheduling round). In the FUSED schedule:
+        the default admission branch prefills at full pool width B and
         scatter-drops untaken rows — at the steady-state trigger (B/2
         slots free) half those prefill FLOPs are waste, and at long P
         admission FLOPs dominate the whole workload (P prefilled vs
@@ -547,9 +552,18 @@ class DecodeEngine:
             final = jax.lax.while_loop(cond, body, state0)
             return final["out"], final["out_len"]
 
-        self._admit_jit = jax.jit(admit_step)
-        self._decode = jax.jit(decode_chunk_fn)
-        self._verify = jax.jit(verify_step)
+        # Host-loop programs DONATE the pool state: each dispatch aliases
+        # the cache in place, so the host-loop schedule holds ONE cache
+        # copy. The fused schedule cannot — XLA double-buffers the while
+        # carry regardless of write formulation (one-hot where and
+        # batched scatter both die at exactly cache = HBM_budget/2,
+        # bisected in tools/cache_write_probe.py) — so the fused path's
+        # capacity ceiling is (HBM − weights)/2 cache bytes while the
+        # host-loop's is (HBM − weights). Callers rebind self.state to
+        # each program's output and never touch the donated buffers.
+        self._admit_jit = jax.jit(admit_step, donate_argnums=(1,))
+        self._decode = jax.jit(decode_chunk_fn, donate_argnums=(1,))
+        self._verify = jax.jit(verify_step, donate_argnums=(1,))
         self._fused = jax.jit(fused_schedule)
 
         self._vars = {"params": params, **self.extra}
@@ -647,6 +661,13 @@ class DecodeEngine:
             which dominated end-to-end time when measured)."""
             free = np.flatnonzero(slot_req == -1)
             m = min(len(free), len(pending))
+            # admit_width caps the wave: the admit program's row cache is
+            # rows × P × cache-bytes/token of HLO temp (4.3 GB at MLA-7B,
+            # 128 rows, P=1024 — the compile-OOM term in the host-loop
+            # long-context arms). Remaining pending requests admit on the
+            # NEXT scheduling round (the loop re-calls admit every round).
+            if self.admit_W:
+                m = min(m, self.admit_W)
             if m == 0:
                 return None
             reqs = [pending.popleft() for _ in range(m)]
@@ -655,7 +676,7 @@ class DecodeEngine:
             # program. Invalid rows scatter-drop, and the wasted prefill
             # FLOPs are far cheaper than a mid-run compile (each jit
             # compile over a tunneled transport costs seconds).
-            m_pad = self.num_slots
+            m_pad = self.admit_W or self.num_slots
             ids = np.zeros((m_pad, self.P), np.int32)
             mask = np.zeros((m_pad, self.P), np.int32)
             mask[:, -1] = 1  # padding rows: one valid token (finite fwd)
@@ -773,16 +794,19 @@ class DecodeEngine:
         def admit_sync():
             free = np.flatnonzero(slot_req == -1)
             m = min(len(free), len(pending))
+            if self.admit_W:  # cap the wave (see generate's admit)
+                m = min(m, self.admit_W)
             if m == 0:
                 return
             reqs = [pending.popleft() for _ in range(m)]
             slots = free[:m]
-            ids = np.zeros((B, self.P), np.int32)
-            mask = np.zeros((B, self.P), np.int32)
+            W = self.admit_W or B
+            ids = np.zeros((W, self.P), np.int32)
+            mask = np.zeros((W, self.P), np.int32)
             mask[:, -1] = 1
-            slot_ids = np.full((B,), B, np.int32)
-            valid = np.zeros((B,), bool)
-            req_arr = np.zeros((B,), np.int32)
+            slot_ids = np.full((W,), B, np.int32)
+            valid = np.zeros((W,), bool)
+            req_arr = np.zeros((W,), np.int32)
             ids[:m] = input_ids[reqs]
             mask[:m] = attention_mask[reqs]
             slot_ids[:m] = slots

@@ -264,11 +264,13 @@ class StreamingEngine:
                 h._finish()
             free = [s for s in range(B) if slot_req[s] is None]
             m = min(len(free), len(pending))
+            if eng.admit_W:  # cap the wave (see DecodeEngine.generate)
+                m = min(m, eng.admit_W)
             if m == 0:
                 return None
             batch = [pending.popleft() for _ in range(m)]
             slots = free[:m]
-            m_pad = B
+            m_pad = eng.admit_W or B
             ids = np.zeros((m_pad, eng.P), np.int32)
             mask = np.zeros((m_pad, eng.P), np.int32)
             mask[:, -1] = 1  # padding rows: one valid token (finite fwd)
@@ -416,16 +418,19 @@ class StreamingEngine:
                 h._finish()
             free = [s for s in range(B) if slot_req[s] is None]
             m = min(len(free), len(pending))
+            if eng.admit_W:  # cap the wave (see DecodeEngine.generate)
+                m = min(m, eng.admit_W)
             if m == 0:
                 return
             batch = [pending.popleft() for _ in range(m)]
             slots = free[:m]
-            ids = np.zeros((B, eng.P), np.int32)
-            mask = np.zeros((B, eng.P), np.int32)
+            W = eng.admit_W or B
+            ids = np.zeros((W, eng.P), np.int32)
+            mask = np.zeros((W, eng.P), np.int32)
             mask[:, -1] = 1  # padding rows: one valid token (finite fwd)
-            slot_ids = np.full((B,), B, np.int32)
-            valid = np.zeros((B,), bool)
-            req_arr = np.zeros((B,), np.int32)
+            slot_ids = np.full((W,), B, np.int32)
+            valid = np.zeros((W,), bool)
+            req_arr = np.zeros((W,), np.int32)
             for j, ((h, r_ids, r_mask), slot) in enumerate(zip(batch, slots)):
                 ids[j] = r_ids
                 mask[j] = r_mask

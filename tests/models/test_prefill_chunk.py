@@ -118,7 +118,10 @@ def test_compact_admission_matches_full_width(width):
         eos_token_id=None, pad_token_id=0, decode_chunk=2,
         admit_width=width, prefill_chunk=4,
     )
-    assert cmp.generate_fused(ids, mask) == ref.generate_fused(ids, mask)
+    want = ref.generate_fused(ids, mask)
+    assert cmp.generate_fused(ids, mask) == want
+    # host-loop waves are capped at W rows too (admits span rounds)
+    assert cmp.generate(ids, mask) == want
 
 
 def test_compact_admission_eos_budgets_sampled_spec():
